@@ -1,0 +1,208 @@
+"""Stream-context configuration tree.
+
+Mirrors the reference's single-JSON-document stream spec with sections
+``observability / staging / streamMode / sink / throughput / source``
+(reference ``MicrosoftSqlServerPluginStreamContext.scala:21-38``,
+``dev.env.example:39-165``, annotated in ``docs/crd.md``), re-expressed
+as plain dataclasses.  Loaded from a dict / JSON string / the
+``STREAMCONTEXT__SPEC`` environment variable, with ``STREAMCONTEXT__*``
+env overrides for individual scalar knobs (the reference overrides
+secrets the same way, ``integration-tests.env:1-12``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class SourceSettings:
+    """The change-feed source (reference ``docs/crd.md:83-89,196-203``)."""
+
+    #: directory of version-range-partitioned change-log parquet segments
+    ctlog_dir: str = ""
+    #: parquet dir of the base-table snapshot used by backfill (S2)
+    snapshot_dir: str = ""
+    #: poll interval seconds (reference changeCaptureInterval; 0 = poll hot)
+    change_capture_interval: float = 0.0
+    #: +- fraction of interval jittered per poll (changeCaptureJitterVariance)
+    change_capture_jitter: float = 0.0
+    #: seed for the jitter PRNG (changeCaptureJitterSeed)
+    change_capture_jitter_seed: int = 42
+    #: arrow batch size when scanning the feed (fetchSize analog)
+    fetch_size: int = 65536
+    #: primary-key columns the merge key is synthesized from (T3)
+    key_columns: tuple[str, ...] = ("url",)
+
+
+@dataclass
+class FieldSelectionSettings:
+    """T1 field-selection rule (reference ``docs/crd.md:224-241``)."""
+
+    rule: str = "all"  # all | include | exclude
+    fields: tuple[str, ...] = ()
+    #: push the projection into the parquet read instead of filtering in-app
+    is_server_side: bool = True
+
+
+@dataclass
+class StagingSettings:
+    """G1 staging (reference ``docs/crd.md:39-73``).
+
+    ``enabled=False`` by default: the reference stages every batch into a
+    transient Iceberg table because its source (a SQL cursor) is not
+    replayable mid-merge; our change feed is durable Parquet, and the
+    merge output itself is staged under an attempt-unique ``cycles/``
+    dir until the manifest commit, so an extra pre-merge copy buys no
+    additional safety.  Enable for parity/debugging.
+    """
+
+    enabled: bool = False
+    staging_root: str = ""  # default: <target_root>/staging
+    table_prefix: str = "staging_"
+    max_rows_per_file: int = 10_000
+
+
+@dataclass
+class SinkSettings:
+    """Target lake table (reference ``docs/crd.md:106-135``)."""
+
+    target_root: str = ""
+    #: fixed partition count P; change events route by hash(merge_key) % P
+    #: (analog of the Iceberg partition expression bucket(arcane_merge_key, P),
+    #: docs/crd.md:114-119).  Fixed in the manifest at table creation.
+    num_partitions: int = 16
+    #: writer sort order inside each partition file (sortedBy analog)
+    sorted_by: tuple[str, ...] = ()
+    max_rows_per_file: int = 1_000_000
+    parquet_compression: str = "zstd"
+
+
+@dataclass
+class StreamModeSettings:
+    """streamMode section: backfill switches (reference main.scala:95-101)."""
+
+    backfill: bool = False
+    backfill_id: str = ""
+    backfill_behavior: str = "overwrite"  # overwrite | merge
+
+
+@dataclass
+class ThroughputSettings:
+    """Grouping + rate shaping (reference docs/crd.md:49-52,179-195).
+
+    Backpressure itself is native to Ray Data's streaming executor
+    (SURVEY.md §4.2); only the replay-rate bound and grouping knobs are
+    kept.
+    """
+
+    rows_per_group: int = 50_000
+    grouping_interval_seconds: float = 15.0
+    #: token-bucket: advised events/sec admitted into the tailer; 0 = unlimited
+    advised_rate: float = 0.0
+    advised_burst: int = 0
+
+
+@dataclass
+class MaintenanceSettings:
+    """K4 target maintenance (reference docs/crd.md:136-172)."""
+
+    enabled: bool = True
+    #: run maintenance every N merged batches (targetOptimizeSettings.batchThreshold)
+    batch_threshold: int = 60
+    #: compact partitions whose data files are smaller than this
+    file_size_threshold_bytes: int = 512 * 1024 * 1024
+    #: also compact partitions holding more than this many files
+    max_files_per_partition: int = 8
+    #: manifests/snapshots older than this many committed versions are expired
+    retention_versions: int = 20
+    #: columns included in the ANALYZE stats pass (ColumnSummary..., T5)
+    analyze_included_columns: tuple[str, ...] = ()
+
+
+@dataclass
+class ObservabilitySettings:
+    """F4 metrics/log tags (reference docs/crd.md:34-38)."""
+
+    metric_tags: dict[str, str] = field(default_factory=dict)
+    log_level: str = "INFO"
+
+
+@dataclass
+class StreamContext:
+    """The whole stream spec; one per stream/table, like the reference CRD."""
+
+    source: SourceSettings = field(default_factory=SourceSettings)
+    field_selection: FieldSelectionSettings = field(default_factory=FieldSelectionSettings)
+    staging: StagingSettings = field(default_factory=StagingSettings)
+    sink: SinkSettings = field(default_factory=SinkSettings)
+    stream_mode: StreamModeSettings = field(default_factory=StreamModeSettings)
+    throughput: ThroughputSettings = field(default_factory=ThroughputSettings)
+    maintenance: MaintenanceSettings = field(default_factory=MaintenanceSettings)
+    observability: ObservabilitySettings = field(default_factory=ObservabilitySettings)
+
+    # ------------------------------------------------------------------ io
+    @classmethod
+    def from_dict(cls, spec: dict[str, Any]) -> "StreamContext":
+        def build(dc_cls, data):
+            if data is None:
+                return dc_cls()
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in data.items():
+                if k not in names:
+                    raise ValueError(f"unknown {dc_cls.__name__} setting: {k!r}")
+                fld = next(f for f in dataclasses.fields(dc_cls) if f.name == k)
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+                _ = fld
+            return dc_cls(**kwargs)
+
+        return cls(
+            source=build(SourceSettings, spec.get("source")),
+            field_selection=build(FieldSelectionSettings, spec.get("field_selection")),
+            staging=build(StagingSettings, spec.get("staging")),
+            sink=build(SinkSettings, spec.get("sink")),
+            stream_mode=build(StreamModeSettings, spec.get("stream_mode")),
+            throughput=build(ThroughputSettings, spec.get("throughput")),
+            maintenance=build(MaintenanceSettings, spec.get("maintenance")),
+            observability=build(ObservabilitySettings, spec.get("observability")),
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "StreamContext":
+        return cls.from_dict(json.loads(text))
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "StreamContext":
+        """Read ``STREAMCONTEXT__SPEC`` (JSON) + ``STREAMCONTEXT__*`` overrides.
+
+        Mirrors the reference's env contract (``dev.env.example:39``,
+        ``StreamRunner.scala:209-210``): ``STREAMCONTEXT__BACKFILL=true``
+        and ``STREAMCONTEXT__BACKFILL_ID`` flip backfill mode.
+        """
+        env = dict(os.environ if env is None else env)
+        spec = env.get("STREAMCONTEXT__SPEC", "{}")
+        ctx = cls.from_json(spec)
+        if env.get("STREAMCONTEXT__BACKFILL", "").lower() == "true":
+            ctx.stream_mode.backfill = True
+        if "STREAMCONTEXT__BACKFILL_ID" in env:
+            ctx.stream_mode.backfill_id = env["STREAMCONTEXT__BACKFILL_ID"]
+        return ctx
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def merge(self, other: dict[str, Any]) -> "StreamContext":
+        """Operator-driven override merge (reference
+        ``MicrosoftSqlServerPluginStreamContext.scala:21-30`` overrides
+        ``merge(other)``): *other* wins on any key it sets."""
+        base = self.to_dict()
+        for section, vals in other.items():
+            base.setdefault(section, {}).update(vals)
+        return StreamContext.from_dict(base)

@@ -1,0 +1,495 @@
+"""Stream orchestration: bootstrap, poll cycles, backfill (F1/F2).
+
+The Ray-native analog of the reference's processor graph
+(``GenericStreamRunnerService`` + ``DefaultStreamBootstrapper``,
+``main.scala:69-117``; lifecycle detailed in SURVEY.md §3):
+
+    bootstrap (watermark gate + staging sweep)
+    └─ per poll cycle:
+         tailer S1 → transforms T1-T4 → [staging G1] →
+         schema migration E1 (decided once, driver-side) →
+         partitioned LWW merge M1/M2 → manifest commit K1/K2 →
+         dispose staging K3 → every N batches maintenance K4
+
+Each cycle is one lazy Ray Data pipeline; the streaming executor
+pipelines read → transform → shuffle → merge with backpressure.  The
+driver only plans, folds tiny stats tables, and commits manifests.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+import uuid
+
+import pyarrow as pa
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.functions import transforms as T
+from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import (
+    ChangeFeedTailer,
+    max_available_version,
+    read_snapshot,
+    snapshot_files,
+)
+from arcane_stream_sqlserver_change_tracking_ray.stages import staging as G
+from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+    apply_change_batch,
+    fold_stats_into_manifest,
+)
+from arcane_stream_sqlserver_change_tracking_ray.stages.schema_evo import (
+    schemas_of_parquet_files,
+    unify_target_schema,
+)
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    Manifest,
+    ManifestLog,
+    prepare_watermark,
+)
+from arcane_stream_sqlserver_change_tracking_ray.types import (
+    MERGE_KEY_COL,
+    OP_COL,
+    OP_INSERT,
+    VERSION_COL,
+)
+
+logger = logging.getLogger("arcane_ray.runner")
+
+
+# ---------------------------------------------------------------------------
+# per-batch transform stage (T1-T4 composed into ONE Arrow pass)
+# ---------------------------------------------------------------------------
+class TransformStage:
+    """normalize names → synthesize merge key → field selection → casts."""
+
+    def __init__(self, ctx: StreamContext, casts: dict | None = None):
+        self.key_columns = tuple(ctx.source.key_columns)
+        self.rule = ctx.field_selection.rule
+        self.fields = tuple(ctx.field_selection.fields)
+        self.app_side_filter = not ctx.field_selection.is_server_side
+        self.casts = casts or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = T.normalize_column_names(batch)
+        batch = T.synthesize_merge_key(batch, self.key_columns)
+        if self.app_side_filter and self.rule != "all":
+            batch = T.select_fields(batch, self.rule, self.fields)
+        if self.casts:
+            batch = T.cast_columns(batch, self.casts)
+        return batch
+
+
+def transformed_schema(file_schema: pa.Schema, ctx: StreamContext) -> pa.Schema:
+    """The schema a cycle's batches will have after TransformStage —
+    computed driver-side from parquet metadata so schema migration is
+    decided ONCE before any writer runs (SURVEY.md §7.5.3)."""
+    fields = [pa.field(T.normalize_name(f.name), f.type) for f in file_schema]
+    names = [f.name for f in fields]
+    if MERGE_KEY_COL not in names:
+        fields.append(pa.field(MERGE_KEY_COL, pa.string()))
+        names.append(MERGE_KEY_COL)
+    if ctx.field_selection.rule != "all":
+        keep = T.resolve_selected_columns(
+            names, ctx.field_selection.rule, tuple(ctx.field_selection.fields)
+        )
+        fields = [f for f in fields if f.name in keep]
+    return pa.schema(fields)
+
+
+# ---------------------------------------------------------------------------
+# the runner
+# ---------------------------------------------------------------------------
+class StreamRunner:
+    def __init__(self, ctx: StreamContext, casts: dict | None = None):
+        self.ctx = ctx
+        self.casts = casts or {}
+        self.log = ManifestLog(ctx.sink.target_root)
+        self.tailer: ChangeFeedTailer | None = None
+
+    # -------------------------------------------------------------- bootstrap
+    def bootstrap(self) -> Manifest:
+        """Watermark gate + sweep of uncommitted cycles / staging dirs.
+
+        Raises ``InvalidWatermarkError`` when no watermark was prepared —
+        the reference's fail-fast negative test (StreamRunner.scala:167-185).
+        """
+        manifest = self.log.require_watermark()
+        swept = self.log.sweep_uncommitted()
+        if swept:
+            logger.info("startup sweep removed %d uncommitted dirs", len(swept))
+        columns = None
+        if self.ctx.field_selection.is_server_side and self.ctx.field_selection.rule != "all":
+            columns = None  # resolved per poll from file metadata (names differ per segment)
+        self.tailer = ChangeFeedTailer(
+            self.ctx.source.ctlog_dir,
+            manifest.watermark,
+            rows_per_poll=self.ctx.throughput.rows_per_group,
+            fetch_size=self.ctx.source.fetch_size,
+            columns=columns,
+            poll_interval=self.ctx.source.change_capture_interval,
+            jitter=self.ctx.source.change_capture_jitter,
+            jitter_seed=self.ctx.source.change_capture_jitter_seed,
+            advised_rate=self.ctx.throughput.advised_rate,
+        )
+        return manifest
+
+    # ------------------------------------------------------------- one cycle
+    def run_cycle(self) -> dict | None:
+        """Process the next change batch; returns cycle metrics or None
+        when caught up.  Every step before the manifest commit is
+        invisible to readers; a crash anywhere leaves the table at the
+        previous snapshot and the next run replays the same versions."""
+        assert self.tailer is not None, "call bootstrap() first"
+        t0 = time.perf_counter()
+        manifest = self.log.latest()
+
+        # --- S1: plan + read the next version range ------------------------
+        planned = self.tailer.plan()
+        if planned is None:
+            return None
+        paths, hi = planned
+
+        # server-side projection pushdown (T1, isServerSide=true)
+        columns = None
+        file_schema = schemas_of_parquet_files(paths)
+        if self.ctx.field_selection.is_server_side and self.ctx.field_selection.rule != "all":
+            columns = T.resolve_selected_columns(
+                [f.name for f in file_schema],
+                self.ctx.field_selection.rule,
+                tuple(self.ctx.field_selection.fields),
+                essential=(VERSION_COL, OP_COL, *self.ctx.source.key_columns),
+            )
+            file_schema = pa.schema([f for f in file_schema if f.name in set(columns)])
+        self.tailer.columns = columns
+        polled = self.tailer.poll()
+        assert polled is not None
+        ds, hi = polled
+
+        # --- T1-T4 ---------------------------------------------------------
+        ds = ds.map_batches(
+            TransformStage(self.ctx, self.casts),
+            batch_format="pyarrow",
+            batch_size=self.ctx.source.fetch_size,
+        )
+
+        # --- G1 optional staging ------------------------------------------
+        staging_dir = None
+        if self.ctx.staging.enabled:
+            staging_root = self.ctx.staging.staging_root or (
+                self.ctx.sink.target_root + "/staging"
+            )
+            ds, staging_dir = G.stage_change_batch(
+                ds,
+                staging_root,
+                self.ctx.staging.table_prefix,
+                f"c{manifest.version + 1:06d}",
+                self.ctx.staging.max_rows_per_file,
+            )
+
+        # --- E1: schema migration decided once, driver-side ----------------
+        batch_schema = transformed_schema(file_schema, self.ctx)
+        unified, migrated = unify_target_schema(manifest.schema, batch_schema)
+
+        # --- M1/M2: partitioned LWW merge ----------------------------------
+        cycle_id = f"{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
+        t_merge = time.perf_counter()
+        stats = apply_change_batch(
+            ds,
+            target_root=self.ctx.sink.target_root,
+            cycle_id=cycle_id,
+            partition_files=manifest.partitions,
+            schema=unified,
+            num_partitions=manifest.num_partitions,
+            max_rows_per_file=self.ctx.sink.max_rows_per_file,
+            compression=self.ctx.sink.parquet_compression,
+            sorted_by=tuple(self.ctx.sink.sorted_by),
+            batch_size=self.ctx.source.fetch_size,
+        )
+        merge_s = time.perf_counter() - t_merge
+
+        # --- K1/K2: atomic manifest + watermark commit ---------------------
+        nxt = manifest.next()
+        nxt.schema = unified
+        nxt.watermark = hi
+        metrics = fold_stats_into_manifest(nxt, stats, cycle_id)
+        metrics.update(
+            {
+                "cycle_id": cycle_id,
+                "versions": [manifest.watermark + 1, hi],
+                "schema_migrated": migrated,
+                "merge_s": round(merge_s, 4),
+                "cycle_s": round(time.perf_counter() - t0, 4),
+            }
+        )
+        nxt.metrics = metrics
+        nxt.counters["cycles"] = nxt.counters.get("cycles", 0) + 1
+        nxt.counters["batches_since_maintenance"] = (
+            nxt.counters.get("batches_since_maintenance", 0) + 1
+        )
+        self.log.commit(nxt, expect_version=manifest.version)
+        self.tailer.advance(hi)
+
+        # --- K3: dispose staging ------------------------------------------
+        if staging_dir:
+            G.dispose_staging(staging_dir)
+
+        # --- K4: maintenance every batchThreshold batches ------------------
+        if (
+            self.ctx.maintenance.enabled
+            and nxt.counters["batches_since_maintenance"]
+            >= self.ctx.maintenance.batch_threshold
+        ):
+            from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+                run_maintenance,
+            )
+
+            run_maintenance(self.log, self.ctx)
+        return metrics
+
+    # ------------------------------------------------------------ main loops
+    def run(
+        self, max_cycles: int | None = None, max_seconds: float | None = None
+    ) -> list[dict]:
+        """Streaming loop until caught up / cycle budget / time budget.
+
+        The budget knobs are the test hook, mirroring the reference's
+        ``TimeLimitLifetimeService`` swap (``Common.scala:44,82``); in
+        production the loop runs until signalled (PosixStreamLifetime).
+        """
+        self.bootstrap()
+        out: list[dict] = []
+        t0 = time.monotonic()
+        while True:
+            if max_cycles is not None and len(out) >= max_cycles:
+                break
+            if max_seconds is not None and time.monotonic() - t0 >= max_seconds:
+                break
+            m = self.run_cycle()
+            if m is None:
+                if self.ctx.source.change_capture_interval > 0 and (
+                    max_seconds is not None
+                ):
+                    time.sleep(min(self.tailer.next_interval(), 0.2))
+                    continue
+                break
+            out.append(m)
+            ivl = self.tailer.next_interval()
+            if ivl > 0:
+                time.sleep(ivl)
+        return out
+
+    # --------------------------------------------------------------- backfill
+    def run_backfill(self) -> Manifest:
+        """S2/G2/M4 backfill: sharded snapshot re-read → Overwrite | Merge.
+
+        Overwrite: write a full fresh snapshot partition layout, then flip
+        the manifest atomically; streaming resumes from the version current
+        at backfill start (StreamRunner.scala:209-223).  Merge: snapshot
+        rows become synthetic ``I`` events through the normal merge path
+        (docs/crd.md:77-81).  Shard completion is tracked in a state file
+        so a restarted backfill skips finished shards (G2).
+        """
+        import json
+        import os
+
+        ctx = self.ctx
+        manifest = self.log.require_watermark()
+        at_version = max(
+            max_available_version(ctx.source.ctlog_dir), manifest.watermark
+        )
+        backfill_id = ctx.stream_mode.backfill_id or uuid.uuid4().hex[:8]
+        behavior = ctx.stream_mode.backfill_behavior.lower()
+
+        files = snapshot_files(ctx.source.snapshot_dir)
+        if behavior == "merge":
+            # snapshot rows as synthetic insert events via the normal path
+            ds = read_snapshot(ctx.source.snapshot_dir)
+
+            def as_events(batch: pa.Table) -> pa.Table:
+                if VERSION_COL not in batch.column_names:
+                    batch = batch.append_column(
+                        VERSION_COL, pa.array([at_version] * batch.num_rows, pa.int64())
+                    )
+                batch = batch.append_column(
+                    OP_COL, pa.array([OP_INSERT] * batch.num_rows, pa.string())
+                )
+                return batch
+
+            ds = ds.map_batches(as_events, batch_format="pyarrow").map_batches(
+                TransformStage(ctx, self.casts), batch_format="pyarrow"
+            )
+            batch_schema = transformed_schema(
+                schemas_of_parquet_files(files), ctx
+            )
+            for extra, typ in ((VERSION_COL, pa.int64()), (OP_COL, pa.string())):
+                if extra not in [f.name for f in batch_schema]:
+                    batch_schema = batch_schema.append(pa.field(extra, typ))
+            unified, _ = unify_target_schema(manifest.schema, batch_schema)
+            cycle_id = f"backfill-{backfill_id}"
+            stats = apply_change_batch(
+                ds,
+                target_root=ctx.sink.target_root,
+                cycle_id=cycle_id,
+                partition_files=manifest.partitions,
+                schema=unified,
+                num_partitions=manifest.num_partitions,
+                max_rows_per_file=ctx.sink.max_rows_per_file,
+                compression=ctx.sink.parquet_compression,
+                sorted_by=tuple(ctx.sink.sorted_by),
+            )
+            nxt = manifest.next()
+            nxt.schema = unified
+            nxt.watermark = max(at_version, manifest.watermark)
+            metrics = fold_stats_into_manifest(nxt, stats, cycle_id)
+            metrics["backfill"] = {"id": backfill_id, "behavior": "merge"}
+            nxt.metrics = metrics
+            return self.log.commit(nxt, expect_version=manifest.version)
+
+        if behavior != "overwrite":
+            raise ValueError(f"unknown backfillBehavior: {behavior!r}")
+
+        # ---- Overwrite: sharded staging + atomic flip ---------------------
+        state_dir = os.path.join(ctx.sink.target_root, "_backfill")
+        os.makedirs(state_dir, exist_ok=True)
+        state_path = os.path.join(state_dir, f"{backfill_id}.json")
+        state = {"shards": {}, "at_version": at_version}
+        if os.path.exists(state_path):
+            with open(state_path, encoding="utf-8") as f:
+                state = json.load(f)
+            at_version = state["at_version"]
+
+        for si, shard_file in enumerate(files):
+            key = str(si)
+            if key in state["shards"]:
+                continue  # restartable: skip finished shards (docs/crd.md:45-47)
+            ds = read_snapshot(shard_file)
+
+            def as_events(batch: pa.Table) -> pa.Table:
+                if VERSION_COL not in batch.column_names:
+                    batch = batch.append_column(
+                        VERSION_COL, pa.array([at_version] * batch.num_rows, pa.int64())
+                    )
+                batch = batch.append_column(
+                    OP_COL, pa.array([OP_INSERT] * batch.num_rows, pa.string())
+                )
+                return batch
+
+            ds = ds.map_batches(as_events, batch_format="pyarrow").map_batches(
+                TransformStage(ctx, self.casts), batch_format="pyarrow"
+            )
+            cycle_id = f"backfill-{backfill_id}-s{si:04d}"
+            stats = apply_change_batch(
+                ds,
+                target_root=ctx.sink.target_root,
+                cycle_id=cycle_id,
+                partition_files={},  # fresh layout: ignore current target
+                schema=None or self._overwrite_schema(files, manifest),
+                num_partitions=manifest.num_partitions,
+                max_rows_per_file=ctx.sink.max_rows_per_file,
+                compression=ctx.sink.parquet_compression,
+                sorted_by=tuple(ctx.sink.sorted_by),
+            )
+            state["shards"][key] = {
+                str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
+            }
+            tmp = state_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(state, f)
+            os.replace(tmp, state_path)
+
+        # atomic flip: union shard outputs per partition
+        nxt = manifest.next()
+        nxt.partitions = {}
+        nxt.lineage = {}
+        for shard in state["shards"].values():
+            for pid_s, fl in shard.items():
+                nxt.partitions.setdefault(int(pid_s), []).extend(fl)
+        nxt.schema = self._overwrite_schema(files, manifest)
+        nxt.watermark = max(at_version, manifest.watermark)
+        nxt.metrics = {
+            "backfill": {
+                "id": backfill_id,
+                "behavior": "overwrite",
+                "shards": len(files),
+            }
+        }
+        committed = self.log.commit(nxt, expect_version=self.log.latest().version)
+        os.unlink(state_path)
+        return committed
+
+    def _overwrite_schema(self, files: list[str], manifest: Manifest) -> pa.Schema:
+        batch_schema = transformed_schema(schemas_of_parquet_files(files), self.ctx)
+        for extra, typ in ((VERSION_COL, pa.int64()), (OP_COL, pa.string())):
+            if extra not in [f.name for f in batch_schema]:
+                batch_schema = batch_schema.append(pa.field(extra, typ))
+        unified, _ = unify_target_schema(manifest.schema, batch_schema)
+        return unified
+
+
+# ---------------------------------------------------------------------------
+# target readers
+# ---------------------------------------------------------------------------
+def read_target(target_root: str, columns: list[str] | None = None, drop_meta: bool = False):
+    """The committed snapshot as a lazy ``ray.data.Dataset``; files from
+    the manifest only (uncommitted cycle output is invisible)."""
+    import os
+
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+
+    log = ManifestLog(target_root)
+    m = log.require_watermark()
+    files = sorted(m.all_files())
+    if not files:
+        return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
+    paths = [os.path.join(target_root, f) for f in files]
+    schema = m.schema
+    if columns is not None and schema is not None:
+        schema = pa.schema([f for f in schema if f.name in set(columns)])
+    ds = ray.data.read_parquet(paths, schema=schema, columns=columns)
+    if drop_meta:
+        keep = [
+            n
+            for n in (columns or [f.name for f in m.schema])
+            if n not in (OP_COL,)
+        ]
+        ds = ds.select_columns(keep)
+    return ds
+
+
+def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
+    """Driver-side materialized read (tests / small results only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+
+    log = ManifestLog(target_root)
+    m = log.require_watermark()
+    tables = []
+    for rel in sorted(m.all_files()):
+        t = pq.read_table(os.path.join(target_root, rel))
+        tables.append(cast_to_schema(t, m.schema))
+    if not tables:
+        return m.schema.empty_table() if m.schema else pa.table({})
+    out = pa.concat_tables(tables)
+    if drop_meta and OP_COL in out.column_names:
+        out = out.drop_columns([OP_COL])
+    return out
+
+
+def get_watermark(target_root: str) -> int:
+    """Testkit analog of the reference's ``getWatermark``."""
+    return ManifestLog(target_root).require_watermark().watermark
+
+
+__all__ = [
+    "StreamRunner",
+    "TransformStage",
+    "prepare_watermark",
+    "read_target",
+    "read_target_table",
+    "get_watermark",
+]

@@ -1,0 +1,169 @@
+"""Change-feed tailer + backfill snapshot reader (S1/S2, SURVEY.md §2.1).
+
+``ChangeFeedTailer`` is the Ray-native analog of the reference's
+``MsSqlStreamingSource`` / ``MsSqlStreamingDataProvider``
+(``main.scala:36,63-67``; ``docs/crd.md:83-89,196-203``): every poll it
+selects the change-log parquet segments covering versions
+``(watermark, hi]`` and returns them as a lazy ``ray.data.Dataset``
+with the version-range predicate and the projection pushed into the
+read — pruned columns and row groups never leave storage.
+
+The feed is a directory of version-range segments
+``v{lo:012d}-{hi:012d}.parquet`` (FIXTURES.md F2).  Poll pacing
+reproduces the reference's knobs: ``changeCaptureInterval`` ± seeded
+jitter (``changeCaptureJitterVariance/Seed``) and an optional
+token-bucket on admitted events (``throughput.advisedRate`` — mostly
+subsumed by Ray Data's backpressure, kept for replay-rate parity,
+SURVEY.md §2.7 F3).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import numpy as np
+import pyarrow.compute as pc
+
+from arcane_stream_sqlserver_change_tracking_ray.types import VERSION_COL
+
+_SEG_RE = re.compile(r"^v(\d{12})-(\d{12})\.parquet$")
+
+
+def list_segments(ctlog_dir: str) -> list[tuple[int, int, str]]:
+    """Sorted ``(lo, hi, path)`` with lo/hi INCLUSIVE version bounds."""
+    out = []
+    if not os.path.isdir(ctlog_dir):
+        return out
+    for name in os.listdir(ctlog_dir):
+        m = _SEG_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), int(m.group(2)), os.path.join(ctlog_dir, name)))
+    out.sort()
+    return out
+
+
+def max_available_version(ctlog_dir: str) -> int:
+    segs = list_segments(ctlog_dir)
+    return segs[-1][1] if segs else 0
+
+
+class ChangeFeedTailer:
+    """Stateful tailer: cursor = last emitted version.
+
+    Driver-side by design — it only *plans* reads (file selection +
+    predicate); all data movement happens inside the returned Dataset on
+    the cluster.  This mirrors the reference app being a tiny
+    coordinator while the heavy lifting runs elsewhere (SURVEY.md §3.1).
+    """
+
+    def __init__(
+        self,
+        ctlog_dir: str,
+        watermark: int,
+        *,
+        rows_per_poll: int = 50_000,
+        fetch_size: int = 65536,
+        columns: list[str] | None = None,
+        poll_interval: float = 0.0,
+        jitter: float = 0.0,
+        jitter_seed: int = 42,
+        advised_rate: float = 0.0,
+    ):
+        self.ctlog_dir = ctlog_dir
+        self.watermark = int(watermark)
+        self.rows_per_poll = rows_per_poll
+        self.fetch_size = fetch_size
+        self.columns = columns
+        self.poll_interval = poll_interval
+        self.jitter = jitter
+        self._rng = np.random.default_rng(jitter_seed)
+        self.advised_rate = advised_rate
+        self._last_poll_t: float | None = None
+
+    # ------------------------------------------------------------------
+    def next_interval(self) -> float:
+        """Poll interval ± jitter (changeCaptureJitterVariance analog)."""
+        if self.poll_interval <= 0:
+            return 0.0
+        if self.jitter > 0:
+            return self.poll_interval * (1.0 + self._rng.uniform(-self.jitter, self.jitter))
+        return self.poll_interval
+
+    def _throttle(self, n_versions: int) -> None:
+        """Token-bucket replay throttle (advisedRate parity)."""
+        if self.advised_rate <= 0:
+            return
+        now = time.monotonic()
+        if self._last_poll_t is not None:
+            need = n_versions / self.advised_rate
+            elapsed = now - self._last_poll_t
+            if elapsed < need:
+                time.sleep(need - elapsed)
+        self._last_poll_t = time.monotonic()
+
+    # ------------------------------------------------------------------
+    def plan(self) -> tuple[list[str], int] | None:
+        """Choose the segment files for the next poll; returns
+        ``(paths, hi_version)`` or None when fully caught up."""
+        segs = [s for s in list_segments(self.ctlog_dir) if s[1] > self.watermark]
+        if not segs:
+            return None
+        chosen: list[str] = []
+        hi = self.watermark
+        for lo, seg_hi, path in segs:
+            chosen.append(path)
+            hi = seg_hi
+            if hi - self.watermark >= self.rows_per_poll:
+                break
+        return chosen, hi
+
+    def poll(self):
+        """Return ``(dataset, hi_version)`` for versions
+        ``(watermark, hi]`` or None.  Does NOT advance the cursor — call
+        ``advance(hi)`` only after the cycle commits, so a failed cycle
+        re-polls the same range (exactly-once via idempotent replay)."""
+        import ray.data
+
+        planned = self.plan()
+        if planned is None:
+            return None
+        paths, hi = planned
+        self._throttle(hi - self.watermark)
+        predicate = (pc.field(VERSION_COL) > self.watermark) & (
+            pc.field(VERSION_COL) <= hi
+        )
+        ds = ray.data.read_parquet(
+            paths,
+            columns=self.columns,
+            filter=predicate,
+        )
+        return ds, hi
+
+    def advance(self, hi: int) -> None:
+        if hi < self.watermark:
+            raise ValueError(f"tailer cursor must be monotone: {hi} < {self.watermark}")
+        self.watermark = hi
+
+
+def read_snapshot(snapshot_dir: str, columns: list[str] | None = None, num_shards: int | None = None):
+    """Backfill source (S2): full-table snapshot re-read.
+
+    Ray's file/block-level sharding replaces the reference's manual
+    shard tables under ``backfillShardSchemaName``; *num_shards* maps to
+    ``override_num_blocks`` for explicit shard-count control."""
+    import ray.data
+
+    kwargs = {}
+    if num_shards:
+        kwargs["override_num_blocks"] = num_shards
+    return ray.data.read_parquet(snapshot_dir, columns=columns, **kwargs)
+
+
+def snapshot_files(snapshot_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(snapshot_dir, f)
+        for f in os.listdir(snapshot_dir)
+        if f.endswith(".parquet")
+    )

@@ -1,0 +1,200 @@
+"""Target table maintenance (K4, SURVEY.md §2.6).
+
+Reference (``TargetMaintenanceProcessor``, ``main.scala:107``;
+``docs/crd.md:136-172``): every ``batchThreshold`` merged batches run
+OPTIMIZE (compact small files), expire_snapshots, remove_orphan_files
+and ANALYZE (column stats).  Ray-native translation:
+
+- **optimize**: partitions whose live files are many/small are
+  rewritten into target-size files — a per-partition local rewrite,
+  *no shuffle* (SURVEY.md §7.4); parallelized as a Dataset of
+  partition ids fanned out with ``map_batches(batch_size=1)``,
+- **expire/orphans**: ``ManifestLog.expire_versions`` drops old
+  manifests and deletes data files referenced only by them;
+  the startup ``sweep_uncommitted`` is the orphan-file removal,
+- **analyze**: per-column min/max/null stats over the included columns
+  (``targetAnalyzeSettings.includedColumns``, T5) folded into the
+  manifest — enabling file skipping for readers.
+
+Cadence counters live in the manifest so thresholds survive restarts
+(the reference keeps them in-process; SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
+    cast_to_schema,
+    column_summary,
+)
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest, ManifestLog
+
+
+def partitions_needing_compaction(
+    target_root: str, manifest: Manifest, max_files: int, size_threshold: int
+) -> list[int]:
+    out = []
+    for pid, files in manifest.partitions.items():
+        if len(files) <= 1:
+            continue
+        sizes = []
+        for rel in files:
+            try:
+                sizes.append(os.path.getsize(os.path.join(target_root, rel)))
+            except FileNotFoundError:
+                sizes.append(0)
+        if len(files) > max_files or (sizes and max(sizes) < size_threshold):
+            out.append(pid)
+    return out
+
+
+class CompactPartition:
+    """Rewrite one partition's files into as few target-size files as
+    possible.  Row content is preserved exactly; runs as a fan-out
+    ``map_batches(batch_size=1)`` over partition ids."""
+
+    def __init__(
+        self,
+        target_root: str,
+        cycle_id: str,
+        partition_files: dict[int, list[str]],
+        schema: pa.Schema,
+        max_rows_per_file: int,
+        compression: str,
+    ):
+        self.target_root = target_root
+        self.cycle_id = cycle_id
+        self.partition_files = partition_files
+        self.schema = schema
+        self.max_rows_per_file = max_rows_per_file
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pids, out_files = [], []
+        for pid in batch["pid"].to_pylist():
+            tables = [
+                cast_to_schema(
+                    pq.read_table(os.path.join(self.target_root, rel)), self.schema
+                )
+                for rel in self.partition_files[pid]
+            ]
+            merged = pa.concat_tables(tables)
+            out_dir = os.path.join(self.target_root, "cycles", self.cycle_id)
+            os.makedirs(out_dir, exist_ok=True)
+            rels = []
+            for off in range(0, max(merged.num_rows, 1), self.max_rows_per_file):
+                chunk = merged.slice(off, self.max_rows_per_file)
+                name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+                pq.write_table(
+                    chunk, os.path.join(out_dir, name), compression=self.compression
+                )
+                rels.append(f"cycles/{self.cycle_id}/{name}")
+            out_pids.append(pid)
+            out_files.append(json.dumps(rels))
+        return pa.table({"pid": out_pids, "files_json": out_files})
+
+
+def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
+    """OPTIMIZE pass; commits a new manifest version (watermark unchanged)."""
+    import ray.data
+
+    manifest = log.require_watermark()
+    pids = partitions_needing_compaction(
+        log.root,
+        manifest,
+        ctx.maintenance.max_files_per_partition,
+        ctx.maintenance.file_size_threshold_bytes,
+    )
+    if not pids:
+        return {"compacted_partitions": 0}
+    cycle_id = f"compact-{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
+    fn = CompactPartition(
+        target_root=log.root,
+        cycle_id=cycle_id,
+        partition_files={p: manifest.partitions[p] for p in pids},
+        schema=manifest.schema,
+        max_rows_per_file=ctx.sink.max_rows_per_file,
+        compression=ctx.sink.parquet_compression,
+    )
+    res = (
+        ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+        .map_batches(fn, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    nxt = manifest.next()
+    for r in res:
+        nxt.partitions[int(r["pid"])] = json.loads(r["files_json"])
+        nxt.lineage.setdefault(int(r["pid"]), {})["compacted"] = cycle_id
+    nxt.metrics = {"maintenance": {"compacted_partitions": len(res), "cycle": cycle_id}}
+    log.commit(nxt, expect_version=manifest.version)
+    return {"compacted_partitions": len(res)}
+
+
+def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
+    """ANALYZE pass: per-column stats over included columns, streamed —
+    per-batch partial summaries merged driver-side (no materialization)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target
+
+    manifest = log.require_watermark()
+    included = tuple(ctx.maintenance.analyze_included_columns)
+    if not manifest.partitions:
+        return {}
+    cols = [
+        f.name
+        for f in manifest.schema
+        if (not included or f.name in included)
+        and not pa.types.is_binary(f.type)
+        and not pa.types.is_large_binary(f.type)
+    ]
+    ds = read_target(log.root, columns=cols)
+    merged: dict[str, dict] = {}
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        part = column_summary(batch)
+        for c, s in part.items():
+            if c not in merged:
+                merged[c] = dict(s)
+            else:
+                m = merged[c]
+                for k, pick in (("min", min), ("max", max)):
+                    vals = [v for v in (m[k], s[k]) if v is not None]
+                    m[k] = pick(vals) if vals else None
+                m["null_count"] += s["null_count"]
+                m["count"] += s["count"]
+    stats = {c: {k: _jsonable(v) for k, v in s.items()} for c, s in merged.items()}
+    cur = log.require_watermark()
+    nxt = cur.next()
+    nxt.stats = stats
+    nxt.metrics = {"maintenance": {"analyzed_columns": len(stats)}}
+    log.commit(nxt, expect_version=cur.version)
+    return stats
+
+
+def _jsonable(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    return v
+
+
+def run_maintenance(log: ManifestLog, ctx: StreamContext) -> dict:
+    """The full K4 pass: OPTIMIZE → expire_snapshots/orphans → ANALYZE;
+    resets the cadence counter in the committed manifest."""
+    out = {"optimize": optimize(log, ctx)}
+    expired = log.expire_versions(ctx.maintenance.retention_versions)
+    out["expired_versions"] = len(expired)
+    if ctx.maintenance.analyze_included_columns:
+        out["analyze"] = {"columns": len(analyze(log, ctx))}
+    cur = log.require_watermark()
+    nxt = cur.next()
+    nxt.counters["batches_since_maintenance"] = 0
+    nxt.metrics = {"maintenance_done": out}
+    log.commit(nxt, expect_version=cur.version)
+    return out

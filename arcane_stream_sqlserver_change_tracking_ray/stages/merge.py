@@ -1,0 +1,275 @@
+"""The partitioned last-writer-wins merge — the heart of the engine.
+
+Reproduces the reference's ``MergeBatchProcessor`` semantics
+(``main.scala:74,85``; results pinned by ``StreamRunner.scala:155-161,
+254-258``): per ``arcane_merge_key`` take the event with max
+``sys_change_version``; op ``D`` deletes the target row; otherwise
+upsert all columns.  The reference delegates this to a Trino SQL
+``MERGE``; here it is expressed Ray-Data-first:
+
+1. **pre-combine** (combiner before the shuffle): within-batch LWW via
+   ``map_batches`` keeps only the max-version event per key per batch —
+   at 10^10-event scale this collapses hot-key event storms *before*
+   any data moves (SURVEY.md §4.2 "skew"),
+2. **route**: append ``_pid = stable_hash(key) % P`` (P fixed in the
+   manifest — the analog of Iceberg ``bucket(arcane_merge_key, P)``),
+3. **merge**: ``groupby(_pid).map_groups`` over zero-copy Arrow; each
+   group task reads its partition's current parquet files, applies LWW
+   against the incoming events, drops tombstones and rewrites the
+   partition copy-on-write under an attempt-unique ``cycles/<id>/``
+   dir.  Nothing is visible until the manifest commit.
+
+Partition routing must be stable ACROSS runs and processes (files
+persist): we use ``pandas.util.hash_array`` (SipHash with a fixed key),
+never Python's salted ``hash()``.
+
+Scale notes: only partitions touched by the cycle are rewritten; the
+group payload held in memory is (changes for one partition) + (that
+partition's current files) — size P so target_size/P is ~0.5-2 GB.
+Tombstones need no persisted set: cycles apply strictly in version
+order (monotone watermark), so a delete at version v can never be
+trumped by a late event with version < v.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+from arcane_stream_sqlserver_change_tracking_ray.types import (
+    MERGE_KEY_COL,
+    OP_COL,
+    OP_DELETE,
+    PID_COL,
+    VERSION_COL,
+)
+
+# ---------------------------------------------------------------------------
+# stable partition routing
+# ---------------------------------------------------------------------------
+def stable_hash(keys: pa.ChunkedArray | pa.Array | np.ndarray) -> np.ndarray:
+    """Process-stable uint64 hash of a string column (SipHash, fixed key)."""
+    if isinstance(keys, (pa.ChunkedArray, pa.Array)):
+        keys = keys.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np.asarray(keys, dtype=object))
+
+
+def partition_ids(keys, num_partitions: int) -> np.ndarray:
+    return (stable_hash(keys) % np.uint64(num_partitions)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# vectorized LWW
+# ---------------------------------------------------------------------------
+def lww_table(
+    t: pa.Table, key_col: str = MERGE_KEY_COL, version_col: str = VERSION_COL
+) -> pa.Table:
+    """Keep the max-version row per key (rank-1 per key, reference M2:
+    ``row_number() over (partition by merge_key order by version desc) = 1``).
+    Sort + adjacent-difference mask — no Python loop."""
+    if t.num_rows <= 1:
+        return t
+    idx = pc.sort_indices(
+        t, sort_keys=[(key_col, "ascending"), (version_col, "descending")]
+    )
+    t = t.take(idx)
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    mask = np.r_[True, k[1:] != k[:-1]]
+    return t.filter(pa.array(mask))
+
+
+def drop_tombstones(t: pa.Table) -> pa.Table:
+    if OP_COL not in t.column_names:
+        return t
+    return t.filter(pc.not_equal(pc.coalesce(t[OP_COL], pa.scalar("U")), OP_DELETE))
+
+
+# ---------------------------------------------------------------------------
+# map_batches stage: pre-combine + route (runs before the shuffle)
+# ---------------------------------------------------------------------------
+class PrecombineAndRoute:
+    """Within-batch LWW combiner + partition-id routing column.
+
+    A plain callable class usable in ``map_batches`` (stateless enough
+    for tasks, but compiled once per actor when used in an actor pool).
+    """
+
+    def __init__(self, num_partitions: int):
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = lww_table(batch)
+        pid = partition_ids(batch[MERGE_KEY_COL], self.num_partitions)
+        return batch.append_column(PID_COL, pa.array(pid, type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# map_groups stage: per-partition copy-on-write merge
+# ---------------------------------------------------------------------------
+class PartitionMergeFn:
+    """``groupby(_pid).map_groups`` function: merge one partition.
+
+    Returns a one-row stats table (pid, rows, upserts, deletes, files
+    written as a JSON list) — the driver folds these into the next
+    manifest's ``partitions`` / ``lineage``.  The group function is
+    shipped once per task; its captured state (partition→files map +
+    target schema) is a few KB.
+    """
+
+    STATS_SCHEMA = pa.schema(
+        [
+            pa.field(PID_COL, pa.int64()),
+            pa.field("rows", pa.int64()),
+            pa.field("upserts", pa.int64()),
+            pa.field("deletes", pa.int64()),
+            pa.field("changes_in", pa.int64()),
+            pa.field("bytes", pa.int64()),
+            pa.field("files_json", pa.string()),
+        ]
+    )
+
+    def __init__(
+        self,
+        target_root: str,
+        cycle_id: str,
+        partition_files: dict[int, list[str]],
+        schema: pa.Schema,
+        max_rows_per_file: int = 1_000_000,
+        compression: str = "zstd",
+        sorted_by: tuple[str, ...] = (),
+    ):
+        self.target_root = target_root
+        self.cycle_id = cycle_id
+        self.partition_files = partition_files
+        self.schema = schema
+        self.max_rows_per_file = max_rows_per_file
+        self.compression = compression
+        self.sorted_by = sorted_by
+
+    # -- target partition io -------------------------------------------------
+    def _read_existing(self, pid: int) -> pa.Table | None:
+        files = self.partition_files.get(pid, [])
+        if not files:
+            return None
+        tables = []
+        for rel in files:
+            t = pq.read_table(os.path.join(self.target_root, rel))
+            tables.append(cast_to_schema(t, self.schema))
+        return pa.concat_tables(tables)
+
+    def _write(self, pid: int, table: pa.Table) -> tuple[list[str], int]:
+        out_dir = os.path.join(self.target_root, "cycles", self.cycle_id)
+        os.makedirs(out_dir, exist_ok=True)
+        rels: list[str] = []
+        total_bytes = 0
+        n = table.num_rows
+        if n == 0:
+            return rels, 0
+        if self.sorted_by:
+            table = table.sort_by([(c, "ascending") for c in self.sorted_by])
+        step = self.max_rows_per_file
+        for off in range(0, n, step):
+            chunk = table.slice(off, step)
+            name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            path = os.path.join(out_dir, name)
+            pq.write_table(chunk, path, compression=self.compression)
+            rels.append(f"cycles/{self.cycle_id}/{name}")
+            total_bytes += os.path.getsize(path)
+        return rels, total_bytes
+
+    # -- the merge -----------------------------------------------------------
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group[PID_COL][0].as_py())
+        changes = cast_to_schema(group.drop_columns([PID_COL]), self.schema)
+        existing = self._read_existing(pid)
+        n_changes = changes.num_rows
+
+        if existing is not None:
+            combined = pa.concat_tables([existing, changes])
+        else:
+            combined = changes
+        merged = lww_table(combined)
+        alive = drop_tombstones(merged)
+        deletes = merged.num_rows - alive.num_rows
+        upserts = n_changes - deletes
+
+        rels, nbytes = self._write(pid, alive)
+        return pa.table(
+            {
+                PID_COL: [pid],
+                "rows": [alive.num_rows],
+                "upserts": [upserts],
+                "deletes": [deletes],
+                "changes_in": [n_changes],
+                "bytes": [nbytes],
+                "files_json": [json.dumps(rels)],
+            },
+            schema=self.STATS_SCHEMA,
+        )
+
+
+def apply_change_batch(
+    changes_ds,
+    *,
+    target_root: str,
+    cycle_id: str,
+    partition_files: dict[int, list[str]],
+    schema: pa.Schema,
+    num_partitions: int,
+    max_rows_per_file: int = 1_000_000,
+    compression: str = "zstd",
+    sorted_by: tuple[str, ...] = (),
+    batch_size: int = 65536,
+) -> list[dict]:
+    """Run the full merge pipeline for one change batch; returns per-touched-
+    partition stats dicts.  The only materialized result is the tiny stats
+    table (one row per touched partition)."""
+    routed = changes_ds.map_batches(
+        PrecombineAndRoute(num_partitions),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    merge_fn = PartitionMergeFn(
+        target_root=target_root,
+        cycle_id=cycle_id,
+        partition_files=partition_files,
+        schema=schema,
+        max_rows_per_file=max_rows_per_file,
+        compression=compression,
+        sorted_by=sorted_by,
+    )
+    def merge_partition(group: pa.Table) -> pa.Table:
+        return merge_fn(group)
+
+    stats_ds = routed.groupby(PID_COL).map_groups(merge_partition, batch_format="pyarrow")
+    return stats_ds.take_all()  # one small dict per touched partition
+
+
+def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict:
+    """Update manifest.partitions / lineage from merge stats; returns the
+    cycle metrics dict (rows_in, upserts, deletes, bytes, partitions)."""
+    totals = {"changes_in": 0, "upserts": 0, "deletes": 0, "bytes": 0, "rows": 0}
+    for s in stats:
+        pid = int(s[PID_COL])
+        files = json.loads(s["files_json"])
+        manifest.partitions[pid] = files
+        if not files:
+            manifest.partitions.pop(pid, None)
+        manifest.lineage[pid] = {
+            "cycle": cycle_id,
+            "rows": int(s["rows"]),
+            "files": len(files),
+            "bytes": int(s["bytes"]),
+        }
+        for k in totals:
+            totals[k] += int(s[k]) if k in s else 0
+    totals["partitions_touched"] = len(stats)
+    return totals

@@ -1,0 +1,57 @@
+"""Staging of polled change batches (G1/G2) + disposal (K3).
+
+Reference: each batch is written to a uniquely named staging Iceberg
+table (``stagingTablePrefix`` + GUID, ``docs/crd.md:43-73``), dropped
+after merge (``DisposeBatchProcessor``, ``main.scala:72``), and
+leftover staging tables are swept by prefix at startup.
+
+Ray-native translation: a staging *directory*
+``<staging_root>/<prefix><cycle>-<guid>/`` of parquet files written
+with ``Dataset.write_parquet`` (Ray parallelizes the file writes, the
+analog of ``maxRowsPerFile`` parallel staging files).  Disabled by
+default — see ``config.StagingSettings`` for why (the durable parquet
+change feed already makes every cycle replayable; the merge output is
+itself staged under ``cycles/`` until the manifest commit).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+def stage_change_batch(
+    ds,
+    staging_root: str,
+    table_prefix: str,
+    cycle_id: str,
+    max_rows_per_file: int = 10_000,
+):
+    """Write the polled batch to a unique staging dir; returns
+    ``(staged_dataset, staging_dir)`` where *staged_dataset* re-reads the
+    staged files (the merge then consumes durable input, like the
+    reference merging from the staging table)."""
+    import ray.data
+
+    name = f"{table_prefix}{cycle_id}-{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(staging_root, name)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir, max_rows_per_file=max_rows_per_file)
+    return ray.data.read_parquet(out_dir), out_dir
+
+
+def dispose_staging(staging_dir: str) -> None:
+    """K3: drop the staging table once the batch is merged + committed."""
+    shutil.rmtree(staging_dir, ignore_errors=True)
+
+
+def sweep_staging(staging_root: str, table_prefix: str) -> list[str]:
+    """Startup sweep by prefix (``docs/crd.md:45-48``)."""
+    removed = []
+    if os.path.isdir(staging_root):
+        for nm in os.listdir(staging_root):
+            if nm.startswith(table_prefix):
+                shutil.rmtree(os.path.join(staging_root, nm), ignore_errors=True)
+                removed.append(nm)
+    return removed

@@ -1,0 +1,290 @@
+"""Atomic manifest / watermark commit log for the target lake table.
+
+The Ray-native stand-in for the reference's Iceberg-catalog +
+watermark pair (SURVEY.md §1.4, §2.6 K1/K2): every merged batch commits
+ONE JSON manifest holding
+
+- ``version``      — monotone snapshot number (CAS-guarded),
+- ``watermark``    — last applied ``sys_change_version``
+  (reference ``WatermarkProcessor``, ``main.scala:112``; the stream
+  refuses to start without one: ``"Invalid watermark value: 'null'"``,
+  ``StreamRunner.scala:167-185``),
+- ``schema``       — the evolved Arrow schema (additive-only, E1),
+- ``partitions``   — pid -> list of relative parquet files (the live
+  snapshot; unreferenced files are invisible),
+- ``lineage``      — per-partition last-touched cycle / row counts,
+- ``metrics`` / ``counters`` — per-cycle metrics and maintenance
+  cadence counters (persisted so thresholds survive restarts,
+  unlike the reference's in-process counters, SURVEY.md §3.1).
+
+Commit protocol (a miniature of the Delta-Lake log, PAPERS.md): write
+``_manifest/.tmp-*`` then ``os.rename`` to ``v{n:012d}.json``; the
+rename is the only visibility point.  ``commit`` CAS-fails if the next
+version already exists, so a crashed/retried cycle can never
+double-apply — replay from the last committed watermark is idempotent
+(LWW by version).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+
+from arcane_stream_sqlserver_change_tracking_ray.types import (
+    schema_from_bytes,
+    schema_to_bytes,
+)
+
+MANIFEST_DIR = "_manifest"
+CYCLES_DIR = "cycles"
+STAGING_DIR = "staging"
+
+
+class InvalidWatermarkError(RuntimeError):
+    """Raised when streaming starts without a prepared watermark.
+
+    Mirrors the reference's fail-fast negative test
+    (``StreamRunner.scala:167-185``)."""
+
+
+class CommitConflictError(RuntimeError):
+    """CAS failure: another writer committed this manifest version first."""
+
+
+@dataclass
+class Manifest:
+    version: int
+    watermark: int
+    num_partitions: int
+    schema: pa.Schema | None = None
+    partitions: dict[int, list[str]] = field(default_factory=dict)
+    lineage: dict[int, dict[str, Any]] = field(default_factory=dict)
+    counters: dict[str, int] = field(default_factory=dict)
+    metrics: dict[str, Any] = field(default_factory=dict)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+    # ------------------------------------------------------------- json io
+    def to_json(self) -> str:
+        doc = {
+            "version": self.version,
+            "watermark": self.watermark,
+            "num_partitions": self.num_partitions,
+            "schema": (
+                base64.b64encode(schema_to_bytes(self.schema)).decode()
+                if self.schema is not None
+                else None
+            ),
+            "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
+            "lineage": {str(k): v for k, v in sorted(self.lineage.items())},
+            "counters": self.counters,
+            "metrics": self.metrics,
+            "stats": self.stats,
+        }
+        return json.dumps(doc, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Manifest":
+        doc = json.loads(text)
+        return cls(
+            version=doc["version"],
+            watermark=doc["watermark"],
+            num_partitions=doc["num_partitions"],
+            schema=(
+                schema_from_bytes(base64.b64decode(doc["schema"]))
+                if doc.get("schema")
+                else None
+            ),
+            partitions={int(k): list(v) for k, v in doc.get("partitions", {}).items()},
+            lineage={int(k): v for k, v in doc.get("lineage", {}).items()},
+            counters=dict(doc.get("counters", {})),
+            metrics=dict(doc.get("metrics", {})),
+            stats=dict(doc.get("stats", {})),
+        )
+
+    def all_files(self) -> set[str]:
+        return {f for files in self.partitions.values() for f in files}
+
+    def next(self) -> "Manifest":
+        """A mutable copy staged as the next snapshot version."""
+        return Manifest(
+            version=self.version + 1,
+            watermark=self.watermark,
+            num_partitions=self.num_partitions,
+            schema=self.schema,
+            partitions={k: list(v) for k, v in self.partitions.items()},
+            lineage={k: dict(v) for k, v in self.lineage.items()},
+            counters=dict(self.counters),
+            metrics={},
+            stats=dict(self.stats),
+        )
+
+
+class ManifestLog:
+    """The manifest log of one target table, rooted at ``<target_root>``."""
+
+    def __init__(self, target_root: str):
+        self.root = target_root
+        self.log_dir = os.path.join(target_root, MANIFEST_DIR)
+
+    # ---------------------------------------------------------------- paths
+    def _path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"v{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    # ----------------------------------------------------------------- read
+    def latest(self) -> Manifest | None:
+        vs = self.versions()
+        if not vs:
+            return None
+        return self.read(vs[-1])
+
+    def read(self, version: int) -> Manifest:
+        with open(self._path(version), "r", encoding="utf-8") as f:
+            return Manifest.from_json(f.read())
+
+    def require_watermark(self) -> Manifest:
+        """Streaming bootstrap gate — fail fast like the reference."""
+        m = self.latest()
+        if m is None or m.watermark is None:
+            raise InvalidWatermarkError("Invalid watermark value: 'null'")
+        return m
+
+    # ---------------------------------------------------------------- write
+    def commit(self, manifest: Manifest, expect_version: int | None = None) -> Manifest:
+        """Atomically publish *manifest*.
+
+        CAS semantics: the target filename ``v{version}.json`` must not
+        exist, and when *expect_version* is given the current latest must
+        equal it.  Watermarks must be monotone — a cycle may never commit
+        version range ``(v1, v2]`` before ``(v0, v1]`` (SURVEY.md §7.5.6).
+        """
+        os.makedirs(self.log_dir, exist_ok=True)
+        cur = self.latest()
+        if expect_version is not None and (cur.version if cur else None) != expect_version:
+            raise CommitConflictError(
+                f"expected latest manifest v{expect_version}, "
+                f"found {cur.version if cur else None}"
+            )
+        if cur is not None and manifest.watermark < cur.watermark:
+            raise CommitConflictError(
+                f"non-monotone watermark: {manifest.watermark} < {cur.watermark}"
+            )
+        target = self._path(manifest.version)
+        if os.path.exists(target):
+            raise CommitConflictError(f"manifest v{manifest.version} already committed")
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(manifest.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # hard-link + unlink == atomic create-if-absent on POSIX; plain
+            # rename would silently clobber a concurrent committer.
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflictError(f"manifest v{manifest.version} already committed")
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        return manifest
+
+    # ------------------------------------------------------------- cleanup
+    def sweep_uncommitted(self) -> list[str]:
+        """Startup sweep (reference drops leftover staging tables by prefix,
+        ``docs/crd.md:45-48``): delete ``cycles/*`` and ``staging/*`` dirs
+        whose files are not referenced by ANY committed manifest."""
+        import shutil
+
+        # data files are stored as "cycles/<cycle-id>/...": keep any cycle
+        # dir referenced by at least one committed manifest
+        live_cycle_dirs = {p.split("/", 2)[1]
+                           for v in self.versions()
+                           for p in self.read(v).all_files()
+                           if p.startswith(CYCLES_DIR + "/")}
+        removed: list[str] = []
+        cycles_root = os.path.join(self.root, CYCLES_DIR)
+        if os.path.isdir(cycles_root):
+            for name in os.listdir(cycles_root):
+                if name not in live_cycle_dirs:
+                    shutil.rmtree(os.path.join(cycles_root, name), ignore_errors=True)
+                    removed.append(f"{CYCLES_DIR}/{name}")
+        staging_root = os.path.join(self.root, STAGING_DIR)
+        if os.path.isdir(staging_root):
+            for name in os.listdir(staging_root):
+                shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
+                removed.append(f"{STAGING_DIR}/{name}")
+        return removed
+
+    def expire_versions(self, keep: int) -> list[int]:
+        """Manifest-log GC (reference expire_snapshots, docs/crd.md:151-160):
+        drop manifest files older than the newest *keep* versions, then
+        delete data files referenced only by expired manifests."""
+        import shutil
+
+        vs = self.versions()
+        if len(vs) <= keep:
+            return []
+        expired, kept = vs[:-keep], vs[-keep:]
+        live_files: set[str] = set()
+        for v in kept:
+            live_files |= self.read(v).all_files()
+        dead_files: set[str] = set()
+        for v in expired:
+            dead_files |= self.read(v).all_files()
+        dead_files -= live_files
+        for rel in dead_files:
+            p = os.path.join(self.root, rel)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        # remove now-empty cycle dirs
+        cycles_root = os.path.join(self.root, CYCLES_DIR)
+        if os.path.isdir(cycles_root):
+            for name in os.listdir(cycles_root):
+                d = os.path.join(cycles_root, name)
+                if os.path.isdir(d) and not any(os.scandir(d)):
+                    shutil.rmtree(d, ignore_errors=True)
+        for v in expired:
+            try:
+                os.unlink(self._path(v))
+            except FileNotFoundError:
+                pass
+        return expired
+
+
+def prepare_watermark(
+    target_root: str,
+    version: int = 0,
+    num_partitions: int = 16,
+    schema: pa.Schema | None = None,
+) -> Manifest:
+    """Bootstrap utility: create manifest v0 with an epoch watermark.
+
+    Analog of the reference testkit's ``prepareWatermark``
+    (``StreamRunner.scala:10-16,188-192``): a stream only starts once a
+    watermark exists."""
+    log = ManifestLog(target_root)
+    if log.latest() is not None:
+        return log.latest()
+    m = Manifest(version=0, watermark=version, num_partitions=num_partitions, schema=schema)
+    return log.commit(m)
