@@ -79,6 +79,26 @@ class TransformStage:
         return batch
 
 
+class _AsInsertEvents:
+    """Turn snapshot rows into synthetic ``I`` events stamped with the
+    backfill version (M4: backfill rows flow through the same merge path)."""
+
+    def __init__(self, stamp: int):
+        self.stamp = stamp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if VERSION_COL in batch.column_names:
+            batch = batch.drop_columns([VERSION_COL])
+        batch = batch.append_column(
+            VERSION_COL, pa.array([self.stamp] * batch.num_rows, pa.int64())
+        )
+        if OP_COL in batch.column_names:
+            batch = batch.drop_columns([OP_COL])
+        return batch.append_column(
+            OP_COL, pa.array([OP_INSERT] * batch.num_rows, pa.string())
+        )
+
+
 def transformed_schema(file_schema: pa.Schema, ctx: StreamContext) -> pa.Schema:
     """The schema a cycle's batches will have after TransformStage —
     computed driver-side from parquet metadata so schema migration is
@@ -292,10 +312,22 @@ class StreamRunner:
         import json
         import os
 
+        from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import (
+            snapshot_version,
+        )
+
         ctx = self.ctx
         manifest = self.log.require_watermark()
-        at_version = max(
-            max_available_version(ctx.source.ctlog_dir), manifest.watermark
+        # `stamp` = the source version the snapshot REPRESENTS (version
+        # current at backfill start, StreamRunner.scala:209-223): prefer the
+        # version stamped in the snapshot filenames; when absent assume the
+        # snapshot is "now" (= feed head).  Snapshot rows are stamped with
+        # it; the committed watermark never rewinds below the current one.
+        snap_v = snapshot_version(ctx.source.snapshot_dir)
+        stamp = (
+            snap_v
+            if snap_v is not None
+            else max_available_version(ctx.source.ctlog_dir)
         )
         backfill_id = ctx.stream_mode.backfill_id or uuid.uuid4().hex[:8]
         behavior = ctx.stream_mode.backfill_behavior.lower()
@@ -304,27 +336,10 @@ class StreamRunner:
         if behavior == "merge":
             # snapshot rows as synthetic insert events via the normal path
             ds = read_snapshot(ctx.source.snapshot_dir)
-
-            def as_events(batch: pa.Table) -> pa.Table:
-                if VERSION_COL not in batch.column_names:
-                    batch = batch.append_column(
-                        VERSION_COL, pa.array([at_version] * batch.num_rows, pa.int64())
-                    )
-                batch = batch.append_column(
-                    OP_COL, pa.array([OP_INSERT] * batch.num_rows, pa.string())
-                )
-                return batch
-
-            ds = ds.map_batches(as_events, batch_format="pyarrow").map_batches(
-                TransformStage(ctx, self.casts), batch_format="pyarrow"
-            )
-            batch_schema = transformed_schema(
-                schemas_of_parquet_files(files), ctx
-            )
-            for extra, typ in ((VERSION_COL, pa.int64()), (OP_COL, pa.string())):
-                if extra not in [f.name for f in batch_schema]:
-                    batch_schema = batch_schema.append(pa.field(extra, typ))
-            unified, _ = unify_target_schema(manifest.schema, batch_schema)
+            ds = ds.map_batches(
+                _AsInsertEvents(stamp), batch_format="pyarrow"
+            ).map_batches(TransformStage(ctx, self.casts), batch_format="pyarrow")
+            unified = self._overwrite_schema(files, manifest)
             cycle_id = f"backfill-{backfill_id}"
             stats = apply_change_batch(
                 ds,
@@ -339,11 +354,19 @@ class StreamRunner:
             )
             nxt = manifest.next()
             nxt.schema = unified
-            nxt.watermark = max(at_version, manifest.watermark)
+            nxt.watermark = max(stamp, manifest.watermark)
             metrics = fold_stats_into_manifest(nxt, stats, cycle_id)
             metrics["backfill"] = {"id": backfill_id, "behavior": "merge"}
             nxt.metrics = metrics
-            return self.log.commit(nxt, expect_version=manifest.version)
+            committed = self.log.commit(nxt, expect_version=manifest.version)
+            # a snapshot OLDER than the watermark can resurrect rows deleted
+            # after it (tombstones are not persisted); converge by
+            # re-applying the already-seen event range (stamp, watermark]
+            # — idempotent LWW re-delete/re-update (the reference converges
+            # the same way by resuming the stream from backfillStartDate).
+            if manifest.watermark > stamp:
+                self._replay_range(stamp, manifest.watermark, f"{backfill_id}-cv")
+            return self.log.latest()
 
         if behavior != "overwrite":
             raise ValueError(f"unknown backfillBehavior: {behavior!r}")
@@ -352,38 +375,27 @@ class StreamRunner:
         state_dir = os.path.join(ctx.sink.target_root, "_backfill")
         os.makedirs(state_dir, exist_ok=True)
         state_path = os.path.join(state_dir, f"{backfill_id}.json")
-        state = {"shards": {}, "at_version": at_version}
+        state = {"shards": {}, "at_version": stamp}
         if os.path.exists(state_path):
             with open(state_path, encoding="utf-8") as f:
                 state = json.load(f)
-            at_version = state["at_version"]
+            stamp = state["at_version"]
 
         for si, shard_file in enumerate(files):
             key = str(si)
             if key in state["shards"]:
                 continue  # restartable: skip finished shards (docs/crd.md:45-47)
             ds = read_snapshot(shard_file)
-
-            def as_events(batch: pa.Table) -> pa.Table:
-                if VERSION_COL not in batch.column_names:
-                    batch = batch.append_column(
-                        VERSION_COL, pa.array([at_version] * batch.num_rows, pa.int64())
-                    )
-                batch = batch.append_column(
-                    OP_COL, pa.array([OP_INSERT] * batch.num_rows, pa.string())
-                )
-                return batch
-
-            ds = ds.map_batches(as_events, batch_format="pyarrow").map_batches(
-                TransformStage(ctx, self.casts), batch_format="pyarrow"
-            )
+            ds = ds.map_batches(
+                _AsInsertEvents(stamp), batch_format="pyarrow"
+            ).map_batches(TransformStage(ctx, self.casts), batch_format="pyarrow")
             cycle_id = f"backfill-{backfill_id}-s{si:04d}"
             stats = apply_change_batch(
                 ds,
                 target_root=ctx.sink.target_root,
                 cycle_id=cycle_id,
                 partition_files={},  # fresh layout: ignore current target
-                schema=None or self._overwrite_schema(files, manifest),
+                schema=self._overwrite_schema(files, manifest),
                 num_partitions=manifest.num_partitions,
                 max_rows_per_file=ctx.sink.max_rows_per_file,
                 compression=ctx.sink.parquet_compression,
@@ -405,7 +417,7 @@ class StreamRunner:
             for pid_s, fl in shard.items():
                 nxt.partitions.setdefault(int(pid_s), []).extend(fl)
         nxt.schema = self._overwrite_schema(files, manifest)
-        nxt.watermark = max(at_version, manifest.watermark)
+        nxt.watermark = max(stamp, manifest.watermark)
         nxt.metrics = {
             "backfill": {
                 "id": backfill_id,
@@ -415,7 +427,46 @@ class StreamRunner:
         }
         committed = self.log.commit(nxt, expect_version=self.log.latest().version)
         os.unlink(state_path)
+        # stale snapshot (stamp < watermark): converge by re-applying the
+        # already-seen range — see the merge branch for rationale
+        if manifest.watermark > stamp:
+            self._replay_range(stamp, manifest.watermark, f"{backfill_id}-cv")
+            committed = self.log.latest()
         return committed
+
+    def _replay_range(self, lo: int, hi: int, tag: str) -> None:
+        """Re-apply change events ``(lo, hi]`` from the feed to an existing
+        target (idempotent LWW) without touching the watermark."""
+        from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import list_segments
+
+        paths = [p for s_lo, s_hi, p in list_segments(self.ctx.source.ctlog_dir) if s_hi > lo and s_lo <= hi]
+        if not paths:
+            return
+        import pyarrow.compute as pc
+        import ray.data
+
+        manifest = self.log.latest()
+        predicate = (pc.field(VERSION_COL) > lo) & (pc.field(VERSION_COL) <= hi)
+        ds = ray.data.read_parquet(paths, filter=predicate).map_batches(
+            TransformStage(self.ctx, self.casts), batch_format="pyarrow"
+        )
+        cycle_id = f"replay-{tag}"
+        stats = apply_change_batch(
+            ds,
+            target_root=self.ctx.sink.target_root,
+            cycle_id=cycle_id,
+            partition_files=manifest.partitions,
+            schema=manifest.schema,
+            num_partitions=manifest.num_partitions,
+            max_rows_per_file=self.ctx.sink.max_rows_per_file,
+            compression=self.ctx.sink.parquet_compression,
+            sorted_by=tuple(self.ctx.sink.sorted_by),
+        )
+        nxt = manifest.next()
+        metrics = fold_stats_into_manifest(nxt, stats, cycle_id)
+        metrics["replay_range"] = [lo, hi]
+        nxt.metrics = metrics
+        self.log.commit(nxt, expect_version=manifest.version)
 
     def _overwrite_schema(self, files: list[str], manifest: Manifest) -> pa.Schema:
         batch_schema = transformed_schema(schemas_of_parquet_files(files), self.ctx)
@@ -452,7 +503,7 @@ def read_target(target_root: str, columns: list[str] | None = None, drop_meta: b
         keep = [
             n
             for n in (columns or [f.name for f in m.schema])
-            if n not in (OP_COL,)
+            if n not in (OP_COL, MERGE_KEY_COL)
         ]
         ds = ds.select_columns(keep)
     return ds
@@ -473,10 +524,13 @@ def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
         t = pq.read_table(os.path.join(target_root, rel))
         tables.append(cast_to_schema(t, m.schema))
     if not tables:
-        return m.schema.empty_table() if m.schema else pa.table({})
-    out = pa.concat_tables(tables)
-    if drop_meta and OP_COL in out.column_names:
-        out = out.drop_columns([OP_COL])
+        out = m.schema.empty_table() if m.schema else pa.table({})
+    else:
+        out = pa.concat_tables(tables)
+    if drop_meta:
+        drop = [c for c in (OP_COL, MERGE_KEY_COL) if c in out.column_names]
+        if drop:
+            out = out.drop_columns(drop)
     return out
 
 

@@ -161,6 +161,19 @@ def read_snapshot(snapshot_dir: str, columns: list[str] | None = None, num_shard
     return ray.data.read_parquet(snapshot_dir, columns=columns, **kwargs)
 
 
+_SNAP_RE = re.compile(r"snapshot-v(\d+)\.parquet$")
+
+
+def snapshot_version(snapshot_dir: str) -> int | None:
+    """Version encoded in snapshot filenames (``snapshot-v{v}.parquet``),
+    i.e. the source version current when the snapshot was taken — the
+    version streaming resumes from after an Overwrite backfill
+    (reference resumes from the version captured at backfill start,
+    ``StreamRunner.scala:209-223``)."""
+    vs = [int(m.group(1)) for f in snapshot_files(snapshot_dir) if (m := _SNAP_RE.search(f))]
+    return max(vs) if vs else None
+
+
 def snapshot_files(snapshot_dir: str) -> list[str]:
     return sorted(
         os.path.join(snapshot_dir, f)

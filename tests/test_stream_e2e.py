@@ -1,0 +1,183 @@
+"""End-to-end replay scenarios (FIXTURES.md F3 / reference test inventory §5).
+
+Each test runs a REAL pipeline for a few cycles, then reads the target
+back and compares against the DuckDB LWW oracle — the reference's
+pattern of `readTarget` + sorted row-set compare
+(StreamRunner.scala:207,254-258)."""
+
+import os
+import shutil
+
+import pytest
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.gen import (
+    CtLogSpec,
+    expected_final_state,
+    small_spec,
+    write_ctlog,
+)
+from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+    StreamRunner,
+    get_watermark,
+    read_target_table,
+)
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    InvalidWatermarkError,
+    ManifestLog,
+    prepare_watermark,
+)
+from tests.util import assert_tables_equal
+
+
+def make_ctx(ct, tgt, **overrides):
+    spec = {
+        "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+        "sink": {"target_root": tgt, "num_partitions": 8},
+        "throughput": {"rows_per_group": 300},
+        "maintenance": {"batch_threshold": 1000},
+    }
+    for sec, vals in overrides.items():
+        spec.setdefault(sec, {}).update(vals)
+    return StreamContext.from_dict(spec)
+
+
+def test_watermark_gate_negative(tmp_lake):
+    """Reference test #1: stream without a prepared watermark must fail."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    with pytest.raises(InvalidWatermarkError, match="Invalid watermark value: 'null'"):
+        StreamRunner(make_ctx(ct, tgt)).run()
+
+
+def test_full_replay_matches_oracle(tmp_lake):
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    runner = StreamRunner(make_ctx(ct, tgt))
+    metrics = runner.run()
+    assert len(metrics) >= 2  # multiple poll cycles, not one big batch
+    assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
+    assert get_watermark(tgt) == 1000  # == CHANGE_TRACKING_CURRENT_VERSION()
+
+
+def test_byte_identical_text_per_url(tmp_lake):
+    """input_hint invariant: extracted text is byte-identical per url."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    StreamRunner(make_ctx(ct, tgt)).run()
+    got = read_target_table(tgt)
+    exp = expected_final_state(ct)
+    g = dict(zip(got["url"].to_pylist(), got["text"].to_pylist()))
+    e = dict(zip(exp["url"].to_pylist(), exp["text"].to_pylist()))
+    assert g == e
+    # and bytes of html too
+    gh = dict(zip(got["url"].to_pylist(), got["html"].to_pylist()))
+    eh = dict(zip(exp["url"].to_pylist(), exp["html"].to_pylist()))
+    assert gh == eh
+
+
+def test_crash_resume_exactly_once(tmp_lake):
+    """F3 #5: kill between staging and commit -> rerun -> identical table."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    r = StreamRunner(make_ctx(ct, tgt))
+    r.bootstrap()
+    r.run_cycle()  # one committed cycle
+
+    # simulate a crash AFTER the merge wrote files but BEFORE the commit:
+    # an uncommitted cycle dir exists, the manifest still points at v-old
+    orphan = os.path.join(tgt, "cycles", "000000000099-dead")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000-x.parquet"), "wb") as f:
+        f.write(b"partial")
+
+    r2 = StreamRunner(make_ctx(ct, tgt))
+    r2.run()
+    assert not os.path.exists(orphan)  # startup sweep removed it
+    assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
+
+
+def test_replay_idempotent_when_rerun(tmp_lake):
+    """Re-running a caught-up stream changes nothing (exactly-once)."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    StreamRunner(make_ctx(ct, tgt)).run()
+    v1 = ManifestLog(tgt).latest().version
+    t1 = read_target_table(tgt)
+    assert StreamRunner(make_ctx(ct, tgt)).run() == []
+    assert ManifestLog(tgt).latest().version == v1
+    assert_tables_equal(read_target_table(tgt), t1)
+
+
+def test_hot_key_update_delete_storm(tmp_lake):
+    """F3 #6: many U/D versions per hot key within one batch -> LWW winner
+    only; tombstones honored across batches.  zipf_a high => few very hot
+    keys."""
+    ct, tgt, _ = tmp_lake
+    spec = CtLogSpec(n_keys=20, n_events=2000, zipf_a=4.0, events_per_file=500)
+    write_ctlog(ct, spec)
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    StreamRunner(make_ctx(ct, tgt, throughput={"rows_per_group": 500})).run()
+    assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
+
+
+def test_incremental_arrival(tmp_lake):
+    """Segments arriving between runs are picked up from the watermark."""
+    ct, tgt, _ = tmp_lake
+    stage = ct + "_all"
+    write_ctlog(stage, small_spec())
+    segs = sorted(os.listdir(stage))
+    os.makedirs(ct)
+    for s in segs[:2]:
+        shutil.copy(os.path.join(stage, s), os.path.join(ct, s))
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    StreamRunner(make_ctx(ct, tgt)).run()
+    wm1 = get_watermark(tgt)
+    assert 0 < wm1 < 1000
+    for s in segs[2:]:
+        shutil.copy(os.path.join(stage, s), os.path.join(ct, s))
+    StreamRunner(make_ctx(ct, tgt)).run()
+    assert get_watermark(tgt) == 1000
+    assert_tables_equal(read_target_table(tgt), expected_final_state(stage))
+
+
+def test_staging_enabled_parity(tmp_lake):
+    """G1: enabling explicit staging yields the identical end state and
+    leaves no staging dirs behind (K3 dispose)."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    ctx = make_ctx(ct, tgt, staging={"enabled": True, "max_rows_per_file": 100})
+    StreamRunner(ctx).run()
+    assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
+    staging_root = os.path.join(tgt, "staging")
+    assert not os.path.isdir(staging_root) or os.listdir(staging_root) == []
+
+
+def test_field_selection_pushdown(tmp_lake):
+    """T1 server-side include-rule: only selected + essential columns land
+    in the target."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    ctx = make_ctx(
+        ct, tgt,
+        field_selection={"rule": "include", "fields": ["text", "lang"], "is_server_side": True},
+    )
+    StreamRunner(ctx).run()
+    got = read_target_table(tgt, drop_meta=False)
+    # url itself is dropped (only essential fields are force-retained);
+    # the key lives on as arcane_merge_key — reference parity (CRD ...:432)
+    assert set(got.column_names) == {
+        "sys_change_version", "sys_change_operation", "arcane_merge_key", "text", "lang",
+    }
+    # row set still matches the oracle projected to those columns
+    exp = expected_final_state(ct).select(["sys_change_version", "url", "text", "lang"])
+    got = got.rename_columns(
+        ["url" if c == "arcane_merge_key" else c for c in got.column_names]
+    ).select(exp.column_names)
+    assert_tables_equal(got, exp)
