@@ -1,0 +1,378 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the part that must survive 100 TB):
+
+- **exact**: hash-partition on a 64-bit content hash, keep the first
+  row per group — the shuffle moves (hash, id) pairs logically but we
+  group full rows only within hash buckets; ties break on min id so
+  the winner is deterministic.
+- **MinHash+LSH**: signatures are computed per batch with numpy
+  ``minimum.reduceat`` over flattened word-shingle hashes (no Python
+  per-row loop), then exploded into (band, band_hash) bucket keys —
+  the ONLY shuffle is the tiny (band_key, doc_id) table, never the
+  documents themselves.  Candidate pairs are verified with true
+  shingle-set Jaccard.
+- **SimHash**: 64-bit signature via bit-majority over shingle hashes
+  (vectorized ``np.add.reduceat`` on an (n_shingles, 64) ±1 matrix);
+  near-dup pairs found by banding the 4×16-bit chunks (hamming ≤ 3
+  guarantees one identical chunk by pigeonhole).
+
+Every operator is deterministic (fixed seeds, stable hashes) so
+results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
+from arcane_stream_sqlserver_change_tracking_ray.stages.merge import stable_hash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (byte lookup table)."""
+    return _POPCNT8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+class AddContentHash:
+    def __init__(self, text_col: str = "text", out_col: str = "_content_hash"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch[self.text_col]).view(np.int64)
+        return batch.append_column(self.out_col, pa.array(h, type=pa.int64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row per distinct *text_col* value (winner = min id).
+
+    hash-partition + per-group first (SURVEY task list).  The groupby
+    key is the 64-bit content hash, so the shuffle key is 8 bytes/row;
+    within a group, rows are compared on the true text to be
+    collision-safe.
+    """
+
+    def first_per_text(group: pa.Table) -> pa.Table:
+        # within one hash bucket: min-id row per distinct text
+        idx = pc.sort_indices(
+            group, sort_keys=[(text_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        tn = g[text_col].to_numpy(zero_copy_only=False)
+        mask = np.r_[True, tn[1:] != tn[:-1]]
+        return g.filter(pa.array(mask)).drop_columns(["_content_hash"])
+
+    return (
+        ds.map_batches(AddContentHash(text_col), batch_format="pyarrow")
+        .groupby("_content_hash")
+        .map_groups(first_per_text, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle machinery (shared by minhash / simhash / jaccard)
+# ---------------------------------------------------------------------------
+def shingle_hashes(
+    texts, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes of word k-shingles for every doc, vectorized.
+
+    Returns ``(hashes, doc_offsets)`` — ``hashes[doc_offsets[i]:
+    doc_offsets[i+1]]`` are doc i's shingles.  Word hashes come from
+    the flattened Arrow split (one C pass); shingles combine k
+    consecutive word hashes with distinct odd multipliers.
+    """
+    flat, offsets = words_flat(texts)
+    wh = stable_hash(flat)  # uint64 per word
+    n_docs = len(offsets) - 1
+    doc_lens = np.diff(offsets)
+    n_sh = np.maximum(doc_lens - k + 1, 0)
+    doc_offsets = np.concatenate(([0], np.cumsum(n_sh)))
+    total = int(doc_offsets[-1])
+    if total == 0:
+        return np.empty(0, np.uint64), doc_offsets
+    win_doc = np.repeat(np.arange(n_docs), n_sh)
+    within = np.arange(total) - np.repeat(doc_offsets[:-1], n_sh)
+    starts = offsets[:-1][win_doc] + within
+    mults = [np.uint64(0x9E3779B97F4A7C15 | (2 * j + 1)) for j in range(k)]
+    with np.errstate(over="ignore"):
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            h ^= wh[starts + j] * mults[j]
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    return h, doc_offsets
+
+
+def minhash_signatures(
+    texts, num_perm: int = 64, k_shingle: int = 3, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signature matrix, vectorized.
+
+    Permutation i is the universal hash ``(a_i * x + b_i) mod (2^61-1)``;
+    per-doc minima via ``np.minimum.reduceat`` — one pass per
+    permutation over the flat shingle array, no per-doc loop.  Docs with
+    no shingles get all-max signatures (match nothing)."""
+    h, doc_offsets = shingle_hashes(texts, k_shingle)
+    n_docs = len(doc_offsets) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    counts = np.diff(doc_offsets)
+    has = counts > 0
+    if h.size == 0:
+        return sig
+    x = h % _MERSENNE
+    starts = doc_offsets[:-1][has]
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            hv = (a[i] * x + b[i]) % _MERSENNE
+            sig[has, i] = np.minimum.reduceat(hv, starts)
+    return sig
+
+
+def simhash_signatures(texts, k_shingle: int = 3) -> np.ndarray:
+    """uint64 SimHash per doc: majority vote per bit over shingle hashes
+    (vectorized bit-unpack + ``np.add.reduceat``)."""
+    h, doc_offsets = shingle_hashes(texts, k_shingle)
+    n_docs = len(doc_offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    counts = np.diff(doc_offsets)
+    has = counts > 0
+    if h.size == 0:
+        return out
+    # (n_shingles, 64) 0/1 matrix
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    sums = np.add.reduceat(bits, doc_offsets[:-1][has], axis=0)
+    maj = sums * 2 > counts[has][:, None]  # bit set iff majority of shingles set it
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    out[has] = np.where(maj, weights, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def jaccard_of_sets(a: np.ndarray, b: np.ndarray) -> float:
+    ua, ub = np.unique(a), np.unique(b)
+    inter = np.intersect1d(ua, ub, assume_unique=True).size
+    union = ua.size + ub.size - inter
+    return inter / union if union else 1.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pipeline
+# ---------------------------------------------------------------------------
+class MinHashBandStage:
+    """Explode each doc into (band_key, doc_id) bucket rows — the only
+    shuffled payload.  band_key packs (band_id, hash-of-band-rows)."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 64,
+        bands: int = 16,
+        k_shingle: int = 3,
+        seed: int = 42,
+    ):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, k_shingle
+        self.rows_per_band = num_perm // bands
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[self.text_col], self.num_perm, self.k, self.seed)
+        n = sig.shape[0]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        band_keys = np.empty(n * self.bands, dtype=np.int64)
+        out_ids = np.repeat(ids, self.bands)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                rows = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                bh = np.zeros(n, dtype=np.uint64)
+                for j in range(self.rows_per_band):
+                    bh = bh * np.uint64(1099511628211) + rows[:, j]
+                # reserve 8 bits for the band id so buckets never collide across bands
+                band_keys[b::self.bands] = (
+                    ((bh >> np.uint64(8)) << np.uint64(8)) | np.uint64(b)
+                ).view(np.int64).reshape(-1)[: n]
+        return pa.table(
+            {"band_key": pa.array(band_keys, pa.int64()), self.id_col: pa.array(out_ids)}
+        )
+
+
+def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, k_shingle=3, seed=42):
+    """Candidate near-dup pairs (id_a < id_b) from LSH banding.
+
+    The group payload is doc IDS ONLY; emitting pairs within a bucket.
+    Buckets with one member vanish."""
+    stage = MinHashBandStage(text_col, id_col, num_perm, bands, k_shingle, seed)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
+
+    cand = (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    # distinct pairs (a pair can surface from several bands)
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+class VerifyJaccardStage:
+    """Verify candidate pairs with TRUE n-gram Jaccard.
+
+    The documents table is broadcast via ``ray.put`` ONCE and read in
+    ``__init__`` (once per actor) — a broadcast lookup join, not a
+    shuffle join (SURVEY.md §4.2).  Suitable while the doc set fits the
+    object store; at larger scale verification joins by doc id instead.
+    """
+
+    def __init__(self, docs_ref, text_col="text", id_col="doc_id", k_shingle=3):
+        import ray
+
+        docs: pa.Table = ray.get(docs_ref)
+        h, offs = shingle_hashes(docs[text_col], k_shingle)
+        ids = docs[id_col].to_numpy(zero_copy_only=False)
+        self.shingles = {
+            int(i): h[offs[j] : offs[j + 1]] for j, i in enumerate(ids)
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        sims = np.array(
+            [
+                jaccard_of_sets(
+                    self.shingles.get(int(a), np.empty(0, np.uint64)),
+                    self.shingles.get(int(b), np.empty(0, np.uint64)),
+                )
+                for a, b in zip(ia, ib)
+            ],
+            dtype=np.float64,
+        )
+        return batch.append_column("jaccard", pa.array(np.round(sims, 6)))
+
+
+def minhash_dedup_pairs(ds, docs_table: pa.Table, threshold=0.8, **kw):
+    """End-to-end near-dup pairs with verified Jaccard >= threshold."""
+    import ray
+
+    cand = minhash_lsh_candidates(ds, **kw)
+    docs_ref = ray.put(docs_table)
+    verified = cand.map_batches(
+        VerifyJaccardStage,
+        fn_constructor_kwargs={
+            "docs_ref": docs_ref,
+            "text_col": kw.get("text_col", "text"),
+            "id_col": kw.get("id_col", "doc_id"),
+            "k_shingle": kw.get("k_shingle", 3),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),  # autoscaling pool: never pins CPUs it isn't using
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+class SimHashStage:
+    def __init__(self, text_col: str = "text", k_shingle: int = 3):
+        self.text_col, self.k = text_col, k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = simhash_signatures(batch[self.text_col], self.k)
+        return batch.append_column("simhash", pa.array(sig.view(np.int64), pa.int64()))
+
+
+def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_shingle=3):
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: split the 64-bit signature into 4 16-bit chunks; any pair
+    within hamming 3 shares at least one chunk (pigeonhole), so we
+    bucket-group on (chunk_id, chunk_value) and verify hamming inside
+    buckets — ids + signatures are the only shuffled payload."""
+    CHUNKS = 4
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = SimHashStage(text_col, k_shingle)(batch)
+        sig = sh["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(sig)
+        keys = np.empty(n * CHUNKS, dtype=np.int64)
+        for c in range(CHUNKS):
+            chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            keys[c::CHUNKS] = (chunk.astype(np.int64) << 3) | c
+        return pa.table(
+            {
+                "chunk_key": pa.array(keys, pa.int64()),
+                id_col: pa.array(np.repeat(ids, CHUNKS)),
+                "simhash": pa.array(np.repeat(sig.view(np.int64), CHUNKS), pa.int64()),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sig = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids, uniq_idx = np.unique(ids, return_index=True)
+        sig = sig[uniq_idx]
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sig[ia] ^ sig[ib]
+        ham = popcount64(np.ascontiguousarray(x))
+        m = ham <= max_hamming
+        return pa.table(
+            {"id_a": pa.array(ids[ia][m]), "id_b": pa.array(ids[ib][m]),
+             "hamming": pa.array(ham[m])}
+        )
+
+    cand = ds.map_batches(explode, batch_format="pyarrow").groupby("chunk_key").map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairwise (exact, for candidate verification / small sets)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_matrix(texts, k_shingle: int = 3) -> np.ndarray:
+    """Exact all-pairs Jaccard for a SMALL doc set (test oracle utility)."""
+    h, offs = shingle_hashes(texts, k_shingle)
+    sets = [np.unique(h[offs[i] : offs[i + 1]]) for i in range(len(offs) - 1)]
+    n = len(sets)
+    out = np.eye(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ua, ub = sets[i], sets[j]
+            inter = np.intersect1d(ua, ub, assume_unique=True).size
+            union = ua.size + ub.size - inter
+            out[i, j] = out[j, i] = inter / union if union else 1.0
+    return out

@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- **Brute-force cosine top-k** (the baseline): the query matrix is
+  broadcast with ``ray.put`` ONCE and loaded per actor in ``__init__``;
+  each batch is one numpy matmul; per-batch local top-k keeps only
+  ``k`` candidate rows per query per batch, so the reduce input is
+  tiny (batches x queries x k rows) regardless of corpus size.
+- **LSH-bucketed variant** (the scale path): random-hyperplane bucket
+  ids (seeded, deterministic) assigned per batch; the search probes
+  only buckets within hamming distance ``probe_radius`` of the query's
+  bucket — corpus scan cost drops by ~2^planes while recall stays
+  high for near-duplicate use cases.
+- **Embedding cosine near-dup**: all pairs with cosine >= threshold,
+  via the same bucketing (candidates only within a bucket).
+
+Embeddings are unpacked zero-copy: Arrow ``list<float>`` values buffer
+reshaped to (n, d) — no per-row conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def embedding_matrix(col) -> np.ndarray:
+    """(n, d) float32 view of an Arrow list<float> column (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        flat = col.flatten()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    else:  # FixedSizeListArray
+        flat = col.values
+        d = col.type.list_size
+    x = flat.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    return x.reshape(len(col), d)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+class BruteForceTopK:
+    """map_batches actor: per-batch cosine scores + local top-k.
+
+    Emits at most k rows per query per batch: (query_id, id, score).
+    The final global top-k over these candidates is a trivially small
+    sort."""
+
+    def __init__(
+        self,
+        queries_ref,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        k: int = 10,
+        dtype=np.float64,
+    ):
+        # float64 default for bit-stable parity with SQL oracles; pass
+        # float32 at scale for 2x bandwidth
+        import ray
+
+        q = queries_ref if isinstance(queries_ref, np.ndarray) else ray.get(queries_ref)
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(q, dtype=dtype))  # (m, d)
+        self.id_col, self.emb_col, self.k = id_col, emb_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(embedding_matrix(batch[self.emb_col]).astype(self.dtype))  # (n, d)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = x @ self.q.T  # (n, m)
+        n, m = scores.shape
+        k = min(self.k, n)
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, m)
+        qid = np.repeat(np.arange(m, dtype=np.int64), k)
+        rid = ids[top.T.reshape(-1)]
+        sc = scores[top.T.reshape(-1), np.repeat(np.arange(m), k)]
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                self.id_col: pa.array(rid),
+                "score": pa.array(np.round(sc.astype(np.float64), 6)),
+            }
+        )
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10, id_col="vec_id", emb_col="embedding"):
+    """Global cosine top-k per query; returns a Dataset of exactly
+    m*k rows (query_id, id, score), sorted by (query_id, -score, id).
+
+    Runs as STATELESS tasks: the query matrix is tiny, so re-reading the
+    broadcast ref per task costs nothing and no CPUs are pinned by an
+    actor pool (a pool would starve small clusters; reserve pools for
+    expensive state like models/indexes)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(q_ref, id_col=id_col, emb_col=emb_col, k=k)(batch)
+
+    cand = ds.map_batches(score_batch, batch_format="pyarrow")
+
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("score", "descending"), (id_col, "ascending")],
+        )
+        return group.take(idx[:k])
+
+    return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+def hyperplanes(d: int, planes: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((d, planes)).astype(np.float32)
+
+
+def bucket_of(x: np.ndarray, planes_mat: np.ndarray) -> np.ndarray:
+    bits = (x @ planes_mat) > 0  # (n, planes)
+    weights = (1 << np.arange(planes_mat.shape[1], dtype=np.int64))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
+class AssignBucket:
+    def __init__(self, planes_ref, emb_col="embedding"):
+        import ray
+
+        self.planes = planes_ref if isinstance(planes_ref, np.ndarray) else ray.get(planes_ref)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(embedding_matrix(batch[self.emb_col]))
+        return batch.append_column("_bucket", pa.array(bucket_of(x, self.planes)))
+
+
+def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding", planes=8, probe_radius=1, seed=42, dim=None):
+    """IVF/LSH-style ANN: scan only buckets within *probe_radius* bit
+    flips of each query's bucket.  Recall < 1 by construction; the
+    bucket filter runs as a vectorized predicate inside map_batches."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    d = dim or q.shape[1]
+    pl = hyperplanes(d, planes, seed)
+    qb = bucket_of(q, pl)
+    # candidate buckets per query: exact bucket + all within probe_radius flips
+    probe: set[int] = set()
+    for b in qb.tolist():
+        probe.add(b)
+        if probe_radius >= 1:
+            for i in range(planes):
+                probe.add(b ^ (1 << i))
+        if probe_radius >= 2:
+            for i in range(planes):
+                for j in range(i + 1, planes):
+                    probe.add(b ^ (1 << i) ^ (1 << j))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    pl_ref = ray.put(pl)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        b = batch["_bucket"].to_numpy(zero_copy_only=False)
+        mask = np.isin(b, probe_arr)
+        return batch.filter(pa.array(mask))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return AssignBucket(pl_ref, emb_col=emb_col)(batch)
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow").map_batches(
+        keep_probed, batch_format="pyarrow"
+    )
+    return brute_force_topk(bucketed, queries, k=k, id_col=id_col, emb_col=emb_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(ds, threshold=0.95, id_col="vec_id", emb_col="embedding", planes=6, seed=42):
+    """All pairs (id_a < id_b) with cosine >= threshold.
+
+    Bucket first (near-identical vectors share buckets with high
+    probability), compare all pairs only within a bucket."""
+    import ray
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d = embedding_matrix(first[emb_col]).shape[1]
+    pl_ref = ray.put(hyperplanes(d, planes, seed))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        x = _normalize(embedding_matrix(group[emb_col]))
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        x, ids = x[order], ids[order]
+        s = x @ x.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        m = s[ia, ib] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[m]]),
+                "id_b": pa.array(ids[ib[m]]),
+                "cosine": pa.array(np.round(s[ia[m], ib[m]].astype(np.float64), 6)),
+            }
+        )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return AssignBucket(pl_ref, emb_col=emb_col)(batch)
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pyarrow")

@@ -1,0 +1,251 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All kernels are vectorized — Arrow ``pyarrow.compute`` (re2 regexes run
+inside Arrow's C++ kernels) or numpy `reduceat` over flattened list
+arrays.  No Python loop ever touches a row in the hot path.  Stateful
+setup (compiled patterns, stopword tables) happens once per actor in
+``__init__`` when used as ``map_batches(Cls, concurrency=N)``.
+
+Operators:
+- token counting: whitespace tokens + a BPE-ish regex token count,
+- quality scoring: length / word / punctuation / uppercase / stopword
+  ratios,
+- language id: stopword-profile n-gram heuristic over a fixed set of
+  languages,
+- document fingerprinting: winnowing-style rolling-hash fingerprint
+  (polynomial rolling hash over the whole batch's concatenated bytes,
+  per-doc min via ``np.minimum.reduceat`` — one pass, no per-row loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WORD_PATTERN = r"\S+"
+PUNCT_PATTERN = r"[^\w\s]"
+UPPER_PATTERN = r"[A-Z]"
+
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "en", "que", "por", "del"),
+    "da": ("og", "det", "er", "til", "en", "den", "af", "ikke", "jeg", "på"),
+    "it": ("il", "la", "che", "di", "e", "un", "per", "non", "sono", "con"),
+    "pt": ("o", "a", "que", "de", "e", "um", "para", "não", "com", "uma"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "niet", "op", "zijn"),
+}
+
+
+def _stopword_regex(words: tuple[str, ...]) -> str:
+    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+class TokenCountStage:
+    """Append ``n_tokens_ws`` (whitespace) and ``n_tokens_bpe`` (BPE-ish
+    regex) counts; regex work runs inside Arrow's vectorized re2 kernel."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        ws = pc.count_substring_regex(text, WORD_PATTERN)
+        bpe = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+        batch = batch.append_column("n_tokens_ws", pc.cast(ws, pa.int64()))
+        return batch.append_column("n_tokens_bpe", pc.cast(bpe, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+class QualityScoreStage:
+    """Length/punct/upper/stopword ratios + a composite quality score.
+
+    Ratios are rounded to 6 decimals so results hash-compare stably
+    against a SQL oracle."""
+
+    def __init__(self, text_col: str = "text", stopwords: tuple[str, ...] | None = None):
+        self.text_col = text_col
+        self.stop_re = _stopword_regex(stopwords or STOPWORDS["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_words = pc.cast(pc.count_substring_regex(text, WORD_PATTERN), pa.int64())
+        n_punct = pc.count_substring_regex(text, PUNCT_PATTERN)
+        n_upper = pc.count_substring_regex(text, UPPER_PATTERN)
+        n_stop = pc.count_substring_regex(text, self.stop_re)
+        denom_c = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        denom_w = pc.max_element_wise(n_words, pa.scalar(1, pa.int64()))
+        punct_ratio = pc.round(pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom_c, pa.float64())), 6)
+        upper_ratio = pc.round(pc.divide(pc.cast(n_upper, pa.float64()), pc.cast(denom_c, pa.float64())), 6)
+        stop_ratio = pc.round(pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(denom_w, pa.float64())), 6)
+        mean_word_len = pc.round(
+            pc.divide(
+                pc.cast(pc.subtract(n_chars, pc.subtract(n_words, 1)), pa.float64()),
+                pc.cast(denom_w, pa.float64()),
+            ),
+            6,
+        )
+        for name, col in (
+            ("n_chars_actual", n_chars),
+            ("n_words", n_words),
+            ("punct_ratio", punct_ratio),
+            ("upper_ratio", upper_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("mean_word_len", mean_word_len),
+        ):
+            batch = batch.append_column(name, col)
+        return batch
+
+
+# ---------------------------------------------------------------------------
+# language id
+# ---------------------------------------------------------------------------
+class LangIdStage:
+    """Heuristic language id: per language, count hits of its stopword
+    profile (one vectorized re2 pass per language), pick the argmax;
+    ties break deterministically by language order."""
+
+    def __init__(self, text_col: str = "text", languages: tuple[str, ...] | None = None):
+        self.text_col = text_col
+        self.languages = tuple(languages or STOPWORDS.keys())
+        self.patterns = [_stopword_regex(STOPWORDS[lang]) for lang in self.languages]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        scores = np.stack(
+            [
+                pc.count_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+                for pat in self.patterns
+            ]
+        )  # (L, n)
+        best = np.argmax(scores, axis=0)  # first max wins: deterministic
+        no_hits = scores.max(axis=0) == 0
+        langs = np.array(self.languages, dtype=object)[best]
+        langs[no_hits] = "und"
+        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (winnowing-lite)
+# ---------------------------------------------------------------------------
+_B = np.uint64(1000003)  # odd base -> invertible mod 2^64
+_BINV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def rolling_window_hashes(texts: pa.Array | pa.ChunkedArray, k: int = 16):
+    """All k-byte rolling hashes for every string, one vectorized pass.
+
+    Returns ``(hashes uint64[n_windows], doc_offsets int64[n_docs+1])``
+    where ``hashes[doc_offsets[i]:doc_offsets[i+1]]`` are doc i's
+    windows.  Docs shorter than *k* get zero windows.
+
+    Math: with prefix transform ``G[j] = sum_{t<j} c[t] * B^{-t}`` the
+    window hash ``H(i) = B^{i+k-1} * (G[i+k] - G[i])`` — all mod 2^64
+    via natural uint64 wraparound, computed with two cumulative passes.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buf = texts.cast(pa.binary())
+    if isinstance(buf, pa.ChunkedArray):
+        buf = buf.combine_chunks()
+    if buf.null_count:
+        buf = pc.coalesce(buf, pa.scalar(b"", pa.binary()))
+    if buf.offset == 0:
+        # zero-copy: binary array buffers = [validity, offsets, data]
+        offsets = np.frombuffer(buf.buffers()[1], dtype=np.int32, count=len(buf) + 1).astype(np.int64)
+        data = np.frombuffer(buf.buffers()[2], dtype=np.uint8, count=int(offsets[-1]))
+    else:  # sliced array: fall back to a C-level join
+        objs = buf.to_numpy(zero_copy_only=False)
+        lens = np.fromiter((len(x) for x in objs), dtype=np.int64, count=len(objs))
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        data = np.frombuffer(b"".join(objs), dtype=np.uint8)
+    n_total = int(offsets[-1])
+    c = data[:n_total].astype(np.uint64)
+
+    with np.errstate(over="ignore"):
+        binv_pow = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(max(n_total - 1, 0), _BINV, dtype=np.uint64)))
+        ) if n_total else np.empty(0, np.uint64)
+        g = c * binv_pow
+        G = np.concatenate(([np.uint64(0)], np.cumsum(g, dtype=np.uint64)))
+        b_pow = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(max(n_total - 1, 0), _B, dtype=np.uint64)))
+        ) if n_total else np.empty(0, np.uint64)
+
+    doc_lens = np.diff(offsets.astype(np.int64))
+    n_windows = np.maximum(doc_lens - k + 1, 0)
+    doc_offsets = np.concatenate(([0], np.cumsum(n_windows)))
+    total_w = int(doc_offsets[-1])
+    if total_w == 0:
+        return np.empty(0, np.uint64), doc_offsets
+    # global start index of each window
+    doc_starts = offsets[:-1].astype(np.int64)
+    win_doc = np.repeat(np.arange(len(doc_lens)), n_windows)
+    within = np.arange(total_w) - np.repeat(doc_offsets[:-1], n_windows)
+    starts = doc_starts[win_doc] + within
+    with np.errstate(over="ignore"):
+        h = b_pow[starts + k - 1] * (G[starts + k] - G[starts])
+    return h, doc_offsets
+
+
+class FingerprintStage:
+    """Append ``fingerprint``: the MIN rolling k-gram hash per document
+    (stored as int64 bit-pattern) — a content-defined fingerprint stable
+    under reordering of documents and across runs; empty/short docs get
+    the full-text hash instead."""
+
+    def __init__(self, text_col: str = "text", k: int = 16):
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col].combine_chunks() if isinstance(
+            batch[self.text_col], pa.ChunkedArray
+        ) else batch[self.text_col]
+        h, doc_offsets = rolling_window_hashes(text, self.k)
+        n = batch.num_rows
+        out = np.zeros(n, dtype=np.uint64)
+        counts = np.diff(doc_offsets)
+        has = counts > 0
+        if h.size:
+            mins = np.minimum.reduceat(h, doc_offsets[:-1][has])
+            out[has] = mins
+        # short docs: hash of the whole text
+        if (~has).any():
+            import pandas as pd
+
+            short_idx = np.flatnonzero(~has)
+            short_vals = text.take(pa.array(short_idx)).to_numpy(zero_copy_only=False)
+            out[short_idx] = pd.util.hash_array(short_vals.astype(object))
+        return batch.append_column(
+            "fingerprint", pa.array(out.view(np.int64), type=pa.int64())
+        )
+
+
+# ---------------------------------------------------------------------------
+# word tokenization to flattened arrays (shared by dedup kernels)
+# ---------------------------------------------------------------------------
+def words_flat(texts, lowercase: bool = True):
+    """Vectorized word tokenization: returns ``(flat_words pa.Array,
+    offsets int64[n+1])`` using Arrow's split kernel (list-array
+    internals expose the flattened values — no Python loop)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if lowercase:
+        texts = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(texts, r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
