@@ -80,6 +80,13 @@ class SinkSettings:
     sorted_by: tuple[str, ...] = ()
     max_rows_per_file: int = 1_000_000
     parquet_compression: str = "zstd"
+    #: "actors" = persistent partition-owner merge actors (point-to-point
+    #: exchange, no sort barrier, state warm across cycles — the SURVEY §7.3
+    #: MergeActor design); "groupby" = Dataset groupby(_pid).map_groups
+    #: (simpler, fully elastic tasks; used by backfill bulk loads)
+    merge_strategy: str = "actors"
+    #: owner-actor count; 0 = min(num_partitions, cluster CPUs)
+    merge_actors: int = 0
 
 
 @dataclass

@@ -65,6 +65,9 @@ class CtLogSpec:
     n_domains: int = 50
     filler_words: int = 16
     events_per_file: int = 100_000
+    #: parquet row-group size — keep small enough that readers can split a
+    #: segment into multiple blocks (read parallelism at high CPU counts)
+    row_group_size: int = 50_000
     #: schema evolution (FIXTURES.md F3 #3/#4): events with version >= add_column_at
     #: carry an extra payload column `title`; events with version >= drop_column_at
     #: no longer carry it (the target must retain it, additive-only).
@@ -246,7 +249,7 @@ def write_ctlog(ctlog_dir: str, spec: CtLogSpec, use_ray: bool = False) -> list[
         for (lo, hi), path in zip(segs, paths):
             versions = np.arange(lo + 1, hi + 1, dtype=np.int64)
             tbl = render_events(versions, key_ids[lo:hi], op_codes[lo:hi], spec)
-            pq.write_table(tbl, path, compression="zstd")
+            pq.write_table(tbl, path, compression="zstd", row_group_size=spec.row_group_size)
         return paths
 
     import ray
@@ -258,7 +261,7 @@ def write_ctlog(ctlog_dir: str, spec: CtLogSpec, use_ray: bool = False) -> list[
     def _render(lo: int, hi: int, path: str, keys, ops) -> str:
         versions = np.arange(lo + 1, hi + 1, dtype=np.int64)
         tbl = render_events(versions, keys[lo:hi], ops[lo:hi], spec)
-        pq.write_table(tbl, path, compression="zstd")
+        pq.write_table(tbl, path, compression="zstd", row_group_size=spec.row_group_size)
         return path
 
     futs = [_render.remote(lo, hi, p, keys_ref, ops_ref) for (lo, hi), p in zip(segs, paths)]

@@ -81,6 +81,11 @@ class ChangeFeedTailer:
         self._rng = np.random.default_rng(jitter_seed)
         self.advised_rate = advised_rate
         self._last_poll_t: float | None = None
+        #: split the poll's read into at least this many blocks so the
+        #: fused read→transform stage can use every CPU even when the
+        #: version range spans few segment files (the generator writes
+        #: small row groups precisely so reads can split)
+        self.target_blocks: int | None = None
 
     # ------------------------------------------------------------------
     def next_interval(self) -> float:
@@ -134,10 +139,14 @@ class ChangeFeedTailer:
         predicate = (pc.field(VERSION_COL) > self.watermark) & (
             pc.field(VERSION_COL) <= hi
         )
+        kwargs = {}
+        if self.target_blocks:
+            kwargs["override_num_blocks"] = max(len(paths), self.target_blocks)
         ds = ray.data.read_parquet(
             paths,
             columns=self.columns,
             filter=predicate,
+            **kwargs,
         )
         return ds, hi
 

@@ -69,21 +69,48 @@ def partition_ids(keys, num_partitions: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # vectorized LWW
 # ---------------------------------------------------------------------------
+def lww_winner_mask(
+    t: pa.Table, key_col: str = MERGE_KEY_COL, version_col: str = VERSION_COL
+) -> np.ndarray:
+    """Boolean mask (in ORIGINAL row order) of the max-version row per key.
+
+    Sorts only the (key, version) projection — the payload columns are
+    never gathered.  On a memory-bandwidth-bound box this matters: a
+    full-table ``take`` is a pass over every payload byte; the mask +
+    single ``filter`` halves the traffic of the old sort-take-filter."""
+    sel = t.select([key_col, version_col])
+    idx = pc.sort_indices(
+        sel, sort_keys=[(key_col, "ascending"), (version_col, "descending")]
+    )
+    idxn = idx.to_numpy()
+    k = sel[key_col].take(idx).to_numpy(zero_copy_only=False)
+    first = np.r_[True, k[1:] != k[:-1]]
+    mask = np.zeros(t.num_rows, dtype=bool)
+    mask[idxn[first]] = True
+    return mask
+
+
 def lww_table(
     t: pa.Table, key_col: str = MERGE_KEY_COL, version_col: str = VERSION_COL
 ) -> pa.Table:
     """Keep the max-version row per key (rank-1 per key, reference M2:
     ``row_number() over (partition by merge_key order by version desc) = 1``).
-    Sort + adjacent-difference mask — no Python loop."""
+    Vectorized; output keeps the surviving rows in their original order."""
     if t.num_rows <= 1:
         return t
-    idx = pc.sort_indices(
-        t, sort_keys=[(key_col, "ascending"), (version_col, "descending")]
-    )
-    t = t.take(idx)
-    k = t[key_col].to_numpy(zero_copy_only=False)
-    mask = np.r_[True, k[1:] != k[:-1]]
-    return t.filter(pa.array(mask))
+    return t.filter(pa.array(lww_winner_mask(t, key_col, version_col)))
+
+
+def ensure_merge_key_alias(t: pa.Table, key_col: str) -> pa.Table:
+    """Append ``arcane_merge_key`` as a (cast) alias of *key_col* — done at
+    write time only, so the duplicate string never travels through the
+    exchange (see TransformStage's single-key fast path)."""
+    if key_col == MERGE_KEY_COL or MERGE_KEY_COL in t.column_names:
+        return t
+    col = t[key_col]
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    return t.append_column(MERGE_KEY_COL, col)
 
 
 def drop_tombstones(t: pa.Table) -> pa.Table:
@@ -102,12 +129,13 @@ class PrecombineAndRoute:
     for tasks, but compiled once per actor when used in an actor pool).
     """
 
-    def __init__(self, num_partitions: int):
+    def __init__(self, num_partitions: int, key_col: str = MERGE_KEY_COL):
         self.num_partitions = num_partitions
+        self.key_col = key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = lww_table(batch)
-        pid = partition_ids(batch[MERGE_KEY_COL], self.num_partitions)
+        batch = lww_table(batch, self.key_col)
+        pid = partition_ids(batch[self.key_col], self.num_partitions)
         return batch.append_column(PID_COL, pa.array(pid, type=pa.int64()))
 
 
@@ -145,6 +173,7 @@ class PartitionMergeFn:
         max_rows_per_file: int = 1_000_000,
         compression: str = "zstd",
         sorted_by: tuple[str, ...] = (),
+        key_col: str = MERGE_KEY_COL,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -153,6 +182,7 @@ class PartitionMergeFn:
         self.max_rows_per_file = max_rows_per_file
         self.compression = compression
         self.sorted_by = sorted_by
+        self.key_col = key_col
 
     # -- target partition io -------------------------------------------------
     def _read_existing(self, pid: int) -> pa.Table | None:
@@ -188,7 +218,8 @@ class PartitionMergeFn:
     # -- the merge -----------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = int(group[PID_COL][0].as_py())
-        changes = cast_to_schema(group.drop_columns([PID_COL]), self.schema)
+        changes = ensure_merge_key_alias(group.drop_columns([PID_COL]), self.key_col)
+        changes = cast_to_schema(changes, self.schema)
         existing = self._read_existing(pid)
         n_changes = changes.num_rows
 
@@ -228,12 +259,13 @@ def apply_change_batch(
     compression: str = "zstd",
     sorted_by: tuple[str, ...] = (),
     batch_size: int = 65536,
+    key_col: str = MERGE_KEY_COL,
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
     table (one row per touched partition)."""
     routed = changes_ds.map_batches(
-        PrecombineAndRoute(num_partitions),
+        PrecombineAndRoute(num_partitions, key_col),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -245,6 +277,7 @@ def apply_change_batch(
         max_rows_per_file=max_rows_per_file,
         compression=compression,
         sorted_by=sorted_by,
+        key_col=key_col,
     )
     def merge_partition(group: pa.Table) -> pa.Table:
         return merge_fn(group)
@@ -273,3 +306,192 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             totals[k] += int(s[k]) if k in s else 0
     totals["partitions_touched"] = len(stats)
     return totals
+
+
+# ---------------------------------------------------------------------------
+# strategy 2: persistent partition-owner merge actors
+# ---------------------------------------------------------------------------
+def _make_owner_actor():
+    """Define the owner actor lazily so importing this module never
+    requires an initialized Ray."""
+    import ray
+
+    @ray.remote(num_cpus=0, max_restarts=0)
+    class MergeOwnerActor:
+        """Owns a fixed subset of partitions (pid % A == actor_index).
+
+        Deterministic actor<->partition affinity (SURVEY.md §7.5.2): every
+        change slice for a pid is pushed to its one owner, so per-partition
+        merge state never needs coordination.  ``num_cpus=0`` because the
+        ingest path only appends table slices (microseconds); the heavy
+        flush work runs when the map stage has drained, so the owners use
+        the then-idle CPUs.  On a multi-node cluster you would reserve
+        owners a real CPU and size the map stage to ``cpus - A``.
+
+        The actors are PERSISTENT across poll cycles: allocator arenas and
+        page mappings stay warm, which on this sandbox is worth ~10x on
+        the first post-startup cycle (first-touch page-zeroing).
+        """
+
+        def __init__(self, target_root: str, compression: str, max_rows_per_file: int):
+            self.target_root = target_root
+            self.compression = compression
+            self.max_rows_per_file = max_rows_per_file
+            self.buf: dict[int, list[pa.Table]] = {}
+
+        def add(self, slices: list[tuple[int, pa.Table]]) -> int:
+            for pid, t in slices:
+                self.buf.setdefault(pid, []).append(t)
+            return sum(t.num_rows for _, t in slices)
+
+        def reset(self) -> None:
+            """Drop buffered deltas (start of cycle / after a failed one)."""
+            self.buf.clear()
+
+        def flush(
+            self,
+            cycle_id: str,
+            partition_files: dict[int, list[str]],
+            schema: pa.Schema,
+            sorted_by: tuple[str, ...] = (),
+            key_col: str = MERGE_KEY_COL,
+        ) -> list[dict]:
+            """Merge buffered deltas into owned partitions, copy-on-write."""
+            from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
+                cast_to_schema,
+            )
+
+            out: list[dict] = []
+            out_dir = os.path.join(self.target_root, "cycles", cycle_id)
+            for pid, tables in sorted(self.buf.items()):
+                changes = cast_to_schema(pa.concat_tables(
+                    [cast_to_schema(ensure_merge_key_alias(t, key_col), schema)
+                     for t in tables]
+                ), schema)
+                n_changes = changes.num_rows
+                existing = []
+                for rel in partition_files.get(pid, []):
+                    existing.append(
+                        cast_to_schema(
+                            pq.read_table(
+                                os.path.join(self.target_root, rel), use_threads=False
+                            ),
+                            schema,
+                        )
+                    )
+                combined = pa.concat_tables(existing + [changes])
+                merged = lww_table(combined)
+                alive = drop_tombstones(merged)
+                deletes = merged.num_rows - alive.num_rows
+                if sorted_by:
+                    alive = alive.sort_by([(c, "ascending") for c in sorted_by])
+                os.makedirs(out_dir, exist_ok=True)
+                rels, nbytes = [], 0
+                for off in range(0, max(alive.num_rows, 1), self.max_rows_per_file):
+                    chunk = alive.slice(off, self.max_rows_per_file)
+                    if chunk.num_rows == 0 and alive.num_rows > 0:
+                        continue
+                    name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+                    path = os.path.join(out_dir, name)
+                    pq.write_table(chunk, path, compression=self.compression)
+                    rels.append(f"cycles/{cycle_id}/{name}")
+                    nbytes += os.path.getsize(path)
+                out.append(
+                    {
+                        PID_COL: pid,
+                        "rows": alive.num_rows,
+                        "upserts": n_changes - deletes,
+                        "deletes": deletes,
+                        "changes_in": n_changes,
+                        "bytes": nbytes,
+                        "files_json": json.dumps(rels),
+                    }
+                )
+            self.buf.clear()
+            return out
+
+    return MergeOwnerActor
+
+
+class ActorMergePool:
+    """Persistent pool of partition-owner actors, one per StreamRunner.
+
+    Per cycle:  ``map_batches(push)`` streams the change batches — each
+    task LWW-combines its batch, routes rows to pids with the stable
+    hash, slices ONCE (single int64 sort + one payload gather) and ships
+    each owner its slices; then ``flush`` merges + rewrites the touched
+    partitions in parallel across owners.  No all-to-all operator, no
+    sort barrier: the exchange is point-to-point object transfers.
+    """
+
+    def __init__(
+        self,
+        target_root: str,
+        num_partitions: int,
+        num_actors: int = 0,
+        compression: str = "zstd",
+        max_rows_per_file: int = 1_000_000,
+    ):
+        import ray
+
+        if num_actors <= 0:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_actors = max(1, min(num_partitions, cpus))
+        cls = _make_owner_actor()
+        self.actors = [
+            cls.remote(target_root, compression, max_rows_per_file)
+            for _ in range(num_actors)
+        ]
+        self.num_partitions = num_partitions
+
+    def apply_change_batch(
+        self,
+        changes_ds,
+        *,
+        cycle_id: str,
+        partition_files: dict[int, list[str]],
+        schema: pa.Schema,
+        sorted_by: tuple[str, ...] = (),
+        batch_size: int = 131072,
+        key_col: str = MERGE_KEY_COL,
+    ) -> list[dict]:
+        import ray
+
+        actors = self.actors
+        A = len(actors)
+        P = self.num_partitions
+
+        ray.get([a.reset.remote() for a in actors])
+
+        def push(batch: pa.Table) -> pa.Table:
+            batch = lww_table(batch, key_col)  # within-batch combiner (M2)
+            pid = partition_ids(batch[key_col], P)
+            order = np.argsort(pid, kind="stable")
+            b = batch.take(pa.array(order))  # ONE payload gather
+            pids = pid[order]
+            bounds = np.r_[np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]]), len(pids)]
+            per_actor: dict[int, list] = {}
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                p = int(pids[s])
+                per_actor.setdefault(p % A, []).append((p, b.slice(s, e - s)))
+            # blocking gets provide backpressure: a task finishes only
+            # after its owners ingested the slices
+            ray.get([actors[a].add.remote(sl) for a, sl in per_actor.items()])
+            return pa.table({"rows_pushed": [batch.num_rows]})
+
+        pushed = changes_ds.map_batches(
+            push, batch_format="pyarrow", batch_size=batch_size
+        ).sum("rows_pushed")
+        _ = pushed
+        flush_refs = [
+            a.flush.remote(cycle_id, partition_files, schema, sorted_by, key_col)
+            for a in actors
+        ]
+        return [s for out in ray.get(flush_refs) for s in out]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,300 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline CDC replay throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Modes:
+  python bench.py                 # headline replay + all queries() timings
+  python bench.py --headline-only # just the replay (used by --scaling)
+  python bench.py --score-only    # CPU-bound text-scoring pipeline only
+  python bench.py --scaling       # the BASELINE.md §3 protocol: identical
+                                  # jobs at two parallelism-level pairs
+                                  # (2→8 and 8→32 CPUs) in FRESH processes
+                                  # on the SAME cached input + a memory-
+                                  # bandwidth probe; writes BENCH/scaling.json
+
+Env:
+  GRAFT_SF_DIR          input tables dir   (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS        ray cpu count      (default 32)
+  GRAFT_BENCH_EVENTS    synthetic feed size for the replay (default 10_000_000)
+
+The synthetic change log is generated ONCE into a cache dir keyed by
+(n_events, seed) and shared by every parallelism level, so scaling runs
+replay the identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "10000000"))
+SEED = 42
+CACHE_ROOT = os.environ.get("GRAFT_BENCH_CACHE", "/tmp/graft_bench")
+METRIC = "cdc_replay_wall_seconds"
+ROWS_PER_CYCLE = 2_500_000
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def ensure_ctlog() -> str:
+    """Generate (once) the deterministic synthetic feed; cached across runs."""
+    from arcane_stream_sqlserver_change_tracking_ray.gen import CtLogSpec, write_ctlog
+    from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import (
+        max_available_version,
+    )
+
+    ctlog_dir = os.path.join(CACHE_ROOT, f"ctlog-{N_EVENTS}-{SEED}")
+    if max_available_version(ctlog_dir) == N_EVENTS:
+        return ctlog_dir
+    shutil.rmtree(ctlog_dir, ignore_errors=True)
+    spec = CtLogSpec(
+        n_keys=max(N_EVENTS // 10, 1000),
+        n_events=N_EVENTS,
+        seed=SEED,
+        events_per_file=250_000,
+    )
+    write_ctlog(ctlog_dir, spec, use_ray=True)
+    return ctlog_dir
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Replay the synthetic feed through the full engine; returns timing.
+
+    Throughput is reported two ways: ``events_per_sec`` over the whole
+    replay wall, and ``sustained_events_per_sec`` over the fastest half
+    of the cycles (steady state — excludes the first-cycle page-fault /
+    actor-warmup cost, BASELINE.md §3)."""
+    import tempfile
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    ctlog_dir = ensure_ctlog()
+    target = tempfile.mkdtemp(prefix="bench_tgt_", dir=CACHE_ROOT)
+    try:
+        prepare_watermark(target, 0, num_partitions=32)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ctlog_dir, "key_columns": ["url"]},
+                "sink": {"target_root": target, "num_partitions": 32},
+                "throughput": {"rows_per_group": ROWS_PER_CYCLE},
+                "maintenance": {"enabled": False},
+            }
+        )
+        runner = StreamRunner(ctx)
+        t0 = time.perf_counter()
+        metrics = runner.run()
+        wall = time.perf_counter() - t0
+        cyc = [m["cycle_s"] for m in metrics]
+        steady = sorted(cyc)[: max(1, len(cyc) // 2)]
+        sustained = ROWS_PER_CYCLE / (sum(steady) / len(steady))
+        return {
+            "events": N_EVENTS,
+            "wall_s": round(wall, 3),
+            "events_per_sec": round(N_EVENTS / wall, 1),
+            "sustained_events_per_sec": round(sustained, 1),
+            "cycles": len(metrics),
+            "cycle_s": [round(c, 2) for c in cyc],
+        }
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def run_score(num_cpus: int) -> dict:
+    """CPU-bound text pipeline (token count + quality + lang-id +
+    fingerprint) over the synthetic corpus — the scaling witness that is
+    NOT limited by this VM's memory bandwidth the way the payload-heavy
+    replay is."""
+    import ray.data as rd
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        FingerprintStage,
+        LangIdStage,
+        QualityScoreStage,
+        TokenCountStage,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import list_segments
+
+    ctlog_dir = ensure_ctlog()
+    paths = [p for _, _, p in list_segments(ctlog_dir)][:20]  # 5M docs
+    t0 = time.perf_counter()
+    ds = (
+        rd.read_parquet(paths, columns=["url", "text"], override_num_blocks=max(20, num_cpus * 2))
+        .map_batches(TokenCountStage(), batch_format="pyarrow")
+        .map_batches(QualityScoreStage(), batch_format="pyarrow")
+        .map_batches(LangIdStage(), batch_format="pyarrow")
+        .map_batches(FingerprintStage(), batch_format="pyarrow")
+    )
+    n = ds.count()
+    wall = time.perf_counter() - t0
+    return {"docs": n, "wall_s": round(wall, 3), "docs_per_sec": round(n / wall, 1)}
+
+
+def _bw_worker(_):
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)  # 200 MB
+    t0 = time.perf_counter()
+    for _ in range(5):
+        b = a * 1.000001
+    del b
+    return 5 * 400 / (time.perf_counter() - t0)
+
+
+def measure_memory_bandwidth() -> dict:
+    """The machine context for the scaling numbers: aggregate memory
+    bandwidth at 1/8/32 parallel streams (triad-like numpy pass)."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in (1, 8, 32):
+        with mp.Pool(w) as p:
+            r = p.map(_bw_worker, range(w))
+        out[str(w)] = round(sum(r), 1)
+    return out  # MB/s aggregate per worker count
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    out: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # consume lazy results so we time real execution
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.min_parallelism = num_cpus  # default 200 drowns small clusters in tiny tasks
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def main() -> None:
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    import ray
+
+    init_ray(NUM_CPUS)
+    if "--score-only" in sys.argv:
+        score = run_score(NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps({"metric": "score_pipeline_wall_seconds", "value": score["wall_s"],
+                          "unit": "sec", "num_cpus": NUM_CPUS, **score}))
+        return
+    head = run_headline(NUM_CPUS)
+    queries = {} if "--headline-only" in sys.argv else run_queries(SF_DIR)
+    ray.shutdown()
+    doc = {
+        "metric": METRIC,
+        "value": head["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "events": head["events"],
+        "events_per_sec": head["events_per_sec"],
+        "sustained_events_per_sec": head["sustained_events_per_sec"],
+        "cycles": head["cycles"],
+    }
+    print(json.dumps(doc))
+
+
+def _fresh(args: list[str], cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench subprocess failed: {p.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def run_scaling() -> None:
+    """BASELINE.md §3: identical jobs at two parallelism-level pairs in
+    fresh processes on the same cached input.  Reports the payload-heavy
+    CDC replay AND the CPU-bound scoring pipeline, plus the measured
+    memory-bandwidth ceiling that explains the replay's plateau."""
+    import ray
+
+    init_ray(NUM_CPUS)
+    ensure_ctlog()  # generate once, before any measured run
+    ray.shutdown()
+
+    replay = {c: _fresh(["--headline-only"], c) for c in (2, 8, 32)}
+    score = {c: _fresh(["--score-only"], c) for c in (2, 8, 32)}
+    bw = measure_memory_bandwidth()
+
+    def eff(metric, a, b):
+        return round((metric[b] / metric[a]) / (b / a), 3)
+
+    rep_tp = {c: replay[c]["sustained_events_per_sec"] for c in replay}
+    sc_tp = {c: score[c]["docs_per_sec"] for c in score}
+    doc = {
+        "metric": "scaling_efficiency",
+        "value": eff(rep_tp, 2, 8),
+        "unit": "ratio",
+        "protocol": "identical job, fresh ray.init processes, same cached input",
+        "replay": {
+            "events": N_EVENTS,
+            "sustained_events_per_sec": rep_tp,
+            "wall_s": {c: replay[c]["value"] for c in replay},
+            "efficiency_2_to_8": eff(rep_tp, 2, 8),
+            "efficiency_8_to_32": eff(rep_tp, 8, 32),
+        },
+        "score_pipeline": {
+            "docs_per_sec": sc_tp,
+            "efficiency_2_to_8": eff(sc_tp, 2, 8),
+            "efficiency_8_to_32": eff(sc_tp, 8, 32),
+        },
+        "machine_memory_bandwidth_mb_s": bw,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,11 +50,14 @@ def test_watermark_gate_negative(tmp_lake):
         StreamRunner(make_ctx(ct, tgt)).run()
 
 
-def test_full_replay_matches_oracle(tmp_lake):
+@pytest.mark.parametrize("strategy", ["actors", "groupby"])
+def test_full_replay_matches_oracle(tmp_lake, strategy):
+    """Both merge strategies (owner actors / Dataset groupby) must yield
+    the identical oracle state."""
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
     prepare_watermark(tgt, version=0, num_partitions=8)
-    runner = StreamRunner(make_ctx(ct, tgt))
+    runner = StreamRunner(make_ctx(ct, tgt, sink={"merge_strategy": strategy}))
     metrics = runner.run()
     assert len(metrics) >= 2  # multiple poll cycles, not one big batch
     assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
@@ -170,14 +173,14 @@ def test_field_selection_pushdown(tmp_lake):
     )
     StreamRunner(ctx).run()
     got = read_target_table(tgt, drop_meta=False)
-    # url itself is dropped (only essential fields are force-retained);
-    # the key lives on as arcane_merge_key — reference parity (CRD ...:432)
+    # key column (url) is essential and survives the include rule; the
+    # merge key is persisted as its alias (CRD ...:432 — mandatory fields
+    # like ARCANE_MERGE_KEY are always retained)
     assert set(got.column_names) == {
-        "sys_change_version", "sys_change_operation", "arcane_merge_key", "text", "lang",
+        "sys_change_version", "sys_change_operation", "arcane_merge_key",
+        "url", "text", "lang",
     }
+    assert got["arcane_merge_key"].to_pylist() == got["url"].to_pylist()
     # row set still matches the oracle projected to those columns
     exp = expected_final_state(ct).select(["sys_change_version", "url", "text", "lang"])
-    got = got.rename_columns(
-        ["url" if c == "arcane_merge_key" else c for c in got.column_names]
-    ).select(exp.column_names)
-    assert_tables_equal(got, exp)
+    assert_tables_equal(got.select(exp.column_names), exp)
