@@ -247,6 +247,38 @@ def pruned_agg(sf_dir: str):
 
 
 # ===========================================================================
+# Joins (M3 mechanism: change-event x base-row equi-join)
+# ===========================================================================
+def broadcast_join(sf_dir: str):
+    """Small-side broadcast lookup join: orders x customer, no shuffle."""
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        broadcast_lookup_join,
+    )
+
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = broadcast_lookup_join(ds, customer, on="o_custkey", right_on="c_custkey")
+    return out.select_columns(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
+
+
+def partitioned_join(sf_dir: str):
+    """Both-sides-large partitioned hash join (explicit bucket shuffle);
+    same oracle as broadcast_join."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        partitioned_equi_join,
+    )
+
+    left = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    right = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
+    )
+    out = partitioned_equi_join(left, right, on="o_custkey", num_buckets=16)
+    return out.select_columns(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
+
+
+# ===========================================================================
 # Training-data operators: text analysis
 # ===========================================================================
 def token_count(sf_dir: str):
@@ -476,6 +508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cast": type_cast,
         "column_stats": column_stats,
         "pruned_agg": pruned_agg,
+        # joins (M3)
+        "broadcast_join": broadcast_join,
+        "partitioned_join": partitioned_join,
         # text analysis
         "token_count": token_count,
         "quality_score": quality_score,
@@ -569,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
                    count(l_quantity) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "broadcast_join": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "partitioned_join": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "token_count": rf"""
             SELECT doc_id,

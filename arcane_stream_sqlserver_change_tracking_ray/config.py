@@ -129,6 +129,9 @@ class MaintenanceSettings:
     retention_versions: int = 20
     #: columns included in the ANALYZE stats pass (ColumnSummary..., T5)
     analyze_included_columns: tuple[str, ...] = ()
+    #: rows per file OPTIMIZE compacts into (0 = sink.max_rows_per_file);
+    #: the reference targets ~512MB files regardless of write-time chunking
+    compact_target_rows: int = 0
 
 
 @dataclass

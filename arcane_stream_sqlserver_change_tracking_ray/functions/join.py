@@ -1,0 +1,109 @@
+"""Joins / lookups (M3, SURVEY.md §2.4).
+
+The reference's only join is change-event × base-row on the PK, executed
+source-side (the CT feed carries PK + metadata; payload comes from
+joining the base table at poll time).  In this engine the synthetic
+feed already carries the post-image so the streaming path needs no
+join; these operators provide the general mechanism:
+
+- **broadcast lookup join** — the small side is ``ray.put`` ONCE and
+  joined per batch with pyarrow's C++ hash join inside ``map_batches``;
+  no shuffle, the canonical dimension-table pattern (SURVEY.md §4.2).
+- **partitioned equi-join** — both sides large: bucket both by key
+  hash and join matching buckets (explicit partitioned hash join).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from arcane_stream_sqlserver_change_tracking_ray.stages.merge import partition_ids
+from arcane_stream_sqlserver_change_tracking_ray.types import PID_COL
+
+
+class BroadcastJoiner:
+    """Per-batch hash join against a broadcast small side."""
+
+    def __init__(self, small_ref, on, right_on=None, join_type="inner", small_columns=None):
+        import ray
+
+        small = small_ref if isinstance(small_ref, pa.Table) else ray.get(small_ref)
+        if small_columns:
+            keep = list(dict.fromkeys(list(right_on or on) + list(small_columns)))
+            small = small.select(keep)
+        self.small = small
+        self.on = list(on) if isinstance(on, (list, tuple)) else [on]
+        self.right_on = (
+            list(right_on) if isinstance(right_on, (list, tuple)) else [right_on]
+        ) if right_on else self.on
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(
+            self.small,
+            keys=self.on,
+            right_keys=self.right_on,
+            join_type=self.join_type,
+        )
+
+
+def broadcast_lookup_join(ds, small: pa.Table, on, right_on=None, join_type="inner", small_columns=None):
+    """Join *ds* against the SMALL table *small* without any shuffle.
+
+    *small* is put in the object store once; every task zero-copy reads
+    it and runs pyarrow's vectorized hash join per batch."""
+    import ray
+
+    ref = ray.put(small)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return BroadcastJoiner(ref, on, right_on, join_type, small_columns)(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def partitioned_equi_join(left_ds, right_ds, on: str, num_buckets: int = 32, join_type="inner"):
+    """Both-sides-large equi-join: bucket BOTH sides by the same stable
+    key hash, co-locate buckets with one groupby, and hash-join inside
+    each bucket — an explicit partitioned hash join (SURVEY.md §4.2).
+
+    The two sides are union'd through the shuffle by padding each to the
+    union schema with null columns plus a side tag (nulls cost nothing
+    in Arrow); inside a bucket the sides are split back and joined with
+    pyarrow's C++ join.  Salt hot keys upstream; bucket count is the
+    parallelism knob.
+    """
+    left_schema: pa.Schema = left_ds.schema().base_schema
+    right_schema: pa.Schema = right_ds.schema().base_schema
+    left_cols = [f.name for f in left_schema]
+    right_cols = [f.name for f in right_schema]
+    union_fields = list(left_schema) + [
+        f for f in right_schema if f.name not in set(left_cols)
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def pad(batch: pa.Table, side: str) -> pa.Table:
+        arrays = []
+        for f in union_schema:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                arrays.append(col if col.type == f.type else col.cast(f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, f.type))
+        out = pa.Table.from_arrays(arrays, schema=union_schema)
+        pid = partition_ids(out[on], num_buckets)
+        out = out.append_column(PID_COL, pa.array(pid, type=pa.int64()))
+        return out.append_column("_side", pa.array([side] * out.num_rows))
+
+    left = left_ds.map_batches(lambda b: pad(b, "l"), batch_format="pyarrow")
+    right = right_ds.map_batches(lambda b: pad(b, "r"), batch_format="pyarrow")
+    both = left.union(right)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        l = group.filter(pc.equal(group["_side"], "l")).select(left_cols)
+        r = group.filter(pc.equal(group["_side"], "r")).select(right_cols)
+        return l.join(r, keys=[on], join_type=join_type)
+
+    return both.groupby(PID_COL).map_groups(join_bucket, batch_format="pyarrow")

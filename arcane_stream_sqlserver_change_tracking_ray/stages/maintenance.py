@@ -120,7 +120,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         cycle_id=cycle_id,
         partition_files={p: manifest.partitions[p] for p in pids},
         schema=manifest.schema,
-        max_rows_per_file=ctx.sink.max_rows_per_file,
+        max_rows_per_file=ctx.maintenance.compact_target_rows or ctx.sink.max_rows_per_file,
         compression=ctx.sink.parquet_compression,
     )
     res = (
