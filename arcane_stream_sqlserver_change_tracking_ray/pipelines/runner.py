@@ -533,9 +533,17 @@ class StreamRunner:
 # ---------------------------------------------------------------------------
 # target readers
 # ---------------------------------------------------------------------------
-def read_target(target_root: str, columns: list[str] | None = None, drop_meta: bool = False):
+def read_target(
+    target_root: str,
+    columns: list[str] | None = None,
+    drop_meta: bool = False,
+    version: int | None = None,
+):
     """The committed snapshot as a lazy ``ray.data.Dataset``; files from
-    the manifest only (uncommitted cycle output is invisible)."""
+    the manifest only (uncommitted cycle output is invisible).
+
+    ``version`` time-travels to an older retained snapshot (analog of
+    Iceberg snapshot reads; available until ``expire_versions`` GCs it)."""
     import os
 
     import ray.data
@@ -543,7 +551,7 @@ def read_target(target_root: str, columns: list[str] | None = None, drop_meta: b
     from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
 
     log = ManifestLog(target_root)
-    m = log.require_watermark()
+    m = log.read(version) if version is not None else log.require_watermark()
     files = sorted(m.all_files())
     if not files:
         return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))

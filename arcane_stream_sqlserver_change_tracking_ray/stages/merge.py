@@ -290,6 +290,7 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
     """Update manifest.partitions / lineage from merge stats; returns the
     cycle metrics dict (rows_in, upserts, deletes, bytes, partitions)."""
     totals = {"changes_in": 0, "upserts": 0, "deletes": 0, "bytes": 0, "rows": 0}
+    loads = []
     for s in stats:
         pid = int(s[PID_COL])
         files = json.loads(s["files_json"])
@@ -302,9 +303,20 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             "files": len(files),
             "bytes": int(s["bytes"]),
         }
+        loads.append(int(s["changes_in"]))
         for k in totals:
             totals[k] += int(s[k]) if k in s else 0
     totals["partitions_touched"] = len(stats)
+    # skew telemetry (SURVEY.md §4.2): per-cycle partition load histogram —
+    # a max/mean ratio near 1 means the key hash spreads hot url prefixes;
+    # sustained high ratios would call for re-bucketing the hot partitions
+    if loads:
+        mean = sum(loads) / len(loads)
+        totals["skew"] = {
+            "max_partition_changes": max(loads),
+            "mean_partition_changes": round(mean, 1),
+            "max_over_mean": round(max(loads) / mean, 3) if mean else 0.0,
+        }
     return totals
 
 
