@@ -381,12 +381,17 @@ class StreamRunner:
         (docs/crd.md:77-81).  Shard completion is tracked in a state file
         so a restarted backfill skips finished shards (G2).
         """
-        import json
-        import os
+        try:
+            return self._run_backfill_inner()
+        finally:
+            self.close()
 
+    def _run_backfill_inner(self) -> Manifest:
         from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import (
             snapshot_version,
         )
+        import json
+        import os
 
         ctx = self.ctx
         manifest = self.log.require_watermark()

@@ -114,7 +114,7 @@ def ensure_merge_key_alias(t: pa.Table, key_col: str) -> pa.Table:
 
 
 def drop_tombstones(t: pa.Table) -> pa.Table:
-    if OP_COL not in t.column_names:
+    if OP_COL not in t.column_names or t.num_rows == 0:
         return t
     return t.filter(pc.not_equal(pc.coalesce(t[OP_COL], pa.scalar("U")), OP_DELETE))
 
