@@ -87,6 +87,9 @@ class SinkSettings:
     merge_strategy: str = "actors"
     #: owner-actor count; 0 = min(num_partitions, cluster CPUs)
     merge_actors: int = 0
+    #: compress actor-exchange slices as Arrow IPC ("lz4"/"zstd"; "" = off):
+    #: trades abundant CPU for object-store bandwidth
+    exchange_compression: str = ""
 
 
 @dataclass

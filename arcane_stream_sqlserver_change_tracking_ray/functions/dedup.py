@@ -24,7 +24,6 @@ results are reproducible across runs and cluster sizes.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

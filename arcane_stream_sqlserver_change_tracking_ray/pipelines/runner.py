@@ -176,6 +176,7 @@ class StreamRunner:
                     num_actors=sink.merge_actors,
                     compression=sink.parquet_compression,
                     max_rows_per_file=sink.max_rows_per_file,
+                    exchange_compression=sink.exchange_compression,
                 )
             return self._pool.apply_change_batch(
                 ds,

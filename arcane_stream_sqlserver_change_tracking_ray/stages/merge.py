@@ -356,6 +356,18 @@ def _make_owner_actor():
                 self.buf.setdefault(pid, []).append(t)
             return sum(t.num_rows for _, t in slices)
 
+        def add_ipc(self, slices: list[tuple[int, bytes]]) -> int:
+            """Compressed-exchange variant: slices arrive as Arrow IPC
+            buffers (lz4/zstd) — the object store then carries 2-4x
+            fewer bytes at a small CPU cost, a good trade on
+            bandwidth-bound hosts (BENCH/BASELINE.md)."""
+            n = 0
+            for pid, buf in slices:
+                t = pa.ipc.open_stream(pa.BufferReader(buf)).read_all()
+                self.buf.setdefault(pid, []).append(t)
+                n += t.num_rows
+            return n
+
         def reset(self) -> None:
             """Drop buffered deltas (start of cycle / after a failed one)."""
             self.buf.clear()
@@ -443,6 +455,7 @@ class ActorMergePool:
         num_actors: int = 0,
         compression: str = "zstd",
         max_rows_per_file: int = 1_000_000,
+        exchange_compression: str = "",
     ):
         import ray
 
@@ -455,6 +468,12 @@ class ActorMergePool:
             for _ in range(num_actors)
         ]
         self.num_partitions = num_partitions
+        if exchange_compression not in ("", "lz4", "zstd"):
+            raise ValueError(
+                f"unknown exchange_compression: {exchange_compression!r} "
+                "(expected '', 'lz4' or 'zstd')"
+            )
+        self.exchange_compression = exchange_compression
 
     def apply_change_batch(
         self,
@@ -472,6 +491,7 @@ class ActorMergePool:
         actors = self.actors
         A = len(actors)
         P = self.num_partitions
+        codec = self.exchange_compression
 
         ray.get([a.reset.remote() for a in actors])
 
@@ -485,10 +505,18 @@ class ActorMergePool:
             per_actor: dict[int, list] = {}
             for s, e in zip(bounds[:-1], bounds[1:]):
                 p = int(pids[s])
-                per_actor.setdefault(p % A, []).append((p, b.slice(s, e - s)))
+                sl = b.slice(s, e - s)
+                if codec:
+                    sink = pa.BufferOutputStream()
+                    opts = pa.ipc.IpcWriteOptions(compression=codec)
+                    with pa.ipc.new_stream(sink, sl.schema, options=opts) as w:
+                        w.write_table(sl)
+                    sl = sink.getvalue().to_pybytes()
+                per_actor.setdefault(p % A, []).append((p, sl))
             # blocking gets provide backpressure: a task finishes only
             # after its owners ingested the slices
-            ray.get([actors[a].add.remote(sl) for a, sl in per_actor.items()])
+            method = "add_ipc" if codec else "add"
+            ray.get([getattr(actors[a], method).remote(sl) for a, sl in per_actor.items()])
             return pa.table({"rows_pushed": [batch.num_rows]})
 
         pushed = changes_ds.map_batches(

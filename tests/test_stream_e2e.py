@@ -50,14 +50,23 @@ def test_watermark_gate_negative(tmp_lake):
         StreamRunner(make_ctx(ct, tgt)).run()
 
 
-@pytest.mark.parametrize("strategy", ["actors", "groupby"])
+@pytest.mark.parametrize(
+    "strategy",
+    [
+        {"merge_strategy": "actors"},
+        {"merge_strategy": "groupby"},
+        # compressed exchange must be result-identical to uncompressed
+        {"merge_strategy": "actors", "exchange_compression": "lz4"},
+    ],
+    ids=["actors", "groupby", "actors-lz4"],
+)
 def test_full_replay_matches_oracle(tmp_lake, strategy):
-    """Both merge strategies (owner actors / Dataset groupby) must yield
-    the identical oracle state."""
+    """Every merge strategy/exchange variant must yield the identical
+    oracle state."""
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
     prepare_watermark(tgt, version=0, num_partitions=8)
-    runner = StreamRunner(make_ctx(ct, tgt, sink={"merge_strategy": strategy}))
+    runner = StreamRunner(make_ctx(ct, tgt, sink=strategy))
     metrics = runner.run()
     assert len(metrics) >= 2  # multiple poll cycles, not one big batch
     assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
