@@ -111,6 +111,11 @@ class ThroughputSettings:
     """
 
     rows_per_group: int = 50_000
+    #: reference semantics: a group closes on rowsPerGroup OR this interval,
+    #: whichever first.  In the poll model the interval IS the poll tick:
+    #: a cycle takes min(rows_per_group, everything available) and never
+    #: waits to fill a group, so the count cap + changeCaptureInterval
+    #: reproduce the same behavior; kept for spec compatibility.
     grouping_interval_seconds: float = 15.0
     #: token-bucket: advised events/sec admitted into the tailer; 0 = unlimited
     advised_rate: float = 0.0

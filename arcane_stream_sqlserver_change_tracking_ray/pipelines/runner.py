@@ -601,6 +601,34 @@ def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
     return out
 
 
+def lookup_keys(target_root: str, keys: list[str], key_col: str = MERGE_KEY_COL) -> pa.Table:
+    """Point lookups with partition pruning: hash each key to its owning
+    partition and read ONLY those partitions' files — at P=4096 on a
+    100 TB table a lookup touches ~0.025% of the data.  The same pruning
+    the reference gets from Iceberg ``bucket(arcane_merge_key, P)``."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
+        cast_to_schema,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import partition_ids
+
+    log = ManifestLog(target_root)
+    m = log.require_watermark()
+    pids = set(partition_ids(pa.array(keys, pa.string()), m.num_partitions).tolist())
+    tables = []
+    for pid in sorted(pids):
+        for rel in m.partitions.get(pid, []):
+            t = cast_to_schema(pq.read_table(os.path.join(target_root, rel)), m.schema)
+            tables.append(t.filter(pc.is_in(t[key_col], value_set=pa.array(keys))))
+    if not tables:
+        return m.schema.empty_table() if m.schema else pa.table({})
+    return pa.concat_tables(tables)
+
+
 def get_watermark(target_root: str) -> int:
     """Testkit analog of the reference's ``getWatermark``."""
     return ManifestLog(target_root).require_watermark().watermark

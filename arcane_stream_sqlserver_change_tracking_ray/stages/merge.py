@@ -23,6 +23,12 @@ Partition routing must be stable ACROSS runs and processes (files
 persist): we use ``pandas.util.hash_array`` (SipHash with a fixed key),
 never Python's salted ``hash()``.
 
+The owner-actor strategy keys partition state to a single owner the way
+Flink keys operator state to key groups (Carbone et al., "State
+Management in Apache Flink", VLDB 2017 — PAPERS.md); the manifest log
+follows Delta Lake's mutual-exclusion-on-rename protocol (Armbrust et
+al., VLDB 2020).
+
 Scale notes: only partitions touched by the cycle are rewritten; the
 group payload held in memory is (changes for one partition) + (that
 partition's current files) — size P so target_size/P is ~0.5-2 GB.
