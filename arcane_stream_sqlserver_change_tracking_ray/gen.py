@@ -298,18 +298,28 @@ def expected_final_state(ctlog_dir: str, upto_version: int | None = None) -> pa.
         con.close()
 
 
-def write_snapshot(ctlog_dir: str, out_dir: str, at_version: int) -> str:
+def write_snapshot(
+    ctlog_dir: str, out_dir: str, at_version: int, num_files: int = 1
+) -> list[str]:
     """Materialize the base-table state at *at_version* as a parquet
     snapshot dir — the backfill source (reference S2 re-reads the whole
-    source table; ours re-reads this snapshot)."""
+    source table; ours re-reads this snapshot).  *num_files* > 1 splits
+    it into several files = several restartable backfill shards (the
+    analog of the reference's shard tables under
+    ``backfillShardSchemaName``)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     tbl = expected_final_state(ctlog_dir, upto_version=at_version)
     tbl = tbl.drop_columns([VERSION_COL]) if VERSION_COL in tbl.column_names else tbl
-    path = os.path.join(out_dir, f"snapshot-v{at_version:012d}.parquet")
-    pq.write_table(tbl, path, compression="zstd")
-    return path
+    paths = []
+    step = -(-tbl.num_rows // max(num_files, 1)) or 1
+    for i in range(num_files):
+        chunk = tbl.slice(i * step, step)
+        path = os.path.join(out_dir, f"shard{i:04d}-snapshot-v{at_version:012d}.parquet")
+        pq.write_table(chunk, path, compression="zstd")
+        paths.append(path)
+    return paths
 
 
 def small_spec(**overrides) -> CtLogSpec:

@@ -84,22 +84,41 @@ def test_backfill_shard_restart_skips_completed(tmp_lake):
     """G2: a restarted backfill skips finished shards (state file)."""
     ct, tgt, snap = tmp_lake
     write_ctlog(ct, small_spec())
-    write_snapshot(ct, snap, at_version=500)
-    files = sorted(os.listdir(snap))
+    paths = write_snapshot(ct, snap, at_version=1000, num_files=3)
+    assert len(paths) == 3
     prepare_watermark(tgt, version=0, num_partitions=4)
     ctx = make_ctx(ct, tgt, snap)
     r = StreamRunner(ctx)
-    # pre-plant a completed-shard state file claiming shard 0 done with no files
+    # pre-plant a completed-shard state file claiming shard 0 done with no
+    # files: if the restart re-ran shard 0, its rows would appear
     state_dir = os.path.join(tgt, "_backfill")
     os.makedirs(state_dir)
     with open(os.path.join(state_dir, "t1.json"), "w") as f:
-        json.dump({"shards": {"0": {}}, "at_version": 500}, f)
+        json.dump({"shards": {"0": {}}, "at_version": 1000}, f)
     r.run_backfill()
-    # shard 0 was "already done" (empty) -> target only has shard-1+ content;
-    # with a single snapshot file the target is empty, proving the skip
-    if len(files) == 1:
-        assert read_target_table(tgt).num_rows == 0
     assert not os.path.exists(os.path.join(state_dir, "t1.json"))
+    got = read_target_table(tgt)
+    exp = expected_final_state(ct)
+    # shards 1+2 processed, shard 0 skipped -> exactly the oracle minus
+    # shard 0's key range
+    import pyarrow.parquet as pq
+
+    shard0_urls = set(pq.read_table(paths[0], columns=["url"])["url"].to_pylist())
+    assert set(got["url"].to_pylist()) == set(exp["url"].to_pylist()) - shard0_urls
+    assert 0 < got.num_rows < exp.num_rows
+
+
+def test_backfill_multi_shard_complete(tmp_lake):
+    """A 3-shard overwrite backfill converges to the full oracle."""
+    ct, tgt, snap = tmp_lake
+    write_ctlog(ct, small_spec())
+    write_snapshot(ct, snap, at_version=1000, num_files=3)
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    StreamRunner(make_ctx(ct, tgt, snap)).run_backfill()
+    got = read_target_table(tgt).drop_columns(["sys_change_version"])
+    exp = expected_final_state(ct).drop_columns(["sys_change_version"])
+    assert_tables_equal(got, exp)
+    assert get_watermark(tgt) == 1000
 
 
 def test_golden_stream_backfill_stream(tmp_lake):
