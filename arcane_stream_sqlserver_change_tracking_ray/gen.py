@@ -286,7 +286,7 @@ def expected_final_state(ctlog_dir: str, upto_version: int | None = None) -> pa.
     """DuckDB LWW oracle over the generated log (FIXTURES.md F3)."""
     import duckdb
 
-    where = f"WHERE {VERSION_COL} <= {upto_version}" if upto_version else ""
+    where = f"WHERE {VERSION_COL} <= {upto_version}" if upto_version is not None else ""
     sql = LWW_ORACLE_SQL.format(
         op=OP_COL, ver=VERSION_COL, src=f"read_parquet('{ctlog_dir}/*.parquet', union_by_name=true)",
         where=where,

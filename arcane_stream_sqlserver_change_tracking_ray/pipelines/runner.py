@@ -212,15 +212,14 @@ class StreamRunner:
         swept = self.log.sweep_uncommitted()
         if swept:
             logger.info("startup sweep removed %d uncommitted dirs", len(swept))
-        columns = None
-        if self.ctx.field_selection.is_server_side and self.ctx.field_selection.rule != "all":
-            columns = None  # resolved per poll from file metadata (names differ per segment)
         self.tailer = ChangeFeedTailer(
             self.ctx.source.ctlog_dir,
             manifest.watermark,
             rows_per_poll=self.ctx.throughput.rows_per_group,
             fetch_size=self.ctx.source.fetch_size,
-            columns=columns,
+            # server-side projection (T1) is resolved per poll from the
+            # chosen segments' metadata in run_cycle (names differ per segment)
+            columns=None,
             poll_interval=self.ctx.source.change_capture_interval,
             jitter=self.ctx.source.change_capture_jitter,
             jitter_seed=self.ctx.source.change_capture_jitter_seed,
@@ -553,8 +552,6 @@ def read_target(
     import os
 
     import ray.data
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
 
     log = ManifestLog(target_root)
     m = log.read(version) if version is not None else log.require_watermark()
