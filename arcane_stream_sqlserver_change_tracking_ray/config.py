@@ -164,6 +164,15 @@ class StreamContext:
     observability: ObservabilitySettings = field(default_factory=ObservabilitySettings)
 
     # ------------------------------------------------------------------ io
+    @staticmethod
+    def _snake(name: str) -> str:
+        """Accept the reference's camelCase spec keys (``rowsPerGroup``,
+        ``streamMode``, ...) alongside snake_case, so an existing stream
+        spec ports without renaming."""
+        import re
+
+        return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
     @classmethod
     def from_dict(cls, spec: dict[str, Any]) -> "StreamContext":
         def build(dc_cls, data):
@@ -172,15 +181,22 @@ class StreamContext:
             names = {f.name for f in dataclasses.fields(dc_cls)}
             kwargs = {}
             for k, v in data.items():
-                if k not in names:
+                key = cls._snake(k)
+                if key not in names:
                     raise ValueError(f"unknown {dc_cls.__name__} setting: {k!r}")
-                fld = next(f for f in dataclasses.fields(dc_cls) if f.name == k)
                 if isinstance(v, list):
                     v = tuple(v)
-                kwargs[k] = v
-                _ = fld
+                kwargs[key] = v
             return dc_cls(**kwargs)
 
+        spec = {cls._snake(k): v for k, v in spec.items()}
+        known = {
+            "source", "field_selection", "staging", "sink",
+            "stream_mode", "throughput", "maintenance", "observability",
+        }
+        unknown = set(spec) - known
+        if unknown:
+            raise ValueError(f"unknown StreamContext section(s): {sorted(unknown)}")
         return cls(
             source=build(SourceSettings, spec.get("source")),
             field_selection=build(FieldSelectionSettings, spec.get("field_selection")),

@@ -159,3 +159,23 @@ def test_cli_prepare_watermark_and_stream(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["cycles"] >= 1
     assert ManifestLog(tgt).latest().watermark == 1000
+
+def test_camelcase_spec_keys_accepted():
+    """The reference's camelCase spec keys port without renaming."""
+    ctx = StreamContext.from_dict(
+        {
+            "streamMode": {"backfill": True, "backfillBehavior": "merge"},
+            "throughput": {"rowsPerGroup": 777, "groupingIntervalSeconds": 5},
+            "source": {"changeCaptureInterval": 30, "fetchSize": 256,
+                       "keyColumns": ["url"]},
+        }
+    )
+    assert ctx.stream_mode.backfill and ctx.stream_mode.backfill_behavior == "merge"
+    assert ctx.throughput.rows_per_group == 777
+    assert ctx.source.change_capture_interval == 30
+    assert ctx.source.fetch_size == 256
+
+
+def test_unknown_section_rejected():
+    with pytest.raises(ValueError, match="unknown StreamContext section"):
+        StreamContext.from_dict({"sinks": {}})
