@@ -14,6 +14,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 from __future__ import annotations
 
 import shutil
+import sys
 import tempfile
 from collections.abc import Callable
 from typing import Any
@@ -40,6 +41,43 @@ from arcane_stream_sqlserver_change_tracking_ray.types import (
     OP_COL,
     VERSION_COL,
 )
+
+
+def _register_package_by_value() -> None:
+    """Ship this repo's code to Ray workers BY VALUE.
+
+    The driver calls ``ray.init`` before importing this module, possibly
+    from a cwd where ``/root/repo`` is not importable by worker processes
+    (workers inherit the raylet's cwd/PYTHONPATH, not the driver's
+    ``sys.path``).  Registering every package module with Ray's
+    cloudpickle makes all map_batches callables, closures and the merge
+    owner actor self-contained — no import needed on workers."""
+    try:
+        from ray import cloudpickle
+
+        import arcane_stream_sqlserver_change_tracking_ray  # noqa: F401
+        # import the submodules queries() relies on so they are registered
+        from arcane_stream_sqlserver_change_tracking_ray.functions import (  # noqa: F401
+            dedup, join, multimodal, similarity, text, transforms,
+        )
+        from arcane_stream_sqlserver_change_tracking_ray.pipelines import runner  # noqa: F401
+        from arcane_stream_sqlserver_change_tracking_ray.stages import (  # noqa: F401
+            maintenance, merge, schema_evo, staging,
+        )
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("arcane_stream_sqlserver_change_tracking_ray"):
+                cloudpickle.register_pickle_by_value(mod)
+        # this module defines map_batches callables of its own
+        this = sys.modules.get(__name__)
+        if this is not None:
+            cloudpickle.register_pickle_by_value(this)
+    except Exception:
+        pass  # ray not importable yet / vendored API changed: fall back to
+        # normal by-reference pickling (works whenever workers share the cwd)
+
+
+_register_package_by_value()
 
 
 def _read(sf_dir: str, table: str, **kw):

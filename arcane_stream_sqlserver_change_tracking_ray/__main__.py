@@ -93,21 +93,9 @@ def main(argv=None) -> int:
 
     ctx = _load_ctx(args)
     _init_ray()
-    if args.cmd == "stream" and not ctx.stream_mode.backfill:
-        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
-
-        metrics = StreamRunner(ctx).run(
-            max_cycles=args.max_cycles, max_seconds=args.max_seconds
-        )
-        print(json.dumps({"cycles": len(metrics), "metrics": metrics[-1] if metrics else {}}))
-        return 0
-    if args.cmd == "backfill" or ctx.stream_mode.backfill:
-        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
-
-        m = StreamRunner(ctx).run_backfill()
-        print(json.dumps({"version": m.version, "watermark": m.watermark}))
-        return 0
     if args.cmd == "maintenance":
+        # explicit subcommand wins: a leftover STREAMCONTEXT__BACKFILL=true
+        # in the environment must not turn a compaction into a backfill
         from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
             run_maintenance,
         )
@@ -115,6 +103,20 @@ def main(argv=None) -> int:
 
         out = run_maintenance(ManifestLog(ctx.sink.target_root), ctx)
         print(json.dumps(out))
+        return 0
+    if args.cmd == "backfill" or ctx.stream_mode.backfill:
+        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+
+        m = StreamRunner(ctx).run_backfill()
+        print(json.dumps({"version": m.version, "watermark": m.watermark}))
+        return 0
+    if args.cmd == "stream":
+        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+
+        metrics = StreamRunner(ctx).run(
+            max_cycles=args.max_cycles, max_seconds=args.max_seconds
+        )
+        print(json.dumps({"cycles": len(metrics), "metrics": metrics[-1] if metrics else {}}))
         return 0
     return 1
 

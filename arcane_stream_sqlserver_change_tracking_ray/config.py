@@ -238,5 +238,5 @@ class StreamContext:
         ``merge(other)``): *other* wins on any key it sets."""
         base = self.to_dict()
         for section, vals in other.items():
-            base.setdefault(section, {}).update(vals)
+            base.setdefault(self._snake(section), {}).update(vals)
         return StreamContext.from_dict(base)

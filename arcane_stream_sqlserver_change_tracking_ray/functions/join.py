@@ -28,14 +28,16 @@ class BroadcastJoiner:
         import ray
 
         small = small_ref if isinstance(small_ref, pa.Table) else ray.get(small_ref)
-        if small_columns:
-            keep = list(dict.fromkeys(list(right_on or on) + list(small_columns)))
-            small = small.select(keep)
-        self.small = small
         self.on = list(on) if isinstance(on, (list, tuple)) else [on]
         self.right_on = (
-            list(right_on) if isinstance(right_on, (list, tuple)) else [right_on]
-        ) if right_on else self.on
+            (list(right_on) if isinstance(right_on, (list, tuple)) else [right_on])
+            if right_on
+            else self.on
+        )
+        if small_columns:
+            keep = list(dict.fromkeys(self.right_on + list(small_columns)))
+            small = small.select(keep)
+        self.small = small
         self.join_type = join_type
 
     def __call__(self, batch: pa.Table) -> pa.Table:

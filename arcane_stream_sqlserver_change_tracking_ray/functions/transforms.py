@@ -52,18 +52,27 @@ def resolve_selected_columns(
     projection into the source SQL query).
     """
     fields_set = {normalize_name(f) for f in fields}
-    keep_always = set(essential)
+    # compare essential names NORMALIZED so a raw source column ("Doc$Id")
+    # is recognized as the essential key ("docid") before renaming happens
+    keep_always = {normalize_name(e) for e in essential}
     if rule == "all":
         selected = list(available)
     elif rule == "include":
-        selected = [c for c in available if normalize_name(c) in fields_set or c in keep_always]
+        selected = [
+            c for c in available
+            if normalize_name(c) in fields_set or normalize_name(c) in keep_always
+        ]
     elif rule == "exclude":
-        selected = [c for c in available if normalize_name(c) not in fields_set or c in keep_always]
+        selected = [
+            c for c in available
+            if normalize_name(c) not in fields_set or normalize_name(c) in keep_always
+        ]
     else:
         raise ValueError(f"unknown field-selection rule: {rule!r}")
-    missing = keep_always - set(selected) - (keep_always - set(available))
+    have = {normalize_name(c) for c in selected}
+    missing = keep_always - have
     if missing:
-        selected += [c for c in available if c in missing]
+        selected += [c for c in available if normalize_name(c) in missing]
     return selected
 
 

@@ -210,6 +210,13 @@ class StreamRunner:
         """
         manifest = self.log.require_watermark()
         swept = self.log.sweep_uncommitted()
+        if self.ctx.staging.enabled and self.ctx.staging.staging_root:
+            # custom staging roots live outside <target_root>/staging, which
+            # sweep_uncommitted covers; sweep them by prefix like the
+            # reference sweeps staging tables (docs/crd.md:45-48)
+            swept += G.sweep_staging(
+                self.ctx.staging.staging_root, self.ctx.staging.table_prefix
+            )
         if swept:
             logger.info("startup sweep removed %d uncommitted dirs", len(swept))
         self.tailer = ChangeFeedTailer(
@@ -261,7 +268,7 @@ class StreamRunner:
             )
             file_schema = pa.schema([f for f in file_schema if f.name in set(columns)])
         self.tailer.columns = columns
-        polled = self.tailer.poll()
+        polled = self.tailer.poll(planned=(paths, hi))
         assert polled is not None
         ds, hi = polled
 
@@ -448,6 +455,7 @@ class StreamRunner:
                 state = json.load(f)
             stamp = state["at_version"]
 
+        overwrite_schema = self._overwrite_schema(files, manifest)  # loop-invariant
         for si, shard_file in enumerate(files):
             key = str(si)
             if key in state["shards"]:
@@ -462,7 +470,7 @@ class StreamRunner:
                 target_root=ctx.sink.target_root,
                 cycle_id=cycle_id,
                 partition_files={},  # fresh layout: ignore current target
-                schema=self._overwrite_schema(files, manifest),
+                schema=overwrite_schema,
                 num_partitions=manifest.num_partitions,
                 max_rows_per_file=ctx.sink.max_rows_per_file,
                 compression=ctx.sink.parquet_compression,
@@ -484,7 +492,7 @@ class StreamRunner:
         for shard in state["shards"].values():
             for pid_s, fl in shard.items():
                 nxt.partitions.setdefault(int(pid_s), []).extend(fl)
-        nxt.schema = self._overwrite_schema(files, manifest)
+        nxt.schema = overwrite_schema
         nxt.watermark = max(stamp, manifest.watermark)
         nxt.metrics = {
             "backfill": {

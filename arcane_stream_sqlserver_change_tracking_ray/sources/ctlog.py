@@ -124,14 +124,19 @@ class ChangeFeedTailer:
                 break
         return chosen, hi
 
-    def poll(self):
+    def poll(self, planned: tuple[list[str], int] | None = None):
         """Return ``(dataset, hi_version)`` for versions
         ``(watermark, hi]`` or None.  Does NOT advance the cursor — call
         ``advance(hi)`` only after the cycle commits, so a failed cycle
-        re-polls the same range (exactly-once via idempotent replay)."""
+        re-polls the same range (exactly-once via idempotent replay).
+
+        Pass the ``plan()`` result the cycle already inspected so the
+        read covers EXACTLY the segments the cycle's schema decision was
+        made from — re-planning here could pick up a segment that landed
+        in between, whose new columns the decided schema would drop."""
         import ray.data
 
-        planned = self.plan()
+        planned = planned if planned is not None else self.plan()
         if planned is None:
             return None
         paths, hi = planned

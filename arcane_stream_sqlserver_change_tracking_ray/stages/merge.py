@@ -387,10 +387,12 @@ def _make_owner_actor():
             key_col: str = MERGE_KEY_COL,
         ) -> list[dict]:
             """Merge buffered deltas into owned partitions, copy-on-write."""
-            from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
-                cast_to_schema,
-            )
-
+            # NOTE: no package imports inside worker-executed code — when the
+            # driver ships this class by value (foreign-cwd drivers,
+            # __ray_entry__ registers the package with ray.cloudpickle), a
+            # runtime import would fail on workers; use the module globals
+            # captured at definition time (cast_to_schema is imported at the
+            # top of this module).
             out: list[dict] = []
             out_dir = os.path.join(self.target_root, "cycles", cycle_id)
             for pid, tables in sorted(self.buf.items()):
@@ -417,10 +419,10 @@ def _make_owner_actor():
                     alive = alive.sort_by([(c, "ascending") for c in sorted_by])
                 os.makedirs(out_dir, exist_ok=True)
                 rels, nbytes = [], 0
-                for off in range(0, max(alive.num_rows, 1), self.max_rows_per_file):
+                # fully-deleted partition -> no files; fold_stats then drops
+                # it from the manifest (same behavior as the groupby path)
+                for off in range(0, alive.num_rows, self.max_rows_per_file):
                     chunk = alive.slice(off, self.max_rows_per_file)
-                    if chunk.num_rows == 0 and alive.num_rows > 0:
-                        continue
                     name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
                     path = os.path.join(out_dir, name)
                     pq.write_table(chunk, path, compression=self.compression)
@@ -502,6 +504,8 @@ class ActorMergePool:
         ray.get([a.reset.remote() for a in actors])
 
         def push(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"rows_pushed": [0]})
             batch = lww_table(batch, key_col)  # within-batch combiner (M2)
             pid = partition_ids(batch[key_col], P)
             order = np.argsort(pid, kind="stable")

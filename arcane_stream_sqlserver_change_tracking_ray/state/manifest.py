@@ -220,6 +220,26 @@ class ManifestLog:
                            for v in self.versions()
                            for p in self.read(v).all_files()
                            if p.startswith(CYCLES_DIR + "/")}
+        # ... and any referenced by an in-flight backfill's shard state, so
+        # a streaming bootstrap between backfill attempts cannot delete
+        # completed shards the resumed backfill will point its flip at
+        bf_dir = os.path.join(self.root, "_backfill")
+        if os.path.isdir(bf_dir):
+            import json as _json
+
+            for name in os.listdir(bf_dir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(bf_dir, name), encoding="utf-8") as f:
+                        state = _json.load(f)
+                except (OSError, ValueError):
+                    continue
+                for shard in state.get("shards", {}).values():
+                    for files in shard.values():
+                        for rel in files:
+                            if rel.startswith(CYCLES_DIR + "/"):
+                                live_cycle_dirs.add(rel.split("/", 2)[1])
         removed: list[str] = []
         cycles_root = os.path.join(self.root, CYCLES_DIR)
         if os.path.isdir(cycles_root):

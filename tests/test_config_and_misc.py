@@ -179,3 +179,62 @@ def test_camelcase_spec_keys_accepted():
 def test_unknown_section_rejected():
     with pytest.raises(ValueError, match="unknown StreamContext section"):
         StreamContext.from_dict({"sinks": {}})
+
+
+def test_merge_override_camelcase_section():
+    """Section-key spelling must not decide whether merge() merges or
+    replaces: a camelCase override updates the section in place."""
+    ctx = StreamContext.from_dict(
+        {"stream_mode": {"backfill": True, "backfill_behavior": "merge"}}
+    )
+    merged = ctx.merge({"streamMode": {"backfillId": "x"}})
+    assert merged.stream_mode.backfill is True
+    assert merged.stream_mode.backfill_behavior == "merge"
+    assert merged.stream_mode.backfill_id == "x"
+
+
+def test_sweep_preserves_inflight_backfill_shards(tmp_path):
+    """A streaming bootstrap between backfill attempts must not delete
+    completed shard output the resumed backfill will commit."""
+    import json as _json
+
+    root = str(tmp_path / "t")
+    prepare_watermark(root, 0, num_partitions=2)
+    shard_dir = os.path.join(root, "cycles", "backfill-bf1-s0000")
+    os.makedirs(shard_dir)
+    open(os.path.join(shard_dir, "part-00000-x.parquet"), "w").write("d")
+    orphan = os.path.join(root, "cycles", "orphan")
+    os.makedirs(orphan)
+    os.makedirs(os.path.join(root, "_backfill"))
+    with open(os.path.join(root, "_backfill", "bf1.json"), "w") as f:
+        _json.dump(
+            {"shards": {"0": {"0": ["cycles/backfill-bf1-s0000/part-00000-x.parquet"]}},
+             "at_version": 5},
+            f,
+        )
+    removed = ManifestLog(root).sweep_uncommitted()
+    assert "cycles/orphan" in removed
+    assert os.path.exists(os.path.join(shard_dir, "part-00000-x.parquet"))
+
+
+def test_cli_maintenance_ignores_env_backfill_flag(tmp_path):
+    """maintenance subcommand must not be hijacked into a backfill by a
+    leftover STREAMCONTEXT__BACKFILL=true in the environment."""
+    ct = str(tmp_path / "ct")
+    tgt = str(tmp_path / "tgt")
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, 0, num_partitions=2)
+    spec = tmp_path / "spec.json"
+    spec.write_text(json.dumps({
+        "source": {"ctlog_dir": ct, "key_columns": ["url"], "snapshot_dir": ct},
+        "sink": {"target_root": tgt, "num_partitions": 2},
+    }))
+    env = dict(os.environ, RAY_ADDRESS="local", STREAMCONTEXT__BACKFILL="true")
+    r = subprocess.run(
+        [sys.executable, "-m", "arcane_stream_sqlserver_change_tracking_ray",
+         "maintenance", "--spec", str(spec)],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "optimize" in out  # maintenance ran, not a backfill
