@@ -451,8 +451,10 @@ def embedding_neardup(sf_dir: str):
         embedding_neardup_pairs,
     )
 
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ~0.51), so use a threshold that surfaces the closest pairs
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9, planes=4)
+    return embedding_neardup_pairs(ds, threshold=0.4, planes=4)
 
 
 # ===========================================================================
