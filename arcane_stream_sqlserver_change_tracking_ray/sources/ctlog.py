@@ -111,13 +111,31 @@ class ChangeFeedTailer:
     # ------------------------------------------------------------------
     def plan(self) -> tuple[list[str], int] | None:
         """Choose the segment files for the next poll; returns
-        ``(paths, hi_version)`` or None when fully caught up."""
+        ``(paths, hi_version)`` or None when fully caught up.
+
+        Contiguity guard: if the next available segment starts beyond
+        ``watermark + 1`` (segments landed out of order), the tailer
+        WAITS rather than advancing the watermark over a hole — skipping
+        versions would silently lose their events forever (SURVEY.md
+        §7.5.6: version ordering across cycles)."""
         segs = [s for s in list_segments(self.ctlog_dir) if s[1] > self.watermark]
         if not segs:
+            return None
+        if segs[0][0] > self.watermark + 1:
+            import logging
+
+            logging.getLogger("arcane_ray.tailer").warning(
+                "version gap: watermark=%d but next segment starts at %d; "
+                "waiting for the missing range",
+                self.watermark,
+                segs[0][0],
+            )
             return None
         chosen: list[str] = []
         hi = self.watermark
         for lo, seg_hi, path in segs:
+            if lo > hi + 1:
+                break  # later gap: poll only the contiguous prefix
             chosen.append(path)
             hi = seg_hi
             if hi - self.watermark >= self.rows_per_poll:

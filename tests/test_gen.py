@@ -81,3 +81,28 @@ def test_tailer_jitter_deterministic(tmp_path):
     b = ChangeFeedTailer(d, 0, poll_interval=10, jitter=0.5, jitter_seed=7)
     assert [a.next_interval() for _ in range(5)] == [b.next_interval() for _ in range(5)]
     assert all(5 <= x <= 15 for (x) in [a.next_interval() for _ in range(20)])
+
+def test_tailer_waits_on_version_gap(tmp_path):
+    """Out-of-order segment arrival must never advance the watermark over
+    a hole (those versions would be lost forever)."""
+    import os
+    import shutil
+
+    stage = str(tmp_path / "all")
+    live = str(tmp_path / "live")
+    write_ctlog(stage, small_spec())  # segments of 200 versions each
+    segs = sorted(os.listdir(stage))
+    os.makedirs(live)
+    # segment 3 (v401-600) arrives BEFORE segments 1-2
+    shutil.copy(os.path.join(stage, segs[2]), os.path.join(live, segs[2]))
+    t = ChangeFeedTailer(live, watermark=0, rows_per_poll=10_000)
+    assert t.plan() is None  # waits: next segment starts at 401, wm=0
+    # first segment lands -> only the contiguous prefix (v1-200) is planned
+    shutil.copy(os.path.join(stage, segs[0]), os.path.join(live, segs[0]))
+    paths, hi = t.plan()
+    assert hi == 200 and len(paths) == 1
+    t.advance(hi)
+    assert t.plan() is None  # v201-400 still missing
+    shutil.copy(os.path.join(stage, segs[1]), os.path.join(live, segs[1]))
+    paths, hi = t.plan()
+    assert hi == 600 and len(paths) == 2
