@@ -290,8 +290,9 @@ def run_scaling() -> None:
         },
         "machine_memory_bandwidth_mb_s": bw,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w", encoding="utf-8") as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "scaling.json"), "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc))
 
