@@ -106,3 +106,13 @@ def test_tailer_waits_on_version_gap(tmp_path):
     shutil.copy(os.path.join(stage, segs[1]), os.path.join(live, segs[1]))
     paths, hi = t.plan()
     assert hi == 600 and len(paths) == 2
+
+
+def test_tailer_satisfies_change_source_protocol(tmp_path):
+    """The bundled tailer implements the user-extension surface."""
+    from arcane_stream_sqlserver_change_tracking_ray.sources.base import ChangeSource
+
+    d = str(tmp_path / "ct")
+    write_ctlog(d, small_spec())
+    t = ChangeFeedTailer(d, 0)
+    assert isinstance(t, ChangeSource)
