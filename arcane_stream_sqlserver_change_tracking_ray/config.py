@@ -90,6 +90,19 @@ class SinkSettings:
     #: compress actor-exchange slices as Arrow IPC ("lz4"/"zstd"; "" = off):
     #: trades abundant CPU for object-store bandwidth
     exchange_compression: str = ""
+    #: "mor" (merge-on-read, default) = each cycle writes per-partition
+    #: DELTA files only; readers resolve base+deltas with LWW and the
+    #: maintenance OPTIMIZE pass folds deltas into base files.  Cycle cost
+    #: scales with cycle size, not table size — at 100 TB a CoW cycle
+    #: would rewrite ~the whole table (reference gets file-level CoW +
+    #: metadata pruning from Iceberg MERGE, docs/crd.md:136-172).
+    #: "cow" = rewrite touched partitions every cycle (reads stay
+    #: zero-overhead; right for small tables / high read:write ratios).
+    merge_mode: str = "mor"
+    #: fsync data files before the manifest commit and the manifest log
+    #: dir after it, so a published manifest never references
+    #: non-durable parquet (power-loss safety; SIGKILL is safe either way)
+    durable_writes: bool = True
 
 
 @dataclass
@@ -140,6 +153,10 @@ class MaintenanceSettings:
     #: rows per file OPTIMIZE compacts into (0 = sink.max_rows_per_file);
     #: the reference targets ~512MB files regardless of write-time chunking
     compact_target_rows: int = 0
+    #: merge-on-read fold trigger: partitions holding more than this many
+    #: delta files are folded (base+deltas -> new base) by OPTIMIZE even
+    #: if their base files are healthy
+    max_deltas_per_partition: int = 8
 
 
 @dataclass

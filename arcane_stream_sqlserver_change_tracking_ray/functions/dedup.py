@@ -214,7 +214,24 @@ class MinHashBandStage:
         )
 
 
-def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, k_shingle=3, seed=42):
+def _cap_bucket(ids: np.ndarray, max_bucket: int, kind: str) -> np.ndarray:
+    """Cap a pair-emission bucket at *max_bucket* members — an adversarial
+    or boilerplate-heavy bucket otherwise emits O(n²) pairs in one task.
+    Truncation is LOGGED (no silent caps); ids are sorted so the kept
+    prefix is deterministic."""
+    if len(ids) <= max_bucket:
+        return ids
+    import logging
+
+    logging.getLogger("arcane_ray.dedup").warning(
+        "%s bucket capped: %d -> %d members (pairs beyond the cap are "
+        "dropped; raise bands/chunks to split hot buckets)",
+        kind, len(ids), max_bucket,
+    )
+    return ids[:max_bucket]
+
+
+def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, bands=16, k_shingle=3, seed=42, max_bucket=8192):
     """Candidate near-dup pairs (id_a < id_b) from LSH banding.
 
     The group payload is doc IDS ONLY; emitting pairs within a bucket.
@@ -225,6 +242,7 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, ba
         ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ids = _cap_bucket(ids, max_bucket, "minhash-band")
         ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table({"id_a": pa.array(ids[ia]), "id_b": pa.array(ids[ib])})
 
@@ -306,7 +324,7 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(sig.view(np.int64), pa.int64()))
 
 
-def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_shingle=3):
+def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_shingle=3, max_bucket=8192):
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: split the 64-bit signature into 4 16-bit chunks; any pair
@@ -337,6 +355,10 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_s
         sig = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids, uniq_idx = np.unique(ids, return_index=True)
         sig = sig[uniq_idx]
+        if len(ids) > max_bucket:
+            capped = _cap_bucket(ids, max_bucket, "simhash-chunk")
+            sig = sig[: len(capped)]
+            ids = capped
         if len(ids) < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

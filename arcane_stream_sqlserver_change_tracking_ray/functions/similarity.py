@@ -69,6 +69,16 @@ class BruteForceTopK:
         self.id_col, self.emb_col, self.k = id_col, emb_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # empty blocks happen legitimately (e.g. lsh_topk's bucket filter on
+        # a sparse bucket distribution); emit an empty result, don't crash
+        if batch.num_rows == 0 or min(self.k, batch.num_rows) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         x = _normalize(embedding_matrix(batch[self.emb_col]).astype(self.dtype))  # (n, d)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = x @ self.q.T  # (n, m)
@@ -183,15 +193,34 @@ def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding"
 # ---------------------------------------------------------------------------
 # embedding cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
-def embedding_neardup_pairs(ds, threshold=0.95, id_col="vec_id", emb_col="embedding", planes=6, seed=42):
+def embedding_dim(ds, emb_col: str = "embedding") -> int:
+    """Embedding dimensionality from the Dataset SCHEMA (no data read)
+    for fixed_size_list columns; falls back to sniffing one batch for
+    plain list<float> (schema carries no length there)."""
+    try:
+        field = ds.schema().base_schema.field(emb_col)
+    except Exception:
+        field = None
+    if field is not None and pa.types.is_fixed_size_list(field.type):
+        return field.type.list_size
+    first = ds.take_batch(1, batch_format="pyarrow")
+    return embedding_matrix(first[emb_col]).shape[1]
+
+
+def embedding_neardup_pairs(
+    ds, threshold=0.95, id_col="vec_id", emb_col="embedding", planes=6, seed=42,
+    dim: int | None = None, max_bucket: int = 8192,
+):
     """All pairs (id_a < id_b) with cosine >= threshold.
 
     Bucket first (near-identical vectors share buckets with high
-    probability), compare all pairs only within a bucket."""
+    probability), compare all pairs only within a bucket.  In-bucket
+    comparison is O(n²); *max_bucket* caps n per bucket (truncation is
+    LOGGED, never silent — a capped bucket means the hyperplane count
+    should be raised for this corpus)."""
     import ray
 
-    first = ds.take_batch(1, batch_format="pyarrow")
-    d = embedding_matrix(first[emb_col]).shape[1]
+    d = dim if dim is not None else embedding_dim(ds, emb_col)
     pl_ref = ray.put(hyperplanes(d, planes, seed))
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -199,6 +228,14 @@ def embedding_neardup_pairs(ds, threshold=0.95, id_col="vec_id", emb_col="embedd
         ids = group[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         x, ids = x[order], ids[order]
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger("arcane_ray.similarity").warning(
+                "neardup bucket capped: %d -> %d vectors (raise `planes` "
+                "to split this bucket)", len(ids), max_bucket,
+            )
+            x, ids = x[:max_bucket], ids[:max_bucket]
         s = x @ x.T
         ia, ib = np.triu_indices(len(ids), k=1)
         m = s[ia, ib] >= threshold

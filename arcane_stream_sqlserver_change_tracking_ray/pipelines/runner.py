@@ -164,6 +164,19 @@ class StreamRunner:
                 f"unknown sink.merge_strategy: {sink.merge_strategy!r} "
                 "(expected 'actors' or 'groupby')"
             )
+        if sink.merge_mode not in ("mor", "cow"):
+            raise ValueError(
+                f"unknown sink.merge_mode: {sink.merge_mode!r} (expected 'mor' or 'cow')"
+            )
+        # a CoW rewrite must fold any pending deltas too (it replaces the
+        # partition's visible state wholesale); MoR never reads them
+        if sink.merge_mode == "cow":
+            partition_files = {
+                pid: manifest.partitions.get(pid, []) + manifest.deltas.get(pid, [])
+                for pid in manifest.partition_pids()
+            }
+        else:
+            partition_files = manifest.partitions
         if sink.merge_strategy == "actors":
             from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
                 ActorMergePool,
@@ -177,11 +190,13 @@ class StreamRunner:
                     compression=sink.parquet_compression,
                     max_rows_per_file=sink.max_rows_per_file,
                     exchange_compression=sink.exchange_compression,
+                    mode=sink.merge_mode,
+                    fsync=sink.durable_writes,
                 )
             return self._pool.apply_change_batch(
                 ds,
                 cycle_id=cycle_id,
-                partition_files=manifest.partitions,
+                partition_files=partition_files,
                 schema=schema,
                 sorted_by=tuple(sink.sorted_by),
                 batch_size=self.ctx.source.fetch_size,
@@ -191,7 +206,7 @@ class StreamRunner:
             ds,
             target_root=sink.target_root,
             cycle_id=cycle_id,
-            partition_files=manifest.partitions,
+            partition_files=partition_files,
             schema=schema,
             num_partitions=manifest.num_partitions,
             max_rows_per_file=sink.max_rows_per_file,
@@ -199,6 +214,8 @@ class StreamRunner:
             sorted_by=tuple(sink.sorted_by),
             batch_size=self.ctx.source.fetch_size,
             key_col=self._transform.key_col,
+            mode=sink.merge_mode,
+            fsync=sink.durable_writes,
         )
 
     # -------------------------------------------------------------- bootstrap
@@ -440,6 +457,15 @@ class StreamRunner:
             # the same way by resuming the stream from backfillStartDate).
             if manifest.watermark > stamp:
                 self._replay_range(stamp, manifest.watermark, f"{backfill_id}-cv")
+            elif stamp > manifest.watermark:
+                # snapshot NEWER than the watermark: the commit above jumped
+                # the watermark over (watermark, stamp], so delete events in
+                # that gap were never applied — a key deleted in the gap
+                # keeps its stale pre-backfill target row forever.  Replay
+                # the gap: replayed D events (version <= stamp) win LWW over
+                # pre-backfill rows but lose to snapshot rows stamped at
+                # `stamp`, so only genuinely-deleted keys are removed.
+                self._replay_range(manifest.watermark, stamp, f"{backfill_id}-fwd")
             return self.log.latest()
 
         if behavior != "overwrite":
@@ -476,6 +502,8 @@ class StreamRunner:
                 compression=ctx.sink.parquet_compression,
                 sorted_by=tuple(ctx.sink.sorted_by),
                 key_col=self._transform.key_col,
+                mode="cow",  # overwrite writes a fresh BASE layout, never deltas
+                fsync=ctx.sink.durable_writes,
             )
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
@@ -488,6 +516,7 @@ class StreamRunner:
         # atomic flip: union shard outputs per partition
         nxt = manifest.next()
         nxt.partitions = {}
+        nxt.deltas = {}  # overwrite discards pending deltas with the old base
         nxt.lineage = {}
         for shard in state["shards"].values():
             for pid_s, fl in shard.items():
@@ -555,46 +584,91 @@ def read_target(
     """The committed snapshot as a lazy ``ray.data.Dataset``; files from
     the manifest only (uncommitted cycle output is invisible).
 
+    Merge-on-read: when pending delta files exist the read fans out one
+    resolve task per partition (base+deltas → LWW → drop tombstones) —
+    the per-partition cost is that partition's data only, and partitions
+    stream through the executor like any other block source.  With no
+    deltas the read is a plain zero-overhead ``read_parquet``.
+
     ``version`` time-travels to an older retained snapshot (analog of
     Iceberg snapshot reads; available until ``expire_versions`` GCs it)."""
     import os
 
     import ray.data
 
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        resolve_partition_table,
+    )
+
     log = ManifestLog(target_root)
     m = log.read(version) if version is not None else log.require_watermark()
-    files = sorted(m.all_files())
-    if not files:
-        return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
-    paths = [os.path.join(target_root, f) for f in files]
-    schema = m.schema
-    if columns is not None and schema is not None:
-        schema = pa.schema([f for f in schema if f.name in set(columns)])
-    ds = ray.data.read_parquet(paths, schema=schema, columns=columns)
+    has_deltas = any(m.deltas.values())
+    meta_cols = (OP_COL, MERGE_KEY_COL)
+
+    if not has_deltas:
+        files = sorted(m.all_files())
+        if not files:
+            return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
+        paths = [os.path.join(target_root, f) for f in files]
+        schema = m.schema
+        if columns is not None and schema is not None:
+            schema = pa.schema([f for f in schema if f.name in set(columns)])
+        ds = ray.data.read_parquet(paths, schema=schema, columns=columns)
+        if drop_meta:
+            keep = [
+                n
+                for n in (columns or [f.name for f in m.schema])
+                if n not in meta_cols
+            ]
+            ds = ds.select_columns(keep)
+        return ds
+
+    # ---- merge-on-read fan-out ----------------------------------------
+    full_schema = m.schema
+    out_cols = [n for n in (columns or full_schema.names)]
     if drop_meta:
-        keep = [
-            n
-            for n in (columns or [f.name for f in m.schema])
-            if n not in (OP_COL, MERGE_KEY_COL)
-        ]
-        ds = ds.select_columns(keep)
-    return ds
+        out_cols = [n for n in out_cols if n not in meta_cols]
+    # LWW needs key+version+op even when the caller prunes them
+    need = set(out_cols) | {MERGE_KEY_COL, VERSION_COL, OP_COL}
+    read_schema = pa.schema([f for f in full_schema if f.name in need])
+    pids = sorted(m.partition_pids())
+    if not pids:
+        return ray.data.from_arrow(pa.schema(
+            [f for f in full_schema if f.name in set(out_cols)]
+        ).empty_table())
+    base, deltas = dict(m.partitions), dict(m.deltas)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch["pid"].to_pylist():
+            t = resolve_partition_table(
+                target_root, base.get(pid, []), deltas.get(pid, []), read_schema
+            )
+            out.append(t.select(out_cols))
+        return pa.concat_tables(out) if out else read_schema.empty_table().select(out_cols)
+
+    return (
+        ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+        .map_batches(resolve, batch_format="pyarrow", batch_size=1)
+    )
 
 
 def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
-    """Driver-side materialized read (tests / small results only)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+    """Driver-side materialized read (tests / small results only);
+    resolves pending merge-on-read deltas per partition."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        resolve_partition_table,
+    )
 
     log = ManifestLog(target_root)
     m = log.require_watermark()
-    tables = []
-    for rel in sorted(m.all_files()):
-        t = pq.read_table(os.path.join(target_root, rel))
-        tables.append(cast_to_schema(t, m.schema))
+    tables = [
+        resolve_partition_table(
+            target_root, m.partitions.get(pid, []), m.deltas.get(pid, []), m.schema
+        )
+        for pid in sorted(m.partition_pids())
+    ]
+    tables = [t for t in tables if t.num_rows]
     if not tables:
         out = m.schema.empty_table() if m.schema else pa.table({})
     else:
@@ -610,25 +684,31 @@ def lookup_keys(target_root: str, keys: list[str], key_col: str = MERGE_KEY_COL)
     """Point lookups with partition pruning: hash each key to its owning
     partition and read ONLY those partitions' files — at P=4096 on a
     100 TB table a lookup touches ~0.025% of the data.  The same pruning
-    the reference gets from Iceberg ``bucket(arcane_merge_key, P)``."""
-    import os
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
-        cast_to_schema,
+    the reference gets from Iceberg ``bucket(arcane_merge_key, P)``.
+    Pending merge-on-read deltas are resolved per touched partition;
+    filtering by key BEFORE the LWW resolve is safe because all versions
+    of a key live in one partition."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        partition_ids,
+        resolve_partition_table,
     )
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import partition_ids
 
     log = ManifestLog(target_root)
     m = log.require_watermark()
     pids = set(partition_ids(pa.array(keys, pa.string()), m.num_partitions).tolist())
+    key_arr = pa.array(keys, pa.string())
     tables = []
     for pid in sorted(pids):
-        for rel in m.partitions.get(pid, []):
-            t = cast_to_schema(pq.read_table(os.path.join(target_root, rel)), m.schema)
-            tables.append(t.filter(pc.is_in(t[key_col], value_set=pa.array(keys))))
+        t = resolve_partition_table(
+            target_root,
+            m.partitions.get(pid, []),
+            m.deltas.get(pid, []),
+            m.schema,
+            key_filter=key_arr,
+            key_col=key_col,
+        )
+        if t.num_rows:
+            tables.append(t)
     if not tables:
         return m.schema.empty_table() if m.schema else pa.table({})
     return pa.concat_tables(tables)

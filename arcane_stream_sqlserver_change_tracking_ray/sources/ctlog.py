@@ -81,6 +81,9 @@ class ChangeFeedTailer:
         self._rng = np.random.default_rng(jitter_seed)
         self.advised_rate = advised_rate
         self._last_poll_t: float | None = None
+        #: segment path -> parquet row count (footer metadata; cached so a
+        #: poll never re-reads footers it has already seen)
+        self._seg_rows: dict[str, int] = {}
         #: split the poll's read into at least this many blocks so the
         #: fused read→transform stage can use every CPU even when the
         #: version range spans few segment files (the generator writes
@@ -133,14 +136,32 @@ class ChangeFeedTailer:
             return None
         chosen: list[str] = []
         hi = self.watermark
+        rows = 0
         for lo, seg_hi, path in segs:
             if lo > hi + 1:
                 break  # later gap: poll only the contiguous prefix
             chosen.append(path)
             hi = seg_hi
-            if hi - self.watermark >= self.rows_per_poll:
+            # cap the poll by ACTUAL row count (cheap driver-side footer
+            # read, cached), not version span — a feed with several rows
+            # per version or sparse versions would otherwise admit far
+            # more (or fewer) rows than throughput.rows_per_group intends
+            rows += self._segment_rows(path)
+            if rows >= self.rows_per_poll:
                 break
         return chosen, hi
+
+    def _segment_rows(self, path: str) -> int:
+        n = self._seg_rows.get(path)
+        if n is None:
+            import pyarrow.parquet as pq
+
+            try:
+                n = pq.ParquetFile(path).metadata.num_rows
+            except Exception:
+                n = 0
+            self._seg_rows[path] = n
+        return n
 
     def poll(self, planned: tuple[list[str], int] | None = None):
         """Return ``(dataset, hi_version)`` for versions

@@ -38,11 +38,21 @@ from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest,
 
 
 def partitions_needing_compaction(
-    target_root: str, manifest: Manifest, max_files: int, size_threshold: int
+    target_root: str,
+    manifest: Manifest,
+    max_files: int,
+    size_threshold: int,
+    max_deltas: int = 8,
 ) -> list[int]:
     out = []
-    for pid, files in manifest.partitions.items():
-        if len(files) <= 1:
+    for pid in sorted(manifest.partition_pids()):
+        files = manifest.partitions.get(pid, [])
+        deltas = manifest.deltas.get(pid, [])
+        # merge-on-read fold trigger: long delta chains tax every read
+        if len(deltas) > max_deltas or (deltas and not files):
+            out.append(pid)
+            continue
+        if len(files) + len(deltas) <= 1:
             continue
         sizes = []
         for rel in files:
@@ -56,46 +66,55 @@ def partitions_needing_compaction(
 
 
 class CompactPartition:
-    """Rewrite one partition's files into as few target-size files as
-    possible.  Row content is preserved exactly; runs as a fan-out
-    ``map_batches(batch_size=1)`` over partition ids."""
+    """Fold one partition into as few target-size base files as possible:
+    resolve base + pending merge-on-read deltas (LWW, tombstones dropped)
+    and rewrite.  This is THE fold point of the delta log — the analog of
+    Iceberg OPTIMIZE compacting MERGE output (docs/crd.md:136-150).
+    Runs as a fan-out ``map_batches(batch_size=1)`` over partition ids."""
 
     def __init__(
         self,
         target_root: str,
         cycle_id: str,
         partition_files: dict[int, list[str]],
+        partition_deltas: dict[int, list[str]],
         schema: pa.Schema,
         max_rows_per_file: int,
         compression: str,
+        fsync: bool = True,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
         self.partition_files = partition_files
+        self.partition_deltas = partition_deltas
         self.schema = schema
         self.max_rows_per_file = max_rows_per_file
         self.compression = compression
+        self.fsync = fsync
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+            resolve_partition_table,
+            write_partition_files,
+        )
+
         out_pids, out_files = [], []
         for pid in batch["pid"].to_pylist():
-            tables = [
-                cast_to_schema(
-                    pq.read_table(os.path.join(self.target_root, rel)), self.schema
-                )
-                for rel in self.partition_files[pid]
-            ]
-            merged = pa.concat_tables(tables)
-            out_dir = os.path.join(self.target_root, "cycles", self.cycle_id)
-            os.makedirs(out_dir, exist_ok=True)
-            rels = []
-            for off in range(0, max(merged.num_rows, 1), self.max_rows_per_file):
-                chunk = merged.slice(off, self.max_rows_per_file)
-                name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
-                pq.write_table(
-                    chunk, os.path.join(out_dir, name), compression=self.compression
-                )
-                rels.append(f"cycles/{self.cycle_id}/{name}")
+            merged = resolve_partition_table(
+                self.target_root,
+                self.partition_files.get(pid, []),
+                self.partition_deltas.get(pid, []),
+                self.schema,
+            )
+            rels, _ = write_partition_files(
+                merged,
+                self.target_root,
+                self.cycle_id,
+                pid,
+                max_rows_per_file=self.max_rows_per_file,
+                compression=self.compression,
+                fsync=self.fsync,
+            )
             out_pids.append(pid)
             out_files.append(json.dumps(rels))
         return pa.table({"pid": out_pids, "files_json": out_files})
@@ -111,6 +130,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         manifest,
         ctx.maintenance.max_files_per_partition,
         ctx.maintenance.file_size_threshold_bytes,
+        ctx.maintenance.max_deltas_per_partition,
     )
     if not pids:
         return {"compacted_partitions": 0}
@@ -118,10 +138,12 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
     fn = CompactPartition(
         target_root=log.root,
         cycle_id=cycle_id,
-        partition_files={p: manifest.partitions[p] for p in pids},
+        partition_files={p: manifest.partitions.get(p, []) for p in pids},
+        partition_deltas={p: manifest.deltas.get(p, []) for p in pids},
         schema=manifest.schema,
         max_rows_per_file=ctx.maintenance.compact_target_rows or ctx.sink.max_rows_per_file,
         compression=ctx.sink.parquet_compression,
+        fsync=ctx.sink.durable_writes,
     )
     res = (
         ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -129,12 +151,26 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         .take_all()
     )
     nxt = manifest.next()
+    folded_deltas = 0
     for r in res:
-        nxt.partitions[int(r["pid"])] = json.loads(r["files_json"])
-        nxt.lineage.setdefault(int(r["pid"]), {})["compacted"] = cycle_id
-    nxt.metrics = {"maintenance": {"compacted_partitions": len(res), "cycle": cycle_id}}
+        pid = int(r["pid"])
+        files = json.loads(r["files_json"])
+        if files:
+            nxt.partitions[pid] = files
+        else:  # partition fully deleted by folded tombstones
+            nxt.partitions.pop(pid, None)
+        folded_deltas += len(nxt.deltas.pop(pid, []))
+        nxt.lineage.setdefault(pid, {})["compacted"] = cycle_id
+        nxt.lineage[pid]["deltas"] = 0
+    nxt.metrics = {
+        "maintenance": {
+            "compacted_partitions": len(res),
+            "folded_deltas": folded_deltas,
+            "cycle": cycle_id,
+        }
+    }
     log.commit(nxt, expect_version=manifest.version)
-    return {"compacted_partitions": len(res)}
+    return {"compacted_partitions": len(res), "folded_deltas": folded_deltas}
 
 
 def analyze(log: ManifestLog, ctx: StreamContext) -> dict:

@@ -125,6 +125,80 @@ def drop_tombstones(t: pa.Table) -> pa.Table:
     return t.filter(pc.not_equal(pc.coalesce(t[OP_COL], pa.scalar("U")), OP_DELETE))
 
 
+def fsync_file(path: str) -> None:
+    """fsync a written data file so a committed manifest can never
+    reference non-durable parquet (the manifest dir is fsynced at commit;
+    data files must hit disk BEFORE that rename publishes them)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def write_partition_files(
+    table: pa.Table,
+    target_root: str,
+    cycle_id: str,
+    pid: int,
+    *,
+    max_rows_per_file: int,
+    compression: str,
+    fsync: bool = True,
+    prefix: str = "part",
+) -> tuple[list[str], int]:
+    """Write one partition's rows under the attempt-unique cycle dir;
+    returns (relative paths, bytes).  Shared by the CoW rewrite, the MoR
+    delta writer and compaction."""
+    rels: list[str] = []
+    total = 0
+    if table.num_rows == 0:
+        return rels, 0
+    out_dir = os.path.join(target_root, "cycles", cycle_id)
+    os.makedirs(out_dir, exist_ok=True)
+    for off in range(0, table.num_rows, max_rows_per_file):
+        chunk = table.slice(off, max_rows_per_file)
+        name = f"{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(out_dir, name)
+        pq.write_table(chunk, path, compression=compression)
+        if fsync:
+            fsync_file(path)
+        rels.append(f"cycles/{cycle_id}/{name}")
+        total += os.path.getsize(path)
+    return rels, total
+
+
+def resolve_partition_table(
+    target_root: str,
+    base_files: list[str],
+    delta_files: list[str],
+    schema: pa.Schema,
+    key_filter: pa.Array | None = None,
+    key_col: str = MERGE_KEY_COL,
+    use_threads: bool = True,
+) -> pa.Table:
+    """Merge-on-read resolve of ONE partition: LWW across base + deltas,
+    tombstones dropped.  Partitions are key-disjoint, so this is exact.
+    *key_filter* prunes rows early (point lookups) — filtering by key
+    before LWW is safe because every version of a key lives in the same
+    partition."""
+    wanted = set(schema.names)
+    tables = []
+    for rel in list(base_files) + list(delta_files):
+        pf = pq.ParquetFile(os.path.join(target_root, rel))
+        cols = [c for c in pf.schema_arrow.names if c in wanted]
+        t = pf.read(columns=cols, use_threads=use_threads)
+        if key_filter is not None:
+            t = t.filter(pc.is_in(t[key_col], value_set=key_filter))
+        tables.append(cast_to_schema(t, schema))
+    if not tables:
+        return schema.empty_table()
+    combined = pa.concat_tables(tables)
+    if not delta_files:
+        return combined  # base files are already LWW-resolved and alive
+    return drop_tombstones(lww_table(combined))
+
+
 # ---------------------------------------------------------------------------
 # map_batches stage: pre-combine + route (runs before the shuffle)
 # ---------------------------------------------------------------------------
@@ -167,6 +241,7 @@ class PartitionMergeFn:
             pa.field("changes_in", pa.int64()),
             pa.field("bytes", pa.int64()),
             pa.field("files_json", pa.string()),
+            pa.field("mode", pa.string()),  # "cow" base rewrite | "mor" delta
         ]
     )
 
@@ -180,6 +255,8 @@ class PartitionMergeFn:
         compression: str = "zstd",
         sorted_by: tuple[str, ...] = (),
         key_col: str = MERGE_KEY_COL,
+        mode: str = "mor",
+        fsync: bool = True,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -189,6 +266,8 @@ class PartitionMergeFn:
         self.compression = compression
         self.sorted_by = sorted_by
         self.key_col = key_col
+        self.mode = mode
+        self.fsync = fsync
 
     # -- target partition io -------------------------------------------------
     def _read_existing(self, pid: int) -> pa.Table | None:
@@ -201,34 +280,52 @@ class PartitionMergeFn:
             tables.append(cast_to_schema(t, self.schema))
         return pa.concat_tables(tables)
 
-    def _write(self, pid: int, table: pa.Table) -> tuple[list[str], int]:
-        out_dir = os.path.join(self.target_root, "cycles", self.cycle_id)
-        os.makedirs(out_dir, exist_ok=True)
-        rels: list[str] = []
-        total_bytes = 0
-        n = table.num_rows
-        if n == 0:
-            return rels, 0
-        if self.sorted_by:
+    def _write(self, pid: int, table: pa.Table, prefix: str = "part") -> tuple[list[str], int]:
+        if self.sorted_by and table.num_rows:
             table = table.sort_by([(c, "ascending") for c in self.sorted_by])
-        step = self.max_rows_per_file
-        for off in range(0, n, step):
-            chunk = table.slice(off, step)
-            name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
-            path = os.path.join(out_dir, name)
-            pq.write_table(chunk, path, compression=self.compression)
-            rels.append(f"cycles/{self.cycle_id}/{name}")
-            total_bytes += os.path.getsize(path)
-        return rels, total_bytes
+        return write_partition_files(
+            table,
+            self.target_root,
+            self.cycle_id,
+            pid,
+            max_rows_per_file=self.max_rows_per_file,
+            compression=self.compression,
+            fsync=self.fsync,
+            prefix=prefix,
+        )
 
     # -- the merge -----------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
         pid = int(group[PID_COL][0].as_py())
         changes = ensure_merge_key_alias(group.drop_columns([PID_COL]), self.key_col)
         changes = cast_to_schema(changes, self.schema)
-        existing = self._read_existing(pid)
         n_changes = changes.num_rows
 
+        if self.mode == "mor":
+            # merge-on-read: write the cycle's changes as a DELTA file —
+            # never read or rewrite the base files, so cycle cost scales
+            # with cycle size, not table size (the Iceberg-MERGE-style
+            # partition-granularity CoW rewrote ~the whole table per
+            # cycle at scale).  Tombstones (op='D') persist in the delta
+            # until the maintenance OPTIMIZE fold.
+            delta = lww_table(changes)  # collapse within-cycle event storms
+            deletes = delta.num_rows - drop_tombstones(delta).num_rows
+            rels, nbytes = self._write(pid, delta, prefix="delta")
+            return pa.table(
+                {
+                    PID_COL: [pid],
+                    "rows": [delta.num_rows],
+                    "upserts": [n_changes - deletes],
+                    "deletes": [deletes],
+                    "changes_in": [n_changes],
+                    "bytes": [nbytes],
+                    "files_json": [json.dumps(rels)],
+                    "mode": ["mor"],
+                },
+                schema=self.STATS_SCHEMA,
+            )
+
+        existing = self._read_existing(pid)
         if existing is not None:
             combined = pa.concat_tables([existing, changes])
         else:
@@ -248,6 +345,7 @@ class PartitionMergeFn:
                 "changes_in": [n_changes],
                 "bytes": [nbytes],
                 "files_json": [json.dumps(rels)],
+                "mode": ["cow"],
             },
             schema=self.STATS_SCHEMA,
         )
@@ -266,6 +364,8 @@ def apply_change_batch(
     sorted_by: tuple[str, ...] = (),
     batch_size: int = 65536,
     key_col: str = MERGE_KEY_COL,
+    mode: str = "cow",
+    fsync: bool = True,
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
@@ -284,6 +384,8 @@ def apply_change_batch(
         compression=compression,
         sorted_by=sorted_by,
         key_col=key_col,
+        mode=mode,
+        fsync=fsync,
     )
     def merge_partition(group: pa.Table) -> pa.Table:
         return merge_fn(group)
@@ -300,14 +402,26 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
     for s in stats:
         pid = int(s[PID_COL])
         files = json.loads(s["files_json"])
-        manifest.partitions[pid] = files
-        if not files:
-            manifest.partitions.pop(pid, None)
+        mode = s.get("mode", "cow")
+        if mode == "mor":
+            # delta files APPEND (append order == version order); base
+            # files untouched.  The OPTIMIZE fold rewrites base + clears.
+            if files:
+                manifest.deltas.setdefault(pid, []).extend(files)
+        else:
+            manifest.partitions[pid] = files
+            if not files:
+                manifest.partitions.pop(pid, None)
+            # a CoW rewrite folded every visible row (callers pass
+            # base+deltas as partition_files), so pending deltas are dead
+            manifest.deltas.pop(pid, None)
         manifest.lineage[pid] = {
             "cycle": cycle_id,
             "rows": int(s["rows"]),
             "files": len(files),
             "bytes": int(s["bytes"]),
+            "mode": mode,
+            "deltas": len(manifest.deltas.get(pid, [])),
         }
         loads.append(int(s["changes_in"]))
         for k in totals:
@@ -351,10 +465,19 @@ def _make_owner_actor():
         the first post-startup cycle (first-touch page-zeroing).
         """
 
-        def __init__(self, target_root: str, compression: str, max_rows_per_file: int):
+        def __init__(
+            self,
+            target_root: str,
+            compression: str,
+            max_rows_per_file: int,
+            mode: str = "mor",
+            fsync: bool = True,
+        ):
             self.target_root = target_root
             self.compression = compression
             self.max_rows_per_file = max_rows_per_file
+            self.mode = mode
+            self.fsync = fsync
             self.buf: dict[int, list[pa.Table]] = {}
 
         def add(self, slices: list[tuple[int, pa.Table]]) -> int:
@@ -394,13 +517,40 @@ def _make_owner_actor():
             # captured at definition time (cast_to_schema is imported at the
             # top of this module).
             out: list[dict] = []
-            out_dir = os.path.join(self.target_root, "cycles", cycle_id)
             for pid, tables in sorted(self.buf.items()):
                 changes = cast_to_schema(pa.concat_tables(
                     [cast_to_schema(ensure_merge_key_alias(t, key_col), schema)
                      for t in tables]
                 ), schema)
                 n_changes = changes.num_rows
+
+                if self.mode == "mor":
+                    # delta write: never touch base files (see
+                    # PartitionMergeFn mor path for the rationale)
+                    delta = lww_table(changes)
+                    deletes = delta.num_rows - drop_tombstones(delta).num_rows
+                    if sorted_by and delta.num_rows:
+                        delta = delta.sort_by([(c, "ascending") for c in sorted_by])
+                    rels, nbytes = write_partition_files(
+                        delta, self.target_root, cycle_id, pid,
+                        max_rows_per_file=self.max_rows_per_file,
+                        compression=self.compression, fsync=self.fsync,
+                        prefix="delta",
+                    )
+                    out.append(
+                        {
+                            PID_COL: pid,
+                            "rows": delta.num_rows,
+                            "upserts": n_changes - deletes,
+                            "deletes": deletes,
+                            "changes_in": n_changes,
+                            "bytes": nbytes,
+                            "files_json": json.dumps(rels),
+                            "mode": "mor",
+                        }
+                    )
+                    continue
+
                 existing = []
                 for rel in partition_files.get(pid, []):
                     existing.append(
@@ -417,17 +567,13 @@ def _make_owner_actor():
                 deletes = merged.num_rows - alive.num_rows
                 if sorted_by:
                     alive = alive.sort_by([(c, "ascending") for c in sorted_by])
-                os.makedirs(out_dir, exist_ok=True)
-                rels, nbytes = [], 0
                 # fully-deleted partition -> no files; fold_stats then drops
                 # it from the manifest (same behavior as the groupby path)
-                for off in range(0, alive.num_rows, self.max_rows_per_file):
-                    chunk = alive.slice(off, self.max_rows_per_file)
-                    name = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
-                    path = os.path.join(out_dir, name)
-                    pq.write_table(chunk, path, compression=self.compression)
-                    rels.append(f"cycles/{cycle_id}/{name}")
-                    nbytes += os.path.getsize(path)
+                rels, nbytes = write_partition_files(
+                    alive, self.target_root, cycle_id, pid,
+                    max_rows_per_file=self.max_rows_per_file,
+                    compression=self.compression, fsync=self.fsync,
+                )
                 out.append(
                     {
                         PID_COL: pid,
@@ -437,6 +583,7 @@ def _make_owner_actor():
                         "changes_in": n_changes,
                         "bytes": nbytes,
                         "files_json": json.dumps(rels),
+                        "mode": "cow",
                     }
                 )
             self.buf.clear()
@@ -464,6 +611,8 @@ class ActorMergePool:
         compression: str = "zstd",
         max_rows_per_file: int = 1_000_000,
         exchange_compression: str = "",
+        mode: str = "mor",
+        fsync: bool = True,
     ):
         import ray
 
@@ -472,7 +621,7 @@ class ActorMergePool:
             num_actors = max(1, min(num_partitions, cpus))
         cls = _make_owner_actor()
         self.actors = [
-            cls.remote(target_root, compression, max_rows_per_file)
+            cls.remote(target_root, compression, max_rows_per_file, mode, fsync)
             for _ in range(num_actors)
         ]
         self.num_partitions = num_partitions

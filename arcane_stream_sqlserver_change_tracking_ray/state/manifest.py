@@ -64,6 +64,12 @@ class Manifest:
     num_partitions: int
     schema: pa.Schema | None = None
     partitions: dict[int, list[str]] = field(default_factory=dict)
+    #: pid -> ordered delta files (merge-on-read): raw change rows written
+    #: per cycle WITHOUT rewriting the base files; readers resolve
+    #: base+deltas with LWW-by-version and drop tombstones; the
+    #: maintenance OPTIMIZE pass folds deltas back into base files.
+    #: Append order == commit order == version order (the LWW invariant).
+    deltas: dict[int, list[str]] = field(default_factory=dict)
     lineage: dict[int, dict[str, Any]] = field(default_factory=dict)
     counters: dict[str, int] = field(default_factory=dict)
     metrics: dict[str, Any] = field(default_factory=dict)
@@ -81,6 +87,7 @@ class Manifest:
                 else None
             ),
             "partitions": {str(k): v for k, v in sorted(self.partitions.items())},
+            "deltas": {str(k): v for k, v in sorted(self.deltas.items()) if v},
             "lineage": {str(k): v for k, v in sorted(self.lineage.items())},
             "counters": self.counters,
             "metrics": self.metrics,
@@ -101,6 +108,7 @@ class Manifest:
                 else None
             ),
             partitions={int(k): list(v) for k, v in doc.get("partitions", {}).items()},
+            deltas={int(k): list(v) for k, v in doc.get("deltas", {}).items()},
             lineage={int(k): v for k, v in doc.get("lineage", {}).items()},
             counters=dict(doc.get("counters", {})),
             metrics=dict(doc.get("metrics", {})),
@@ -108,7 +116,13 @@ class Manifest:
         )
 
     def all_files(self) -> set[str]:
-        return {f for files in self.partitions.values() for f in files}
+        return {f for files in self.partitions.values() for f in files} | {
+            f for files in self.deltas.values() for f in files
+        }
+
+    def partition_pids(self) -> set[int]:
+        """Every pid holding live data (base files and/or deltas)."""
+        return set(self.partitions) | {p for p, v in self.deltas.items() if v}
 
     def next(self) -> "Manifest":
         """A mutable copy staged as the next snapshot version."""
@@ -118,6 +132,7 @@ class Manifest:
             num_partitions=self.num_partitions,
             schema=self.schema,
             partitions={k: list(v) for k, v in self.partitions.items()},
+            deltas={k: list(v) for k, v in self.deltas.items() if v},
             lineage={k: dict(v) for k, v in self.lineage.items()},
             counters=dict(self.counters),
             metrics={},
@@ -205,6 +220,16 @@ class ManifestLog:
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+        # fsync the DIRECTORY so the new log entry itself is durable — the
+        # tmp file was fsynced above, but the link is a directory mutation;
+        # without this an OS crash could lose the published manifest (the
+        # data files are fsynced by the writers before commit, see
+        # stages/merge.py fsync_file)
+        dirfd = os.open(self.log_dir, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
         return manifest
 
     # ------------------------------------------------------------- cleanup
