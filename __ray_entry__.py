@@ -156,6 +156,10 @@ def cdc_lww_rank1(sf_dir: str):
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import lww_table
 
     ds = _read(sf_dir, "events").map_batches(_EventsAsChanges(), batch_format="pyarrow")
+    # prune to the output columns BEFORE the groupby: less shuffled payload,
+    # and dropping the map-typed `props` silences Ray's per-block
+    # schema-hash warnings on the reduce path (map schemas are unhashable)
+    ds = ds.select_columns([MERGE_KEY_COL, "user_id", VERSION_COL, "event_type", "value"])
 
     def rank1(group: pa.Table) -> pa.Table:
         return lww_table(group)
@@ -383,13 +387,12 @@ def dedup_exact(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard."""
-    import pyarrow.parquet as pq
+    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard
+    (verification is a distributed join by doc id — no corpus broadcast)."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import minhash_dedup_pairs
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, docs, threshold=0.5, text_col="text", id_col="doc_id")
+    return minhash_dedup_pairs(ds, threshold=0.5, text_col="text", id_col="doc_id")
 
 
 def dedup_simhash(sf_dir: str):
@@ -400,14 +403,13 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard over pairs sharing a fingerprint bucket."""
-    import pyarrow.parquet as pq
+    """Exact n-gram Jaccard over LSH candidate pairs (distributed
+    join-by-id verification; low threshold reports the verified jaccard
+    for all candidates)."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import minhash_dedup_pairs
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # low threshold -> report the verified jaccard value for all candidates
-    return minhash_dedup_pairs(ds, docs, threshold=0.2, text_col="text", id_col="doc_id")
+    return minhash_dedup_pairs(ds, threshold=0.2, text_col="text", id_col="doc_id")
 
 
 # ===========================================================================

@@ -257,57 +257,191 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", num_perm=64, ba
     )
 
 
-class VerifyJaccardStage:
-    """Verify candidate pairs with TRUE n-gram Jaccard.
+class CandidateShingles:
+    """map_batches stage: emit ``(doc_id, shingles list<uint64>)`` for the
+    docs appearing in candidate pairs ONLY — a broadcast SEMI-join where
+    the broadcast side is the (small) candidate id set, never the corpus.
+    The shuffled payload downstream is candidate docs' shingle sets."""
 
-    The documents table is broadcast via ``ray.put`` ONCE and read in
-    ``__init__`` (once per actor) — a broadcast lookup join, not a
-    shuffle join (SURVEY.md §4.2).  Suitable while the doc set fits the
-    object store; at larger scale verification joins by doc id instead.
-    """
-
-    def __init__(self, docs_ref, text_col="text", id_col="doc_id", k_shingle=3):
+    def __init__(self, ids_ref, text_col="text", id_col="doc_id", k_shingle=3):
         import ray
 
-        docs: pa.Table = ray.get(docs_ref)
-        h, offs = shingle_hashes(docs[text_col], k_shingle)
-        ids = docs[id_col].to_numpy(zero_copy_only=False)
-        self.shingles = {
-            int(i): h[offs[j] : offs[j + 1]] for j, i in enumerate(ids)
-        }
+        self.ids = ids_ref if isinstance(ids_ref, np.ndarray) else ray.get(ids_ref)
+        self.text_col, self.id_col, self.k = text_col, id_col, k_shingle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ia = batch["id_a"].to_numpy(zero_copy_only=False)
-        ib = batch["id_b"].to_numpy(zero_copy_only=False)
-        sims = np.array(
-            [
-                jaccard_of_sets(
-                    self.shingles.get(int(a), np.empty(0, np.uint64)),
-                    self.shingles.get(int(b), np.empty(0, np.uint64)),
-                )
-                for a, b in zip(ia, ib)
-            ],
-            dtype=np.float64,
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.ids)
+        empty = pa.table(
+            {
+                "doc": pa.array([], pa.int64()),
+                "pair_idx": pa.array([], pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.large_list(pa.uint64())),
+            }
         )
-        return batch.append_column("jaccard", pa.array(np.round(sims, 6)))
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        h, offs = shingle_hashes(sub[self.text_col], self.k)
+        shingles = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), pa.array(h, pa.uint64())
+        )
+        n = sub.num_rows
+        return pa.table(
+            {
+                "doc": pc.cast(sub[self.id_col], pa.int64()),
+                "pair_idx": pa.nulls(n, pa.int64()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "shingles": shingles,
+            }
+        )
 
 
-def minhash_dedup_pairs(ds, docs_table: pa.Table, threshold=0.8, **kw):
-    """End-to-end near-dup pairs with verified Jaccard >= threshold."""
+def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_id", k_shingle=3):
+    """TRUE n-gram Jaccard for candidate pairs as a DISTRIBUTED join-by-id
+    — nothing materializes the corpus (the round-1 implementation
+    broadcast the entire documents table into every verify actor):
+
+    1. explode pairs into per-doc request rows (pair_idx, side via id_a/id_b),
+    2. semi-join the docs to the candidate id set (broadcast of the SMALL
+       id set) and compute their shingle arrays per batch,
+    3. groupby(doc): attach each doc's shingles to its request rows,
+    4. groupby(pair_idx): Jaccard of the two attached shingle sets.
+
+    The two shuffles move only candidate docs' shingles + pair ids.
+    Returns a Dataset of (id_a, id_b, jaccard)."""
     import ray
+    import ray.data
 
-    cand = minhash_lsh_candidates(ds, **kw)
-    docs_ref = ray.put(docs_table)
-    verified = cand.map_batches(
-        VerifyJaccardStage,
+    n = cand.num_rows
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if n == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    ia = cand["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = cand["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    requests = pa.table(
+        {
+            "doc": pa.array(np.concatenate([ia, ib])),
+            "pair_idx": pa.array(np.concatenate([idx, idx])),
+            "id_a": pa.array(np.concatenate([ia, ia])),
+            "id_b": pa.array(np.concatenate([ib, ib])),
+            "shingles": pa.nulls(2 * n, pa.large_list(pa.uint64())),
+        }
+    )
+    ids = np.unique(np.concatenate([ia, ib]))
+    ids_ref = ray.put(ids)
+
+    shingle_rows = docs_ds.map_batches(
+        CandidateShingles,
         fn_constructor_kwargs={
-            "docs_ref": docs_ref,
-            "text_col": kw.get("text_col", "text"),
-            "id_col": kw.get("id_col", "doc_id"),
-            "k_shingle": kw.get("k_shingle", 3),
+            "ids_ref": ids_ref,
+            "text_col": text_col,
+            "id_col": id_col,
+            "k_shingle": k_shingle,
         },
         batch_format="pyarrow",
-        concurrency=(1, 2),  # autoscaling pool: never pins CPUs it isn't using
+        concurrency=(1, 4),
+    )
+    unioned = ray.data.from_arrow(requests).union(shingle_rows)
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(group["pair_idx"]).to_numpy(zero_copy_only=False)
+        sh_col = group["shingles"].combine_chunks() if isinstance(
+            group["shingles"], pa.ChunkedArray
+        ) else group["shingles"]
+        doc_rows = np.flatnonzero(is_doc)
+        if len(doc_rows):
+            sh = sh_col[int(doc_rows[0])].values
+        else:  # doc missing from the corpus: empty set
+            sh = pa.array([], pa.uint64())
+        req = np.flatnonzero(~is_doc)
+        m = len(req)
+        if m == 0:
+            return pa.table(
+                {
+                    "pair_idx": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.large_list(pa.uint64())),
+                }
+            )
+        sub = group.take(pa.array(req))
+        L = len(sh)
+        offs = pa.array((np.arange(m + 1, dtype=np.int64) * L))
+        vals = pa.concat_arrays([sh] * m) if L else pa.array([], pa.uint64())
+        return pa.table(
+            {
+                "pair_idx": sub["pair_idx"],
+                "id_a": sub["id_a"],
+                "id_b": sub["id_b"],
+                "doc": sub["doc"],
+                "shingles": pa.LargeListArray.from_arrays(offs, vals),
+            }
+        )
+
+    def pair_jaccard(group: pa.Table) -> pa.Table:
+        a = np.empty(0, np.uint64)
+        b = np.empty(0, np.uint64)
+        sh_col = group["shingles"].combine_chunks() if isinstance(
+            group["shingles"], pa.ChunkedArray
+        ) else group["shingles"]
+        docs = group["doc"].to_numpy(zero_copy_only=False)
+        id_a = int(group["id_a"][0].as_py())
+        id_b = int(group["id_b"][0].as_py())
+        for i in range(group.num_rows):
+            vals = sh_col[i].values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            if int(docs[i]) == id_a:
+                a = vals
+            else:
+                b = vals
+        sim = round(jaccard_of_sets(a, b), 6)
+        return pa.table(
+            {
+                "id_a": pa.array([id_a], pa.int64()),
+                "id_b": pa.array([id_b], pa.int64()),
+                "jaccard": pa.array([sim], pa.float64()),
+            }
+        )
+
+    return (
+        unioned.groupby("doc")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("pair_idx")
+        .map_groups(pair_jaccard, batch_format="pyarrow")
+    )
+
+
+def minhash_dedup_pairs(ds, docs_table: pa.Table | None = None, threshold=0.8, **kw):
+    """End-to-end near-dup pairs with verified Jaccard >= threshold.
+
+    *ds* is consumed twice (lazy plans re-execute): once for LSH
+    banding, once to compute candidate docs' shingles for verification.
+    ``docs_table`` is accepted for backward compatibility and ignored —
+    verification is a distributed join by doc id, never a corpus
+    broadcast."""
+    cand_ds = minhash_lsh_candidates(ds, **kw)
+    cand = pa.Table.from_pandas(
+        cand_ds.to_pandas(), preserve_index=False
+    )  # candidate PAIRS only: small (near-dup rate), never the corpus
+    if cand.num_rows:
+        import logging
+
+        logging.getLogger("arcane_ray.dedup").debug(
+            "verifying %d candidate pairs", cand.num_rows
+        )
+    verified = verify_jaccard_pairs(
+        cand,
+        ds,
+        text_col=kw.get("text_col", "text"),
+        id_col=kw.get("id_col", "doc_id"),
+        k_shingle=kw.get("k_shingle", 3),
     )
     return verified.filter(expr=f"jaccard >= {threshold}")
 

@@ -1,0 +1,370 @@
+"""Self-oracle correctness tests for the rows-only training-data
+operators: planted-duplicate corpora with brute-force ground truth.
+
+Round-1 verdict: these operators were smoke-tested only (row counts).
+Each test here would fail on an off-by-one in shingling, banding,
+hashing or verification:
+
+- MinHash+LSH: reported Jaccard values must EQUAL the exact n-gram
+  Jaccard (the verification stage is exact); recall of high-similarity
+  planted pairs must be total at the banding parameters used.
+- SimHash 4x16 banding is a pigeonhole GUARANTEE for hamming <= 3:
+  the result must equal the brute-force pair set exactly.
+- Fingerprints must be invariant to batch splitting (including the
+  sliced-buffer path) and doc order.
+- LSH ANN recall is measured against the brute-force top-k.
+- The fake multimodal decode must be deterministic and split-invariant.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_matrix,
+    popcount64,
+    simhash_dedup_pairs,
+    simhash_signatures,
+)
+from arcane_stream_sqlserver_change_tracking_ray.functions.multimodal import (
+    DecodeImageStage,
+    FeatureExtractStage,
+    FrameSampleStage,
+)
+from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+    FingerprintStage,
+    rolling_window_hashes,
+)
+
+
+# ---------------------------------------------------------------------------
+# planted corpus
+# ---------------------------------------------------------------------------
+def planted_corpus(n_base=60, n_dups=12, seed=7):
+    """Deterministic corpus: *n_base* random 40-word docs plus *n_dups*
+    near-duplicates (1-3 word substitutions of base docs).  Returns
+    (table, planted_pairs)."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:03d}" for i in range(300)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=40, replace=True)) for _ in range(n_base)]
+    pairs = []
+    for j in range(n_dups):
+        words = texts[j].split()
+        k = 1 + j % 3
+        for t in rng.choice(len(words), size=k, replace=False):
+            words[t] = "z" + words[t]
+        texts.append(" ".join(words))
+        pairs.append((j, n_base + j))
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)), "text": texts}
+    )
+    return tbl, pairs
+
+
+def _pairs_set(df):
+    return {(int(a), int(b)) for a, b in zip(df["id_a"], df["id_b"])}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    tbl, planted = planted_corpus()
+    truth = ngram_jaccard_matrix(tbl["text"], k_shingle=3)  # exact all-pairs
+    return tbl, planted, truth
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def test_minhash_verified_jaccard_is_exact(corpus):
+    """Every reported pair's jaccard equals the brute-force n-gram
+    Jaccard (rounded to 6), and every reported pair clears the
+    threshold: the distributed join-by-id verification is exact."""
+    import ray.data
+
+    tbl, _, truth = corpus
+    ds = ray.data.from_arrow(tbl)
+    out = minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    assert len(out) > 0
+    for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"]):
+        assert a < b
+        assert j >= 0.5
+        assert j == pytest.approx(round(truth[int(a), int(b)], 6), abs=1e-9)
+
+
+def test_minhash_recall_of_planted_dups(corpus):
+    """All planted pairs with true jaccard >= 0.85 are found at
+    threshold 0.8 (detection probability at s=0.85 with 16 bands of 4
+    rows is 1 - (1-0.85^4)^16 > 0.9999)."""
+    import ray.data
+
+    tbl, planted, truth = corpus
+    must_find = {(a, b) for a, b in planted if truth[a, b] >= 0.85}
+    assert must_find, "corpus must plant at least one high-sim pair"
+    ds = ray.data.from_arrow(tbl)
+    found = _pairs_set(minhash_dedup_pairs(ds, threshold=0.8).to_pandas())
+    assert must_find <= found
+    # and nothing below the threshold sneaks in
+    for a, b in found:
+        assert truth[a, b] >= 0.8
+
+
+def test_minhash_no_candidates_no_crash():
+    import ray.data
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": ["alpha beta gamma delta epsilon", "one two three four five"]}
+    )
+    out = minhash_dedup_pairs(ray.data.from_arrow(tbl), threshold=0.8).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_band_bucket_cap(caplog):
+    """An adversarial bucket (many identical docs) is capped with a
+    LOGGED truncation, bounding the O(n²) pair emission."""
+    import logging
+
+    import ray.data
+
+    n = 12
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": ["same words repeated here for everyone always forever"] * n,
+        }
+    )
+    with caplog.at_level(logging.WARNING, logger="arcane_ray.dedup"):
+        out = (
+            minhash_lsh_candidates(ray.data.from_arrow(tbl), max_bucket=5)
+            .to_pandas()
+        )
+    # capped: at most C(5,2)=10 pairs (not C(12,2)=66)
+    assert len(out) <= 10
+
+
+# ---------------------------------------------------------------------------
+# SimHash: pigeonhole banding is exact for hamming <= 3
+# ---------------------------------------------------------------------------
+def test_simhash_equals_bruteforce():
+    import ray.data
+
+    # simhash needs CLOSER dups than the minhash corpus (hamming <= 3 of
+    # 64 bits is strict): 200-word docs with a single word substituted
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i:03d}" for i in range(300)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=200)) for _ in range(30)]
+    for j in range(8):
+        w = texts[j].split()
+        w[j * 3 % len(w)] = "zz" + w[j * 3 % len(w)]
+        texts.append(" ".join(w))
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)), "text": texts}
+    )
+    sig = simhash_signatures(tbl["text"], k_shingle=3)
+    n = len(sig)
+    ia, ib = np.triu_indices(n, k=1)
+    ham = popcount64(np.ascontiguousarray(sig[ia] ^ sig[ib]))
+    expected = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(ia[ham <= 3], ib[ham <= 3], ham[ham <= 3])
+    }
+    ds = ray.data.from_arrow(tbl)
+    out = simhash_dedup_pairs(ds, max_hamming=3).to_pandas()
+    got = {
+        (int(a), int(b), int(h))
+        for a, b, h in zip(out["id_a"], out["id_b"], out["hamming"])
+    }
+    assert got == expected
+    assert expected, "corpus must contain at least one simhash near-dup"
+
+
+# ---------------------------------------------------------------------------
+# fingerprint: split/order invariance incl. the sliced-buffer path
+# ---------------------------------------------------------------------------
+def _fingerprints(tbl):
+    return FingerprintStage()(tbl)["fingerprint"].to_numpy(zero_copy_only=False)
+
+
+def test_fingerprint_split_invariance(corpus):
+    tbl, _, _ = corpus
+    whole = _fingerprints(tbl)
+    # batch splits (sliced tables -> array offset != 0, text.py fallback)
+    parts = [
+        _fingerprints(tbl.slice(0, 17)),
+        _fingerprints(tbl.slice(17, 30)),
+        _fingerprints(tbl.slice(47)),
+    ]
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+def test_fingerprint_sliced_array_path(corpus):
+    """rolling_window_hashes on a SLICED array (buffer offset != 0) must
+    equal the same docs' windows from the unsliced run."""
+    tbl, _, _ = corpus
+    texts = tbl["text"].combine_chunks()
+    h_full, offs_full = rolling_window_hashes(texts, k=16)
+    sl = texts.slice(5, 20)
+    assert sl.offset != 0
+    h_sl, offs_sl = rolling_window_hashes(sl, k=16)
+    lo, hi = offs_full[5], offs_full[25]
+    np.testing.assert_array_equal(h_sl, h_full[lo:hi])
+    np.testing.assert_array_equal(offs_sl, offs_full[5:26] - offs_full[5])
+
+
+def test_fingerprint_order_invariance(corpus):
+    """A doc's fingerprint is a pure function of its text — reordering
+    the corpus permutes but never changes values."""
+    tbl, _, _ = corpus
+    perm = np.random.default_rng(3).permutation(tbl.num_rows)
+    shuffled = tbl.take(pa.array(perm))
+    np.testing.assert_array_equal(_fingerprints(shuffled), _fingerprints(tbl)[perm])
+
+
+def test_fingerprint_short_docs():
+    """Docs shorter than the window get the whole-text hash; empty and
+    null-ish docs do not crash and are deterministic."""
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": ["tiny", "", "exactly sixteen b"]}
+    )
+    a = _fingerprints(tbl)
+    b = _fingerprints(tbl)
+    np.testing.assert_array_equal(a, b)
+    assert len(set(a.tolist())) == 3
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH recall vs brute force
+# ---------------------------------------------------------------------------
+def _embeddings_table(n=400, d=32, seed=11):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    flat = pa.array(x.reshape(-1))
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return (
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.ListArray.from_arrays(offsets, flat),
+            }
+        ),
+        x,
+    )
+
+
+def test_lsh_topk_recall_vs_bruteforce():
+    import ray.data
+
+    tbl, x = _embeddings_table()
+    queries = x[:3].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    brute = brute_force_topk(ds, queries, k=10).to_pandas()
+    lsh = lsh_topk(ds, queries, k=10, planes=8, probe_radius=2).to_pandas()
+    recalls = []
+    for q in range(3):
+        b = set(brute[brute.query_id == q]["vec_id"])
+        l = set(lsh[lsh.query_id == q]["vec_id"])
+        recalls.append(len(b & l) / len(b))
+    # probe radius 2 over 8 planes scans ~37/256 buckets; recall is
+    # corpus-dependent but must stay well above random (10/400 = 2.5%)
+    assert min(recalls) >= 0.3
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_embedding_neardup_planted():
+    """Planted near-identical vectors are found with exact cosines."""
+    import ray.data
+
+    tbl, x = _embeddings_table(n=80, d=16, seed=5)
+    rng = np.random.default_rng(6)
+    dup = x[:8] + 0.005 * rng.standard_normal((8, 16)).astype(np.float32)
+    n, d = x.shape
+    allx = np.concatenate([x, dup])
+    flat = pa.array(allx.reshape(-1))
+    offsets = pa.array(np.arange(0, (len(allx) + 1) * d, d, dtype=np.int32))
+    tbl2 = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(allx), dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offsets, flat),
+        }
+    )
+    planted = {(i, n + i) for i in range(8)}
+    out = embedding_neardup_pairs(
+        ray.data.from_arrow(tbl2), threshold=0.99, planes=4
+    ).to_pandas()
+    found = _pairs_set(out)
+    assert planted <= found
+    # reported cosines match brute force
+    xn = allx / np.linalg.norm(allx, axis=1, keepdims=True)
+    for a, b, c in zip(out["id_a"], out["id_b"], out["cosine"]):
+        assert c == pytest.approx(round(float(xn[int(a)] @ xn[int(b)]), 6), abs=2e-6)
+        assert c >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# multimodal: golden fake-decode values + split invariance
+# ---------------------------------------------------------------------------
+def _media_table(payloads):
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(len(payloads), dtype=np.int64)),
+            "media": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def test_multimodal_decode_deterministic_and_split_invariant():
+    payloads = [f"payload-{i}".encode() * (i + 1) for i in range(20)]
+    tbl = _media_table(payloads)
+    stage = DecodeImageStage()
+    whole = stage(tbl)
+    again = DecodeImageStage()(tbl)
+    assert whole.equals(again)
+    parts = pa.concat_tables([stage(tbl.slice(0, 7)), stage(tbl.slice(7))])
+    for col in ("decoded_h", "decoded_w", "channels", "mean_pixel", "n_bytes"):
+        assert parts[col].to_pylist() == whole[col].to_pylist()
+    # schema invariants of the fake decoder
+    assert whole["n_bytes"].to_pylist() == [len(p) for p in payloads]
+    dh = whole["decoded_h"].to_numpy()
+    dw = whole["decoded_w"].to_numpy()
+    assert ((dh >= 64) & (dh < 512)).all() and ((dw >= 64) & (dw < 512)).all()
+    assert set(whole["channels"].to_pylist()) == {3}
+
+
+def test_multimodal_decode_real_codec_is_gated():
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(decoder="real")
+    with pytest.raises(NotImplementedError):
+        FeatureExtractStage(model="real")
+
+
+def test_multimodal_features_split_invariant():
+    payloads = [f"blob-{i}".encode() for i in range(10)]
+    tbl = _media_table(payloads)
+    stage = FeatureExtractStage(dim=8)
+    whole = stage(tbl)["embedding"].to_pylist()
+    parts = (
+        stage(tbl.slice(0, 4))["embedding"].to_pylist()
+        + stage(tbl.slice(4))["embedding"].to_pylist()
+    )
+    assert whole == parts
+    assert all(len(e) == 8 for e in whole)
+    assert all(-1.0 <= v <= 1.0 for e in whole for v in e)
+
+
+def test_multimodal_frame_sample_expansion():
+    payloads = [b"video-a", b"video-b"]
+    tbl = _media_table(payloads)
+    out = FrameSampleStage(frames=4)(tbl)
+    assert out.num_rows == 8
+    assert out["frame_no"].to_pylist() == [0, 1, 2, 3] * 2
+    # offsets are deterministic and non-decreasing per media row
+    offs = out["frame_offset_ms"].to_pylist()
+    assert offs[:4] == sorted(offs[:4]) and offs[4:] == sorted(offs[4:])
