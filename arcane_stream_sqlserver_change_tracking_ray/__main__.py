@@ -111,12 +111,28 @@ def main(argv=None) -> int:
         print(json.dumps({"version": m.version, "watermark": m.watermark}))
         return 0
     if args.cmd == "stream":
-        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
-
-        metrics = StreamRunner(ctx).run(
-            max_cycles=args.max_cycles, max_seconds=args.max_seconds
+        from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+            PosixLifetime,
+            StreamRunner,
         )
-        print(json.dumps({"cycles": len(metrics), "metrics": metrics[-1] if metrics else {}}))
+
+        # SIGTERM/SIGINT drain the in-flight cycle and stop cleanly
+        # between cycles (reference PosixStreamLifetimeService)
+        lifetime = PosixLifetime()
+        metrics = StreamRunner(ctx).run(
+            max_cycles=args.max_cycles,
+            max_seconds=args.max_seconds,
+            stop_check=lifetime.stopped,
+        )
+        print(
+            json.dumps(
+                {
+                    "cycles": len(metrics),
+                    "stopped_by_signal": lifetime.stopped(),
+                    "metrics": metrics[-1] if metrics else {},
+                }
+            )
+        )
         return 0
     return 1
 

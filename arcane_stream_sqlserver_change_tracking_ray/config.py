@@ -37,6 +37,16 @@ class SourceSettings:
     fetch_size: int = 65536
     #: primary-key columns the merge key is synthesized from (T3)
     key_columns: tuple[str, ...] = ("url",)
+    #: source buffering strategy (reference source.buffering,
+    #: docs/crd.md:205-223; CRD ...stream.yaml:450-478).  Ray Data's
+    #: streaming executor buffers between operators natively; "bounded"
+    #: additionally caps the executor's object-store budget so an
+    #: oversized poll backpressures the read instead of ballooning:
+    #: none (executor defaults) | unbounded (no cap) | bounded
+    buffering: str = "none"
+    #: rows the bounded buffer may hold (maxBufferSize analog); converted
+    #: to an object-store byte budget with the shaper's row-size estimate
+    max_buffer_size: int = 10_000
 
 
 @dataclass
@@ -103,6 +113,24 @@ class SinkSettings:
     #: dir after it, so a published manifest never references
     #: non-durable parquet (power-loss safety; SIGKILL is safe either way)
     durable_writes: bool = True
+    #: columns getting a per-file bloom-filter SIDECAR for point-lookup
+    #: file skipping inside a partition (reference
+    #: targetTableProperties.parquetBloomFilterColumns, docs/crd.md:111,128;
+    #: pyarrow 16 cannot write parquet-native bloom filters, so the engine
+    #: writes `<file>.bloom` sidecars and prunes in lookup_keys)
+    bloom_filter_columns: tuple[str, ...] = ()
+    #: confine schema migration to stream bootstrap; later batch-schema
+    #: drift FAILS the cycle instead of migrating inline (reference
+    #: isUnifiedSchema, docs/crd.md:59-61 — "reduce pressure on the
+    #: catalog... could fail on batch schema mismatch")
+    is_unified_schema: bool = False
+    # -- merge/commit retry policy (reference queryRetry*, docs/crd.md:97-105,
+    #    CRD crd-microsoft-sql-server-stream.yaml:181-211) ------------------
+    query_retry_mode: str = "never"  # never | always | backfillOnly
+    query_retry_base_duration: float = 1.0  # seconds
+    query_retry_scale_factor: float = 3.0
+    query_retry_max_attempts: int = 3
+    query_retry_on_message_contents: tuple[str, ...] = ()
 
 
 @dataclass
@@ -133,6 +161,21 @@ class ThroughputSettings:
     #: token-bucket: advised events/sec admitted into the tailer; 0 = unlimited
     advised_rate: float = 0.0
     advised_burst: int = 0
+    # -- throughput shaper (reference throughput.shaperImpl, CRD
+    #    ...stream.yaml:319-396): "static" = the token bucket above;
+    #    "memoryBound" = additionally cap each poll's admitted segments by
+    #    ESTIMATED IN-MEMORY BYTES vs a memory budget — the OOM guard the
+    #    reference ships by default for backfill ---------------------------
+    shaper: str = "static"  # static | memoryBound
+    #: poll byte budget; 0 = auto (memory_budget_fraction of free RAM)
+    memory_budget_bytes: int = 0
+    #: fraction of currently-free memory a poll may occupy when auto-sized
+    memory_budget_fraction: float = 0.2
+    #: fallback per-row size estimates when parquet footer stats are
+    #: unavailable (reference fallbackStringTypeSizeEstimate /
+    #: objectTypeSizeEstimate, CRD ...stream.yaml:369-376)
+    fallback_string_size: int = 50
+    object_size_estimate: int = 4096
 
 
 @dataclass

@@ -28,6 +28,7 @@ from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
 from arcane_stream_sqlserver_change_tracking_ray.functions import transforms as T
 from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import (
     ChangeFeedTailer,
+    list_segments,
     max_available_version,
     read_snapshot,
     snapshot_files,
@@ -139,16 +140,44 @@ def transformed_schema(file_schema: pa.Schema, ctx: StreamContext) -> pa.Schema:
 
 
 # ---------------------------------------------------------------------------
+# lifetime (F2)
+# ---------------------------------------------------------------------------
+class PosixLifetime:
+    """SIGTERM/SIGINT-graceful stop — the reference's
+    ``PosixStreamLifetimeService`` (``main.scala:78``).  The handler only
+    sets a flag; the loop finishes the in-flight cycle (commit included)
+    and exits cleanly BETWEEN cycles, so a stopped stream leaves no
+    uncommitted staging/cycle dirs for the startup sweep."""
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._stop = False
+        for s in signals or (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(s, self._handle)
+
+    def _handle(self, signum, frame):
+        logger.info("signal %s received: draining current cycle then stopping", signum)
+        self._stop = True
+
+    def stopped(self) -> bool:
+        return self._stop
+
+
+# ---------------------------------------------------------------------------
 # the runner
 # ---------------------------------------------------------------------------
 class StreamRunner:
     def __init__(self, ctx: StreamContext, casts: dict | None = None):
+        from arcane_stream_sqlserver_change_tracking_ray.state.retry import RetryPolicy
+
         self.ctx = ctx
         self.casts = casts or {}
         self.log = ManifestLog(ctx.sink.target_root)
         self.tailer: ChangeFeedTailer | None = None
         self._pool = None  # lazy ActorMergePool (merge_strategy == "actors")
         self._transform = TransformStage(ctx, self.casts)
+        self.retry = RetryPolicy.from_sink(ctx.sink)
 
     def close(self) -> None:
         """Release the persistent merge-actor pool (if any)."""
@@ -192,6 +221,7 @@ class StreamRunner:
                     exchange_compression=sink.exchange_compression,
                     mode=sink.merge_mode,
                     fsync=sink.durable_writes,
+                    bloom_columns=tuple(sink.bloom_filter_columns),
                 )
             return self._pool.apply_change_batch(
                 ds,
@@ -216,6 +246,7 @@ class StreamRunner:
             key_col=self._transform.key_col,
             mode=sink.merge_mode,
             fsync=sink.durable_writes,
+            bloom_columns=tuple(sink.bloom_filter_columns),
         )
 
     # -------------------------------------------------------------- bootstrap
@@ -236,10 +267,11 @@ class StreamRunner:
             )
         if swept:
             logger.info("startup sweep removed %d uncommitted dirs", len(swept))
+        tp = self.ctx.throughput
         self.tailer = ChangeFeedTailer(
             self.ctx.source.ctlog_dir,
             manifest.watermark,
-            rows_per_poll=self.ctx.throughput.rows_per_group,
+            rows_per_poll=tp.rows_per_group,
             fetch_size=self.ctx.source.fetch_size,
             # server-side projection (T1) is resolved per poll from the
             # chosen segments' metadata in run_cycle (names differ per segment)
@@ -247,8 +279,14 @@ class StreamRunner:
             poll_interval=self.ctx.source.change_capture_interval,
             jitter=self.ctx.source.change_capture_jitter,
             jitter_seed=self.ctx.source.change_capture_jitter_seed,
-            advised_rate=self.ctx.throughput.advised_rate,
+            advised_rate=tp.advised_rate,
+            shaper=tp.shaper,
+            memory_budget_bytes=tp.memory_budget_bytes,
+            memory_budget_fraction=tp.memory_budget_fraction,
+            fallback_string_size=tp.fallback_string_size,
+            object_size_estimate=tp.object_size_estimate,
         )
+        self._apply_buffering()
         try:
             import ray
 
@@ -256,6 +294,35 @@ class StreamRunner:
         except Exception:
             pass
         return manifest
+
+    def _apply_buffering(self) -> None:
+        """G3 source buffering: Ray Data's streaming executor buffers
+        between operators natively (the `unbounded`/default strategies);
+        `bounded` additionally caps the executor's object-store budget to
+        ~maxBufferSize rows so an oversized poll backpressures the read
+        (reference source.buffering, docs/crd.md:205-223)."""
+        mode = self.ctx.source.buffering
+        if mode not in ("none", "unbounded", "bounded"):
+            raise ValueError(f"unknown source.buffering: {mode!r}")
+        if mode != "bounded":
+            return
+        try:
+            from ray.data import DataContext, ExecutionResources
+
+            row_bytes = 1024
+            if self.tailer is not None:
+                segs = list_segments(self.ctx.source.ctlog_dir)
+                if segs:
+                    rows, nbytes = self.tailer._segment_meta(segs[0][2])
+                    if rows:
+                        row_bytes = max(nbytes // rows, 64)
+            budget = max(self.ctx.source.max_buffer_size * row_bytes, 32 << 20)
+            DataContext.get_current().execution_options.resource_limits = (
+                ExecutionResources(object_store_memory=budget)
+            )
+            logger.info("bounded source buffer: object-store budget %d bytes", budget)
+        except Exception:
+            logger.warning("could not apply bounded-buffer resource limit", exc_info=True)
 
     # ------------------------------------------------------------- one cycle
     def run_cycle(self) -> dict | None:
@@ -313,11 +380,30 @@ class StreamRunner:
         # --- E1: schema migration decided once, driver-side ----------------
         batch_schema = transformed_schema(file_schema, self.ctx)
         unified, migrated = unify_target_schema(manifest.schema, batch_schema)
+        if (
+            migrated
+            and self.ctx.sink.is_unified_schema
+            and manifest.schema is not None
+            and manifest.counters.get("cycles", 0) > 0
+        ):
+            # isUnifiedSchema: migration is confined to bootstrap (the
+            # first cycle); later drift fails fast (docs/crd.md:59-61)
+            from arcane_stream_sqlserver_change_tracking_ray.stages.schema_evo import (
+                SchemaMismatchError,
+            )
+
+            raise SchemaMismatchError(
+                "batch schema drifted mid-stream with isUnifiedSchema=true: "
+                f"target {manifest.schema.names} vs batch {batch_schema.names}"
+            )
 
         # --- M1/M2: partitioned LWW merge ----------------------------------
         cycle_id = f"{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
         t_merge = time.perf_counter()
-        stats = self._merge(ds, cycle_id, manifest, unified)
+        stats = self.retry.call(
+            self._merge, ds, cycle_id, manifest, unified,
+            backfill=self.ctx.stream_mode.backfill,
+        )
         merge_s = time.perf_counter() - t_merge
 
         # --- K1/K2: atomic manifest + watermark commit ---------------------
@@ -339,7 +425,10 @@ class StreamRunner:
         nxt.counters["batches_since_maintenance"] = (
             nxt.counters.get("batches_since_maintenance", 0) + 1
         )
-        self.log.commit(nxt, expect_version=manifest.version)
+        self.retry.call(
+            self.log.commit, nxt, expect_version=manifest.version,
+            backfill=self.ctx.stream_mode.backfill,
+        )
         self.tailer.advance(hi)
 
         # --- K3: dispose staging ------------------------------------------
@@ -361,19 +450,26 @@ class StreamRunner:
 
     # ------------------------------------------------------------ main loops
     def run(
-        self, max_cycles: int | None = None, max_seconds: float | None = None
+        self,
+        max_cycles: int | None = None,
+        max_seconds: float | None = None,
+        stop_check=None,
     ) -> list[dict]:
-        """Streaming loop until caught up / cycle budget / time budget.
+        """Streaming loop until caught up / cycle budget / time budget /
+        *stop_check* returns True.
 
         The budget knobs are the test hook, mirroring the reference's
         ``TimeLimitLifetimeService`` swap (``Common.scala:44,82``); in
-        production the loop runs until signalled (PosixStreamLifetime).
+        production ``__main__`` passes ``PosixLifetime().stopped`` so a
+        SIGTERM drains the in-flight cycle and stops between cycles.
         """
         self.bootstrap()
         out: list[dict] = []
         t0 = time.monotonic()
         try:
             while True:
+                if stop_check is not None and stop_check():
+                    break
                 if max_cycles is not None and len(out) >= max_cycles:
                     break
                 if max_seconds is not None and time.monotonic() - t0 >= max_seconds:
@@ -381,7 +477,7 @@ class StreamRunner:
                 m = self.run_cycle()
                 if m is None:
                     if self.ctx.source.change_capture_interval > 0 and (
-                        max_seconds is not None
+                        max_seconds is not None or stop_check is not None
                     ):
                         time.sleep(min(self.tailer.next_interval(), 0.2))
                         continue
@@ -442,7 +538,9 @@ class StreamRunner:
             ).map_batches(self._transform, batch_format="pyarrow")
             unified = self._overwrite_schema(files, manifest)
             cycle_id = f"backfill-{backfill_id}"
-            stats = self._merge(ds, cycle_id, manifest, unified)
+            stats = self.retry.call(
+                self._merge, ds, cycle_id, manifest, unified, backfill=True
+            )
             nxt = manifest.next()
             nxt.schema = unified
             nxt.watermark = max(stamp, manifest.watermark)
@@ -504,6 +602,7 @@ class StreamRunner:
                 key_col=self._transform.key_col,
                 mode="cow",  # overwrite writes a fresh BASE layout, never deltas
                 fsync=ctx.sink.durable_writes,
+                bloom_columns=tuple(ctx.sink.bloom_filter_columns),
             )
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
@@ -680,7 +779,13 @@ def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
     return out
 
 
-def lookup_keys(target_root: str, keys: list[str], key_col: str = MERGE_KEY_COL) -> pa.Table:
+def lookup_keys(
+    target_root: str,
+    keys: list[str],
+    key_col: str = MERGE_KEY_COL,
+    use_bloom: bool = True,
+    stats: dict | None = None,
+) -> pa.Table:
     """Point lookups with partition pruning: hash each key to its owning
     partition and read ONLY those partitions' files — at P=4096 on a
     100 TB table a lookup touches ~0.025% of the data.  The same pruning
@@ -706,6 +811,8 @@ def lookup_keys(target_root: str, keys: list[str], key_col: str = MERGE_KEY_COL)
             m.schema,
             key_filter=key_arr,
             key_col=key_col,
+            bloom_column=key_col if use_bloom else None,
+            stats=stats,
         )
         if t.num_rows:
             tables.append(t)

@@ -70,6 +70,11 @@ class ChangeFeedTailer:
         jitter: float = 0.0,
         jitter_seed: int = 42,
         advised_rate: float = 0.0,
+        shaper: str = "static",
+        memory_budget_bytes: int = 0,
+        memory_budget_fraction: float = 0.2,
+        fallback_string_size: int = 50,
+        object_size_estimate: int = 4096,
     ):
         self.ctlog_dir = ctlog_dir
         self.watermark = int(watermark)
@@ -80,10 +85,20 @@ class ChangeFeedTailer:
         self.jitter = jitter
         self._rng = np.random.default_rng(jitter_seed)
         self.advised_rate = advised_rate
+        if shaper not in ("static", "memoryBound", "memory_bound"):
+            raise ValueError(f"unknown throughput shaper: {shaper!r}")
+        self.shaper = "memoryBound" if shaper != "static" else "static"
+        self.memory_budget_bytes = memory_budget_bytes
+        self.memory_budget_fraction = memory_budget_fraction
+        self.fallback_string_size = fallback_string_size
+        self.object_size_estimate = object_size_estimate
+        #: estimate of the LAST planned poll: {"rows": n, "bytes": b,
+        #: "budget": b|None} — surfaced for metrics/tests
+        self.last_plan_estimate: dict | None = None
         self._last_poll_t: float | None = None
-        #: segment path -> parquet row count (footer metadata; cached so a
-        #: poll never re-reads footers it has already seen)
-        self._seg_rows: dict[str, int] = {}
+        #: segment path -> (row count, uncompressed bytes) from the parquet
+        #: footer (cached so a poll never re-reads footers it has seen)
+        self._seg_meta: dict[str, tuple[int, int]] = {}
         #: split the poll's read into at least this many blocks so the
         #: fused read→transform stage can use every CPU even when the
         #: version range spans few segment files (the generator writes
@@ -134,34 +149,91 @@ class ChangeFeedTailer:
                 segs[0][0],
             )
             return None
+        budget = self._poll_byte_budget()
         chosen: list[str] = []
         hi = self.watermark
         rows = 0
+        est = 0.0
         for lo, seg_hi, path in segs:
             if lo > hi + 1:
                 break  # later gap: poll only the contiguous prefix
+            seg_rows, seg_bytes = self._segment_meta(path)
+            # the first segment may be partially consumed (watermark mid-
+            # segment): account only the REMAINING version range's share
+            start = max(self.watermark, lo - 1)
+            seg_span = max(seg_hi - (lo - 1), 1)
+            rem_span = seg_hi - start
+            per_version = seg_bytes / seg_span
+            rem_bytes = per_version * rem_span
+            rem_rows = seg_rows * rem_span / seg_span
+            if budget is not None and chosen and est + rem_bytes > budget:
+                break  # memoryBound: next segment would blow the budget
             chosen.append(path)
+            if budget is not None and est + rem_bytes > budget:
+                # a SINGLE oversized segment: admit only a version
+                # sub-range of it (the predicate pushdown bounds what is
+                # read; the remainder re-polls next cycle) — the
+                # admission-control role of the reference's sigmoid
+                # chunk-cost shaper (CRD ...stream.yaml:363-396)
+                admit = max(1, int((budget - est) / max(per_version, 1e-9)))
+                hi = min(seg_hi, start + admit)
+                est += per_version * (hi - start)
+                rows += int(rem_rows * (hi - start) / max(rem_span, 1))
+                break
             hi = seg_hi
             # cap the poll by ACTUAL row count (cheap driver-side footer
             # read, cached), not version span — a feed with several rows
             # per version or sparse versions would otherwise admit far
             # more (or fewer) rows than throughput.rows_per_group intends
-            rows += self._segment_rows(path)
+            rows += int(rem_rows)
+            est += rem_bytes
             if rows >= self.rows_per_poll:
                 break
+        self.last_plan_estimate = {"rows": rows, "bytes": int(est), "budget": budget}
         return chosen, hi
 
-    def _segment_rows(self, path: str) -> int:
-        n = self._seg_rows.get(path)
-        if n is None:
+    # -- memoryBound shaper helpers ------------------------------------
+    def _poll_byte_budget(self) -> int | None:
+        if self.shaper != "memoryBound":
+            return None
+        if self.memory_budget_bytes > 0:
+            return self.memory_budget_bytes
+        return int(_available_memory_bytes() * self.memory_budget_fraction)
+
+    def _segment_meta(self, path: str) -> tuple[int, int]:
+        meta = self._seg_meta.get(path)
+        if meta is None:
             import pyarrow.parquet as pq
 
             try:
-                n = pq.ParquetFile(path).metadata.num_rows
+                md = pq.ParquetFile(path).metadata
+                rows = md.num_rows
+                nbytes = sum(
+                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                )
+                if nbytes <= 0:
+                    nbytes = rows * self._fallback_row_bytes(md.schema.to_arrow_schema())
             except Exception:
-                n = 0
-            self._seg_rows[path] = n
-        return n
+                rows, nbytes = 0, 0
+            meta = (rows, nbytes)
+            self._seg_meta[path] = meta
+        return meta
+
+    def _fallback_row_bytes(self, schema) -> int:
+        """Per-row size estimate from declared types when footer stats are
+        absent (reference fallbackStringTypeSizeEstimate /
+        objectTypeSizeEstimate)."""
+        import pyarrow as pa
+
+        total = 0
+        for f in schema:
+            if pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
+                total += self.object_size_estimate
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                total += self.fallback_string_size
+            else:
+                total += 16
+        return max(total, 16)
 
     def poll(self, planned: tuple[list[str], int] | None = None):
         """Return ``(dataset, hi_version)`` for versions
@@ -198,6 +270,19 @@ class ChangeFeedTailer:
         if hi < self.watermark:
             raise ValueError(f"tailer cursor must be monotone: {hi} < {self.watermark}")
         self.watermark = hi
+
+
+def _available_memory_bytes() -> int:
+    """Currently-available system memory (Linux /proc/meminfo; falls back
+    to a conservative 1 GiB when unreadable)."""
+    try:
+        with open("/proc/meminfo", encoding="ascii") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 1 << 30
 
 
 def read_snapshot(snapshot_dir: str, columns: list[str] | None = None, num_shards: int | None = None):

@@ -82,6 +82,7 @@ class CompactPartition:
         max_rows_per_file: int,
         compression: str,
         fsync: bool = True,
+        bloom_columns: tuple[str, ...] = (),
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -91,6 +92,7 @@ class CompactPartition:
         self.max_rows_per_file = max_rows_per_file
         self.compression = compression
         self.fsync = fsync
+        self.bloom_columns = bloom_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
@@ -114,6 +116,7 @@ class CompactPartition:
                 max_rows_per_file=self.max_rows_per_file,
                 compression=self.compression,
                 fsync=self.fsync,
+                bloom_columns=self.bloom_columns,
             )
             out_pids.append(pid)
             out_files.append(json.dumps(rels))
@@ -144,6 +147,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         max_rows_per_file=ctx.maintenance.compact_target_rows or ctx.sink.max_rows_per_file,
         compression=ctx.sink.parquet_compression,
         fsync=ctx.sink.durable_writes,
+        bloom_columns=tuple(ctx.sink.bloom_filter_columns),
     )
     res = (
         ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -190,9 +194,19 @@ def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
         and not pa.types.is_large_binary(f.type)
     ]
     ds = read_target(log.root, columns=cols)
+
+    # summaries fold INSIDE map_batches (distributed); the driver only
+    # merges one tiny pickled summary per block — never the data itself
+    def partial_summary(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        return pa.table({"summary": pa.array([pickle.dumps(column_summary(batch))])})
+
     merged: dict[str, dict] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        part = column_summary(batch)
+    import pickle
+
+    for row in ds.map_batches(partial_summary, batch_format="pyarrow").take_all():
+        part = pickle.loads(row["summary"])
         for c, s in part.items():
             if c not in merged:
                 merged[c] = dict(s)

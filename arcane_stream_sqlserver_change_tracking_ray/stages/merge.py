@@ -125,6 +125,78 @@ def drop_tombstones(t: pa.Table) -> pa.Table:
     return t.filter(pc.not_equal(pc.coalesce(t[OP_COL], pa.scalar("U")), OP_DELETE))
 
 
+# ---------------------------------------------------------------------------
+# bloom-filter sidecars (E2 parquetBloomFilterColumns analog)
+# ---------------------------------------------------------------------------
+#: pyarrow 16 cannot write parquet-native bloom filters, so the writers
+#: emit `<file>.bloom.npz` sidecars (one bitset per configured column)
+#: and `lookup_keys` prunes files whose bitset excludes every probed key
+#: (reference targetTableProperties.parquetBloomFilterColumns,
+#: docs/crd.md:111,128).
+BLOOM_SUFFIX = ".bloom.npz"
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 4
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    m = 64
+    while m < n_keys * _BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(values, m: int) -> tuple[np.ndarray, np.ndarray]:
+    h1 = stable_hash(values)
+    h2 = (h1 >> np.uint64(33)) | np.uint64(1)
+    idx = np.empty((_BLOOM_HASHES, len(h1)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_HASHES):
+            idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(m)
+    return idx >> np.uint64(6), idx & np.uint64(63)
+
+
+def build_bloom(values) -> np.ndarray:
+    """uint64 bitset bloom filter over a (string) column's values."""
+    m = _bloom_m_bits(len(values))
+    words, bits = _bloom_positions(values, m)
+    out = np.zeros(m >> 6, dtype=np.uint64)
+    np.bitwise_or.at(out, words.ravel(), np.uint64(1) << bits.ravel())
+    return out
+
+
+def bloom_may_contain(bitset: np.ndarray, keys) -> np.ndarray:
+    """Per-key boolean: could the file contain this key? (no false
+    negatives; false-positive rate ~ (1/2)^4 at 10 bits/key)."""
+    m = len(bitset) << 6
+    words, bits = _bloom_positions(keys, m)
+    hit = np.ones(words.shape[1], dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        hit &= (bitset[words[i]] >> bits[i]) & np.uint64(1) != 0
+    return hit
+
+
+def write_bloom_sidecar(parquet_path: str, table: pa.Table, columns: tuple[str, ...]) -> None:
+    blooms = {
+        c: build_bloom(table[c]) for c in columns if c in table.column_names
+    }
+    if blooms:
+        np.savez(parquet_path + BLOOM_SUFFIX.removesuffix(".npz"), **blooms)
+
+
+def bloom_sidecar_excludes(parquet_path: str, column: str, keys) -> bool:
+    """True iff a sidecar exists for *column* and rules out EVERY key."""
+    path = parquet_path + BLOOM_SUFFIX
+    if not os.path.exists(path):
+        return False
+    try:
+        with np.load(path) as z:
+            if column not in z:
+                return False
+            return not bloom_may_contain(z[column], keys).any()
+    except Exception:
+        return False
+
+
 def fsync_file(path: str) -> None:
     """fsync a written data file so a committed manifest can never
     reference non-durable parquet (the manifest dir is fsynced at commit;
@@ -146,10 +218,12 @@ def write_partition_files(
     compression: str,
     fsync: bool = True,
     prefix: str = "part",
+    bloom_columns: tuple[str, ...] = (),
 ) -> tuple[list[str], int]:
     """Write one partition's rows under the attempt-unique cycle dir;
     returns (relative paths, bytes).  Shared by the CoW rewrite, the MoR
-    delta writer and compaction."""
+    delta writer and compaction.  *bloom_columns* adds per-file bloom
+    sidecars for point-lookup file skipping (E2)."""
     rels: list[str] = []
     total = 0
     if table.num_rows == 0:
@@ -161,6 +235,8 @@ def write_partition_files(
         name = f"{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
         path = os.path.join(out_dir, name)
         pq.write_table(chunk, path, compression=compression)
+        if bloom_columns:
+            write_bloom_sidecar(path, chunk, bloom_columns)
         if fsync:
             fsync_file(path)
         rels.append(f"cycles/{cycle_id}/{name}")
@@ -176,16 +252,31 @@ def resolve_partition_table(
     key_filter: pa.Array | None = None,
     key_col: str = MERGE_KEY_COL,
     use_threads: bool = True,
+    bloom_column: str | None = None,
+    stats: dict | None = None,
 ) -> pa.Table:
     """Merge-on-read resolve of ONE partition: LWW across base + deltas,
     tombstones dropped.  Partitions are key-disjoint, so this is exact.
     *key_filter* prunes rows early (point lookups) — filtering by key
     before LWW is safe because every version of a key lives in the same
-    partition."""
+    partition.  With *bloom_column*, files whose bloom sidecar rules out
+    every probed key are skipped entirely (no false negatives, so
+    skipping cannot change the LWW outcome for the probed keys)."""
     wanted = set(schema.names)
     tables = []
     for rel in list(base_files) + list(delta_files):
-        pf = pq.ParquetFile(os.path.join(target_root, rel))
+        path = os.path.join(target_root, rel)
+        if (
+            key_filter is not None
+            and bloom_column is not None
+            and bloom_sidecar_excludes(path, bloom_column, key_filter)
+        ):
+            if stats is not None:
+                stats["files_skipped"] = stats.get("files_skipped", 0) + 1
+            continue
+        if stats is not None:
+            stats["files_read"] = stats.get("files_read", 0) + 1
+        pf = pq.ParquetFile(path)
         cols = [c for c in pf.schema_arrow.names if c in wanted]
         t = pf.read(columns=cols, use_threads=use_threads)
         if key_filter is not None:
@@ -257,6 +348,7 @@ class PartitionMergeFn:
         key_col: str = MERGE_KEY_COL,
         mode: str = "mor",
         fsync: bool = True,
+        bloom_columns: tuple[str, ...] = (),
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -268,6 +360,7 @@ class PartitionMergeFn:
         self.key_col = key_col
         self.mode = mode
         self.fsync = fsync
+        self.bloom_columns = bloom_columns
 
     # -- target partition io -------------------------------------------------
     def _read_existing(self, pid: int) -> pa.Table | None:
@@ -292,6 +385,7 @@ class PartitionMergeFn:
             compression=self.compression,
             fsync=self.fsync,
             prefix=prefix,
+            bloom_columns=self.bloom_columns,
         )
 
     # -- the merge -----------------------------------------------------------
@@ -366,6 +460,7 @@ def apply_change_batch(
     key_col: str = MERGE_KEY_COL,
     mode: str = "cow",
     fsync: bool = True,
+    bloom_columns: tuple[str, ...] = (),
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
@@ -386,6 +481,7 @@ def apply_change_batch(
         key_col=key_col,
         mode=mode,
         fsync=fsync,
+        bloom_columns=bloom_columns,
     )
     def merge_partition(group: pa.Table) -> pa.Table:
         return merge_fn(group)
@@ -472,12 +568,14 @@ def _make_owner_actor():
             max_rows_per_file: int,
             mode: str = "mor",
             fsync: bool = True,
+            bloom_columns: tuple[str, ...] = (),
         ):
             self.target_root = target_root
             self.compression = compression
             self.max_rows_per_file = max_rows_per_file
             self.mode = mode
             self.fsync = fsync
+            self.bloom_columns = tuple(bloom_columns)
             self.buf: dict[int, list[pa.Table]] = {}
 
         def add(self, slices: list[tuple[int, pa.Table]]) -> int:
@@ -535,7 +633,7 @@ def _make_owner_actor():
                         delta, self.target_root, cycle_id, pid,
                         max_rows_per_file=self.max_rows_per_file,
                         compression=self.compression, fsync=self.fsync,
-                        prefix="delta",
+                        prefix="delta", bloom_columns=self.bloom_columns,
                     )
                     out.append(
                         {
@@ -573,6 +671,7 @@ def _make_owner_actor():
                     alive, self.target_root, cycle_id, pid,
                     max_rows_per_file=self.max_rows_per_file,
                     compression=self.compression, fsync=self.fsync,
+                    bloom_columns=self.bloom_columns,
                 )
                 out.append(
                     {
@@ -613,6 +712,7 @@ class ActorMergePool:
         exchange_compression: str = "",
         mode: str = "mor",
         fsync: bool = True,
+        bloom_columns: tuple[str, ...] = (),
     ):
         import ray
 
@@ -621,7 +721,8 @@ class ActorMergePool:
             num_actors = max(1, min(num_partitions, cpus))
         cls = _make_owner_actor()
         self.actors = [
-            cls.remote(target_root, compression, max_rows_per_file, mode, fsync)
+            cls.remote(target_root, compression, max_rows_per_file, mode, fsync,
+                       tuple(bloom_columns))
             for _ in range(num_actors)
         ]
         self.num_partitions = num_partitions

@@ -17,6 +17,14 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+
+class SchemaMismatchError(RuntimeError):
+    """Raised when ``sink.isUnifiedSchema`` is true and a batch's schema
+    drifts from the bootstrap-unified target schema mid-stream (reference
+    ``docs/crd.md:59-61``: unified mode confines migration to bootstrap
+    and "could fail on batch schema mismatch")."""
+
+
 _WIDENING: dict[tuple, pa.DataType] = {}
 
 

@@ -298,10 +298,11 @@ class ManifestLog:
         dead_files -= live_files
         for rel in dead_files:
             p = os.path.join(self.root, rel)
-            try:
-                os.unlink(p)
-            except FileNotFoundError:
-                pass
+            for path in (p, p + ".bloom.npz"):  # bloom sidecar travels with its file
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
         # remove now-empty cycle dirs
         cycles_root = os.path.join(self.root, CYCLES_DIR)
         if os.path.isdir(cycles_root):
