@@ -135,6 +135,7 @@ def cdc_lww_upsert(sf_dir: str) -> pa.Table:
             partition_files={},
             schema=schema,
             num_partitions=8,
+            hash_algo="polars",  # ephemeral table: fast routing hash
         )
         import json
 

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
-from arcane_stream_sqlserver_change_tracking_ray.stages.merge import stable_hash
+from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -49,7 +49,9 @@ class AddContentHash:
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = stable_hash(batch[self.text_col]).view(np.int64)
+        # ephemeral (per-run) content hash: the fast buffer-level algo —
+        # nothing persists, so routing-format stability doesn't apply
+        h = hash_keys(batch[self.text_col], "polars").view(np.int64)
         return batch.append_column(self.out_col, pa.array(h, type=pa.int64()))
 
 
@@ -93,7 +95,7 @@ def shingle_hashes(
     consecutive word hashes with distinct odd multipliers.
     """
     flat, offsets = words_flat(texts)
-    wh = stable_hash(flat)  # uint64 per word
+    wh = hash_keys(flat, "polars")  # uint64 per word (fast buffer-level hash)
     n_docs = len(offsets) - 1
     doc_lens = np.diff(offsets)
     n_sh = np.maximum(doc_lens - k + 1, 0)

@@ -222,6 +222,7 @@ class StreamRunner:
                     mode=sink.merge_mode,
                     fsync=sink.durable_writes,
                     bloom_columns=tuple(sink.bloom_filter_columns),
+                    hash_algo=manifest.key_hash_algo,
                 )
             return self._pool.apply_change_batch(
                 ds,
@@ -247,6 +248,7 @@ class StreamRunner:
             mode=sink.merge_mode,
             fsync=sink.durable_writes,
             bloom_columns=tuple(sink.bloom_filter_columns),
+            hash_algo=manifest.key_hash_algo,
         )
 
     # -------------------------------------------------------------- bootstrap
@@ -420,6 +422,8 @@ class StreamRunner:
                 "cycle_s": round(time.perf_counter() - t0, 4),
             }
         )
+        if self._pool is not None and getattr(self._pool, "last_timings", None):
+            metrics.update(self._pool.last_timings)
         nxt.metrics = metrics
         nxt.counters["cycles"] = nxt.counters.get("cycles", 0) + 1
         nxt.counters["batches_since_maintenance"] = (
@@ -603,6 +607,7 @@ class StreamRunner:
                 mode="cow",  # overwrite writes a fresh BASE layout, never deltas
                 fsync=ctx.sink.durable_writes,
                 bloom_columns=tuple(ctx.sink.bloom_filter_columns),
+                hash_algo=manifest.key_hash_algo,
             )
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
@@ -800,7 +805,11 @@ def lookup_keys(
 
     log = ManifestLog(target_root)
     m = log.require_watermark()
-    pids = set(partition_ids(pa.array(keys, pa.string()), m.num_partitions).tolist())
+    pids = set(
+        partition_ids(
+            pa.array(keys, pa.string()), m.num_partitions, m.key_hash_algo
+        ).tolist()
+    )
     key_arr = pa.array(keys, pa.string())
     tables = []
     for pid in sorted(pids):

@@ -93,7 +93,15 @@ def run_headline(num_cpus: int) -> dict:
         ctx = StreamContext.from_dict(
             {
                 "source": {"ctlog_dir": ctlog_dir, "key_columns": ["url"]},
-                "sink": {"target_root": target, "num_partitions": 32},
+                "sink": {
+                    "target_root": target,
+                    "num_partitions": 32,
+                    # GRAFT_BENCH_FSYNC=0 measures without the per-file
+                    # fsync barrier (the default is on; see BENCH/BASELINE.md
+                    # for the measured cost of durability on this disk)
+                    "durable_writes": os.environ.get("GRAFT_BENCH_FSYNC", "1") == "1",
+                    "merge_mode": os.environ.get("GRAFT_BENCH_MERGE_MODE", "mor"),
+                },
                 "throughput": {"rows_per_group": ROWS_PER_CYCLE},
                 "maintenance": {"enabled": False},
             }
