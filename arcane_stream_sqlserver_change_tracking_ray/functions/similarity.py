@@ -152,10 +152,32 @@ class AssignBucket:
         return batch.append_column("_bucket", pa.array(bucket_of(x, self.planes)))
 
 
+def bucketize_embeddings(ds, planes=8, seed=42, emb_col="embedding", dim=None):
+    """Assign the deterministic LSH bucket id as a PERSISTENT ``_bucket``
+    column.  At scale, run once and ``write_parquet`` the result (ideally
+    partitioned by ``_bucket``): searches then reuse the stored index
+    column instead of re-hashing the corpus per query set — pass the
+    bucketized dataset straight to :func:`lsh_topk`, which detects the
+    column and skips re-assignment."""
+    import ray
+
+    d = dim if dim is not None else embedding_dim(ds, emb_col)
+    pl_ref = ray.put(hyperplanes(d, planes, seed))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        return AssignBucket(pl_ref, emb_col=emb_col)(batch)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding", planes=8, probe_radius=1, seed=42, dim=None):
     """IVF/LSH-style ANN: scan only buckets within *probe_radius* bit
     flips of each query's bucket.  Recall < 1 by construction; the
-    bucket filter runs as a vectorized predicate inside map_batches."""
+    bucket filter runs as a vectorized predicate inside map_batches.
+
+    If *ds* already carries a ``_bucket`` column (see
+    :func:`bucketize_embeddings` — the persisted-index scale path, with
+    the SAME planes/seed), assignment is skipped entirely."""
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float32))
@@ -181,12 +203,17 @@ def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding"
         mask = np.isin(b, probe_arr)
         return batch.filter(pa.array(mask))
 
-    def assign(batch: pa.Table) -> pa.Table:
-        return AssignBucket(pl_ref, emb_col=emb_col)(batch)
+    try:
+        has_bucket = "_bucket" in ds.schema().base_schema.names
+    except Exception:
+        has_bucket = False
+    if not has_bucket:
 
-    bucketed = ds.map_batches(assign, batch_format="pyarrow").map_batches(
-        keep_probed, batch_format="pyarrow"
-    )
+        def assign(batch: pa.Table) -> pa.Table:
+            return AssignBucket(pl_ref, emb_col=emb_col)(batch)
+
+        ds = ds.map_batches(assign, batch_format="pyarrow")
+    bucketed = ds.map_batches(keep_probed, batch_format="pyarrow")
     return brute_force_topk(bucketed, queries, k=k, id_col=id_col, emb_col=emb_col)
 
 

@@ -278,6 +278,32 @@ def test_lsh_topk_recall_vs_bruteforce():
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_lsh_topk_prebucketed_equals_inline():
+    """The persisted-index path (bucketize once, search many) returns the
+    same result as inline bucket assignment with the same planes/seed."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        bucketize_embeddings,
+    )
+
+    tbl, x = _embeddings_table(n=200, d=16, seed=9)
+    queries = x[:2].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    inline = (
+        lsh_topk(ds, queries, k=5, planes=6, probe_radius=1, seed=3)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    indexed = bucketize_embeddings(ds, planes=6, seed=3)
+    pre = (
+        lsh_topk(indexed, queries, k=5, planes=6, probe_radius=1, seed=3)
+        .to_pandas().sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(inline, pre)
+
+
 def test_embedding_neardup_planted():
     """Planted near-identical vectors are found with exact cosines."""
     import ray.data
