@@ -404,13 +404,16 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard over LSH candidate pairs (distributed
-    join-by-id verification; low threshold reports the verified jaccard
-    for all candidates)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import minhash_dedup_pairs
+    """EXACT n-gram Jaccard similarity join (inverted shingle index:
+    explode → groupby(shingle) pair emission → pair-count groupby →
+    Jaccard from exact set sizes).  Unlike the MinHash path this is
+    sketch-free, so a plain SQL oracle can hash-verify it."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.2, text_col="text", id_col="doc_id")
+    return exact_jaccard_pairs(ds, threshold=0.2, text_col="text", id_col="doc_id")
 
 
 # ===========================================================================
@@ -445,6 +448,18 @@ def ann_lsh_topk(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_radius=2)
+
+
+def neardup_cosine_exact(sf_dir: str):
+    """EXACT all-pairs embedding near-dup (broadcast matrix, per-batch
+    matmul, pairs emitted once via id_a < id_b) — SQL-oracle-verified;
+    the LSH `embedding_neardup` below is the approximate scale path."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        exact_cosine_pairs,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return exact_cosine_pairs(ds, threshold=0.45)
 
 
 def embedding_neardup(sf_dir: str):
@@ -568,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "neardup_cosine_exact": neardup_cosine_exact,
         "embedding_neardup": embedding_neardup,
         # multimodal
         "multimodal_meta": multimodal_meta,
@@ -713,7 +729,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
         """,
         "multimodal_meta": "SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes FROM documents",
-        # rows-only (non-SQL-expressible): cdc_stream_replay, doc_fingerprint,
-        # dedup_minhash, dedup_simhash, dedup_ngram_jaccard, ann_lsh_topk,
+        # exact n-gram Jaccard: the SQL computes the same distinct word-
+        # 3-shingle sets (string form; the Ray side hashes them — equal
+        # counts modulo 64-bit collisions) and the same c/(|A|+|B|-c)
+        # double division, so values hash-compare bit-exactly
+        "dedup_ngram_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+              FROM w WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+        """,
+        # exact embedding near-dup: pair ids only (scores deliberately
+        # omitted — identical pair SETS are the contract; threshold 0.45
+        # has >= 1e-4 margin to the nearest cosine on every sf, far above
+        # float64-summation-order noise)
+        "neardup_cosine_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(cast(a.embedding AS double[]),
+                                         cast(b.embedding AS double[])) >= 0.45
+        """,
+        # winnowing fingerprint: the SAME polynomial rolling hash
+        # (base 1000003, mod 2^64, min over min(16, len)-byte windows)
+        # recomputed in DuckDB hugeint arithmetic; corpus is ASCII so
+        # unicode(char) == byte value (functions/text.py kernel uses
+        # utf8 bytes)
+        "doc_fingerprint": r"""
+            WITH c AS (
+              SELECT doc_id, length(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), wh AS (
+              SELECT doc_id,
+                CASE WHEN L = 0 THEN [0::HUGEINT]
+                     WHEN L < 16 THEN [list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)]
+                     ELSE list_transform(range(1, L - 14),
+                       i -> list_reduce(b[i:i+15],
+                         (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT))
+                END AS hs
+              FROM c
+            )
+            SELECT doc_id,
+              (CASE WHEN m >= 9223372036854775808::HUGEINT
+                    THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fingerprint
+            FROM (SELECT doc_id, list_min(hs) AS m FROM wh)
+        """,
+        # rows-only (non-SQL-expressible): cdc_stream_replay,
+        # dedup_minhash, dedup_simhash, ann_lsh_topk,
         # embedding_neardup, multimodal_decode
     }

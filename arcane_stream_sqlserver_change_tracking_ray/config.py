@@ -90,11 +90,17 @@ class SinkSettings:
     sorted_by: tuple[str, ...] = ()
     max_rows_per_file: int = 1_000_000
     parquet_compression: str = "zstd"
-    #: "actors" = persistent partition-owner merge actors (point-to-point
-    #: exchange, no sort barrier, state warm across cycles — the SURVEY §7.3
-    #: MergeActor design); "groupby" = Dataset groupby(_pid).map_groups
-    #: (simpler, fully elastic tasks; used by backfill bulk loads)
-    merge_strategy: str = "actors"
+    #: "auto" (default) = "direct" under merge_mode "mor", "actors" under
+    #: "cow".  "direct" = each push task writes its OWN pid-sorted MoR
+    #: delta file (row groups aligned to partition boundaries, manifest
+    #: entries carry #rg= slices) — no exchange at all, data never
+    #: round-trips the object store, tasks are fully elastic; requires
+    #: merge_mode "mor".  "actors" = persistent partition-owner merge
+    #: actors (point-to-point exchange, no sort barrier, state warm
+    #: across cycles — the SURVEY §7.3 MergeActor design; the CoW path).
+    #: "groupby" = Dataset groupby(_pid).map_groups (simplest, fully
+    #: elastic tasks; used by backfill bulk loads)
+    merge_strategy: str = "auto"
     #: owner-actor count; 0 = min(num_partitions, cluster CPUs)
     merge_actors: int = 0
     #: compress actor-exchange slices as Arrow IPC ("lz4"/"zstd"; "" = off):

@@ -106,7 +106,11 @@ def shingle_hashes(
     win_doc = np.repeat(np.arange(n_docs), n_sh)
     within = np.arange(total) - np.repeat(doc_offsets[:-1], n_sh)
     starts = offsets[:-1][win_doc] + within
-    mults = [np.uint64(0x9E3779B97F4A7C15 | (2 * j + 1)) for j in range(k)]
+    # distinct odd multiplier per position — adding 2j keeps the value odd
+    # AND distinct (the old `| (2j+1)` form collapsed j=0 and j=2 onto the
+    # same multiplier because the constant already ends in 0b10101, making
+    # the combiner symmetric under shingle reversal: (A,B,C) == (C,B,A))
+    mults = [np.uint64((0x9E3779B97F4A7C15 + 2 * j) & 0xFFFFFFFFFFFFFFFF) for j in range(k)]
     with np.errstate(over="ignore"):
         h = np.zeros(total, dtype=np.uint64)
         for j in range(k):
@@ -446,6 +450,154 @@ def minhash_dedup_pairs(ds, docs_table: pa.Table | None = None, threshold=0.8, *
         k_shingle=kw.get("k_shingle", 3),
     )
     return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (inverted shingle index)
+# ---------------------------------------------------------------------------
+class ShingleExplode:
+    """map_batches stage: explode each doc into its DISTINCT word-k-shingle
+    hashes — output columns ``(doc, sh)``.  The downstream shuffle payload
+    is 16 bytes/shingle; document text never moves."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k_shingle: int = 3):
+        self.text_col, self.id_col, self.k = text_col, id_col, k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, offs = shingle_hashes(batch[self.text_col], self.k)
+        ids = pc.cast(batch[self.id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, np.diff(offs))
+        if h.size == 0:
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        # distinct within doc (Jaccard is over shingle SETS); docs are
+        # whole rows so a doc never spans batches — per-batch distinct is
+        # globally distinct
+        order = np.lexsort((h, doc_of))
+        d, hh = doc_of[order], h[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+        return pa.table(
+            {
+                "doc": pa.array(d[keep], pa.int64()),
+                "sh": pa.array(hh[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+
+class _ShingleCounts:
+    """map_batches stage: ``(doc, n_sh)`` — each doc's distinct-shingle
+    count, computed per batch with NO shuffle (a doc is one row)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k_shingle: int = 3):
+        self.text_col, self.id_col, self.k = text_col, id_col, k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, offs = shingle_hashes(batch[self.text_col], self.k)
+        counts = np.zeros(batch.num_rows, dtype=np.int64)
+        if h.size:
+            row_of = np.repeat(np.arange(batch.num_rows), np.diff(offs))
+            order = np.lexsort((h, row_of))
+            d, hh = row_of[order], h[order]
+            keep = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+            counts = np.bincount(d[keep], minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pc.cast(batch[self.id_col], pa.int64()),
+                "n_sh": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def exact_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    k_shingle: int = 3,
+    max_df: int = 8192,
+):
+    """EXACT n-gram Jaccard similarity join: all pairs (id_a < id_b) with
+    ``|A∩B| / |A∪B| >= threshold`` over distinct word-k-shingle sets.
+
+    Classic inverted-index set-similarity join, Ray-Data-shaped:
+
+    1. ``map_batches(ShingleExplode)`` → (doc, shingle) rows,
+    2. ``groupby(sh)`` → emit candidate pairs per posting list (a pair
+       appears once per COMMON shingle),
+    3. ``groupby([id_a, id_b]).count()`` → |A∩B| per pair,
+    4. attach |A| and |B| (per-batch counts, broadcast via ``ray.put``)
+       → Jaccard = c/(|A|+|B|-c), filter ≥ threshold.
+
+    Exactness: any pair with Jaccard ≥ t > 0 shares ≥ 1 shingle, so the
+    posting-list candidates are a superset of the answer; the Jaccard is
+    then computed from exact set sizes (no sampling, no sketches).
+
+    Scale notes: shuffles move only (8-byte key, 8-byte id) rows; the
+    pair-count explosion is bounded per shingle by *max_df* (logged when
+    hit — a shingle shared by > max_df docs emits a truncated pair set,
+    so ultra-boilerplate shingles degrade to approximate; at web scale
+    run MinHash+LSH instead, this operator is the exact/oracle path).
+    The |A|/|B| side table is 16 bytes/doc broadcast once per actor —
+    beyond ~10^8 docs switch the final lookup to a partitioned join
+    (functions/join.py) instead.
+    """
+    import ray
+
+    sh = ds.map_batches(
+        ShingleExplode(text_col, id_col, k_shingle), batch_format="pyarrow"
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ids = _cap_bucket(ids, max_df, "jaccard-posting")
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
+        )
+
+    common = (
+        sh.groupby("sh")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+    )
+
+    counts_tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                _ShingleCounts(text_col, id_col, k_shingle), batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+    )
+    doc_ids = counts_tbl["doc"].to_numpy(zero_copy_only=False)
+    n_sh = counts_tbl["n_sh"].to_numpy(zero_copy_only=False)
+    order = np.argsort(doc_ids)
+    counts_ref = ray.put((doc_ids[order], n_sh[order]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sorted_ids, sorted_n = ray.get(counts_ref)
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        c = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = sorted_n[np.searchsorted(sorted_ids, ia)]
+        nb = sorted_n[np.searchsorted(sorted_ids, ib)]
+        union = na + nb - c
+        j = c / np.maximum(union, 1)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return common.map_batches(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -279,3 +279,52 @@ def embedding_neardup_pairs(
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
     return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pyarrow")
+
+
+def exact_cosine_pairs(
+    ds, threshold=0.45, id_col: str = "vec_id", emb_col: str = "embedding"
+):
+    """EXACT all-pairs cosine near-dup: every pair (id_a < id_b) with
+    cosine >= threshold — the brute-force baseline that an SQL oracle
+    can verify (``embedding_neardup_pairs`` above is the LSH-bucketed
+    scale path and misses cross-bucket pairs by design).
+
+    Shape: the normalized corpus matrix is broadcast ONCE (``ray.put``);
+    each batch computes one (batch x corpus) float64 matmul and emits
+    only pairs where the batch row's id < the other id, so every pair
+    surfaces exactly once with no shuffle.  Broadcasting the matrix is
+    O(n·d) memory per node — beyond ~10^7 vectors switch to the LSH
+    path or an IVF index; this operator is the exact/oracle baseline.
+    Scores are intentionally NOT emitted (float rounding differs across
+    engines; the pair SET is the deterministic contract)."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(embedding_matrix(tbl[emb_col]).astype(np.float64))
+    mat_ref = ray.put((ids_all, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        all_ids, mat = ray.get(mat_ref)
+        x = _normalize(embedding_matrix(batch[emb_col]).astype(np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = x @ mat.T  # (b, n)
+        hit = s >= threshold
+        # emit once: only pairs where this batch's id is the smaller one
+        hit &= ids[:, None] < all_ids[None, :]
+        bi, ci = np.nonzero(hit)
+        if not len(bi):
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi], pa.int64()),
+                "id_b": pa.array(all_ids[ci], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -147,10 +147,13 @@ def rolling_window_hashes(texts: pa.Array | pa.ChunkedArray, k: int = 16):
 
     Returns ``(hashes uint64[n_windows], doc_offsets int64[n_docs+1])``
     where ``hashes[doc_offsets[i]:doc_offsets[i+1]]`` are doc i's
-    windows.  Docs shorter than *k* get zero windows.
+    windows.  Window size is ``min(k, len)``: docs shorter than *k* get
+    ONE window covering their whole text (so every non-empty doc has the
+    same polynomial-hash definition — SQL-oracle-expressible); empty
+    docs get zero windows.
 
     Math: with prefix transform ``G[j] = sum_{t<j} c[t] * B^{-t}`` the
-    window hash ``H(i) = B^{i+k-1} * (G[i+k] - G[i])`` — all mod 2^64
+    window hash ``H(i) = B^{i+w-1} * (G[i+w] - G[i])`` — all mod 2^64
     via natural uint64 wraparound, computed with two cumulative passes.
     """
     if isinstance(texts, pa.ChunkedArray):
@@ -183,26 +186,30 @@ def rolling_window_hashes(texts: pa.Array | pa.ChunkedArray, k: int = 16):
         ) if n_total else np.empty(0, np.uint64)
 
     doc_lens = np.diff(offsets.astype(np.int64))
-    n_windows = np.maximum(doc_lens - k + 1, 0)
+    # min(k, len) windows: short non-empty docs contribute ONE whole-text window
+    n_windows = np.where(doc_lens == 0, 0, np.maximum(doc_lens - k + 1, 1))
     doc_offsets = np.concatenate(([0], np.cumsum(n_windows)))
     total_w = int(doc_offsets[-1])
     if total_w == 0:
         return np.empty(0, np.uint64), doc_offsets
-    # global start index of each window
+    # global start index + length of each window
     doc_starts = offsets[:-1].astype(np.int64)
     win_doc = np.repeat(np.arange(len(doc_lens)), n_windows)
     within = np.arange(total_w) - np.repeat(doc_offsets[:-1], n_windows)
     starts = doc_starts[win_doc] + within
+    wlen = np.minimum(doc_lens[win_doc], k)
     with np.errstate(over="ignore"):
-        h = b_pow[starts + k - 1] * (G[starts + k] - G[starts])
+        h = b_pow[starts + wlen - 1] * (G[starts + wlen] - G[starts])
     return h, doc_offsets
 
 
 class FingerprintStage:
-    """Append ``fingerprint``: the MIN rolling k-gram hash per document
-    (stored as int64 bit-pattern) — a content-defined fingerprint stable
-    under reordering of documents and across runs; empty/short docs get
-    the full-text hash instead."""
+    """Append ``fingerprint``: the MIN rolling ``min(k, len)``-gram hash
+    per document (stored as int64 bit-pattern) — a content-defined
+    fingerprint stable under reordering of documents and across runs.
+    Short docs hash their whole text (one window); empty docs get 0.
+    The whole definition is plain polynomial arithmetic mod 2^64, so a
+    SQL oracle can recompute it (see ``oracle_sql()['doc_fingerprint']``)."""
 
     def __init__(self, text_col: str = "text", k: int = 16):
         self.text_col = text_col
@@ -220,13 +227,6 @@ class FingerprintStage:
         if h.size:
             mins = np.minimum.reduceat(h, doc_offsets[:-1][has])
             out[has] = mins
-        # short docs: hash of the whole text
-        if (~has).any():
-            import pandas as pd
-
-            short_idx = np.flatnonzero(~has)
-            short_vals = text.take(pa.array(short_idx)).to_numpy(zero_copy_only=False)
-            out[short_idx] = pd.util.hash_array(short_vals.astype(object))
         return batch.append_column(
             "fingerprint", pa.array(out.view(np.int64), type=pa.int64())
         )

@@ -188,14 +188,23 @@ class StreamRunner:
     def _merge(self, ds, cycle_id: str, manifest: Manifest, schema: pa.Schema) -> list[dict]:
         """Dispatch one change batch to the configured merge strategy."""
         sink = self.ctx.sink
-        if sink.merge_strategy not in ("actors", "groupby"):
+        if sink.merge_strategy not in ("auto", "direct", "actors", "groupby"):
             raise ValueError(
                 f"unknown sink.merge_strategy: {sink.merge_strategy!r} "
-                "(expected 'actors' or 'groupby')"
+                "(expected 'auto', 'direct', 'actors' or 'groupby')"
             )
         if sink.merge_mode not in ("mor", "cow"):
             raise ValueError(
                 f"unknown sink.merge_mode: {sink.merge_mode!r} (expected 'mor' or 'cow')"
+            )
+        strategy = sink.merge_strategy
+        if strategy == "auto":
+            strategy = "direct" if sink.merge_mode == "mor" else "actors"
+        if strategy == "direct" and sink.merge_mode != "mor":
+            raise ValueError(
+                "sink.merge_strategy 'direct' writes per-task delta files and "
+                "requires merge_mode 'mor' (CoW needs per-partition "
+                "consolidation — use 'actors' or 'groupby')"
             )
         # a CoW rewrite must fold any pending deltas too (it replaces the
         # partition's visible state wholesale); MoR never reads them
@@ -206,7 +215,32 @@ class StreamRunner:
             }
         else:
             partition_files = manifest.partitions
-        if sink.merge_strategy == "actors":
+        if strategy == "direct":
+            from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+                apply_change_batch_direct,
+            )
+
+            import time as _time
+
+            t0 = _time.perf_counter()
+            stats = apply_change_batch_direct(
+                ds,
+                target_root=sink.target_root,
+                cycle_id=cycle_id,
+                schema=schema,
+                num_partitions=manifest.num_partitions,
+                compression=sink.parquet_compression,
+                sorted_by=tuple(sink.sorted_by),
+                batch_size=None,  # one delta file per read block
+                key_col=self._transform.key_col,
+                fsync=sink.durable_writes,
+                bloom_columns=tuple(sink.bloom_filter_columns),
+                hash_algo=manifest.key_hash_algo,
+                max_rows_per_file=sink.max_rows_per_file,
+            )
+            self._direct_timings = {"push_s": round(_time.perf_counter() - t0, 4), "flush_s": 0.0}
+            return stats
+        if strategy == "actors":
             from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
                 ActorMergePool,
             )
@@ -292,7 +326,13 @@ class StreamRunner:
         try:
             import ray
 
-            self.tailer.target_blocks = int(ray.cluster_resources().get("CPU", 0)) or None
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            # 4x CPUs: a poll spanning few segment files would otherwise
+            # quantize into len(files) blocks — e.g. 10 files on 8 CPUs is
+            # 2 waves (the 2nd nearly idle), a ~40% efficiency hole
+            # (BENCH/BASELINE.md round-2 profile); over-splitting 4x keeps
+            # every wave full at a negligible per-block scheduling cost
+            self.tailer.target_blocks = (4 * cpus) or None
         except Exception:
             pass
         return manifest
@@ -424,6 +464,8 @@ class StreamRunner:
         )
         if self._pool is not None and getattr(self._pool, "last_timings", None):
             metrics.update(self._pool.last_timings)
+        elif getattr(self, "_direct_timings", None):
+            metrics.update(self._direct_timings)
         nxt.metrics = metrics
         nxt.counters["cycles"] = nxt.counters.get("cycles", 0) + 1
         nxt.counters["batches_since_maintenance"] = (

@@ -299,6 +299,38 @@ def write_partition_files(
     return rels, total
 
 
+def split_entry(entry: str) -> tuple[str, list[int] | None]:
+    """Parse a manifest file entry into ``(relpath, row_group_indices)``.
+
+    Plain entries are whole files.  The 'direct' MoR merge writes ONE
+    pid-sorted delta file per push task with row groups aligned to
+    partition boundaries; the manifest then references the pid's slice
+    as ``<relpath>#rg=<a>-<b>`` (inclusive) so readers fetch only that
+    partition's row groups."""
+    rel, sep, frag = entry.partition("#rg=")
+    if not sep:
+        return entry, None
+    lo, dash, hi = frag.partition("-")
+    return rel, list(range(int(lo), int(hi) + 1 if dash else int(lo) + 1))
+
+
+def read_entry_table(
+    target_root: str,
+    entry: str,
+    wanted: set[str] | None = None,
+    use_threads: bool = True,
+) -> pa.Table:
+    """Read a manifest file entry (fragment-aware)."""
+    rel, rgs = split_entry(entry)
+    pf = pq.ParquetFile(os.path.join(target_root, rel))
+    cols = (
+        [c for c in pf.schema_arrow.names if c in wanted] if wanted is not None else None
+    )
+    if rgs is None:
+        return pf.read(columns=cols, use_threads=use_threads)
+    return pf.read_row_groups(rgs, columns=cols, use_threads=use_threads)
+
+
 def resolve_partition_table(
     target_root: str,
     base_files: list[str],
@@ -319,7 +351,8 @@ def resolve_partition_table(
     skipping cannot change the LWW outcome for the probed keys)."""
     wanted = set(schema.names)
     tables = []
-    for rel in list(base_files) + list(delta_files):
+    for entry in list(base_files) + list(delta_files):
+        rel, _ = split_entry(entry)
         path = os.path.join(target_root, rel)
         if (
             key_filter is not None
@@ -331,9 +364,7 @@ def resolve_partition_table(
             continue
         if stats is not None:
             stats["files_read"] = stats.get("files_read", 0) + 1
-        pf = pq.ParquetFile(path)
-        cols = [c for c in pf.schema_arrow.names if c in wanted]
-        t = pf.read(columns=cols, use_threads=use_threads)
+        t = read_entry_table(target_root, entry, wanted, use_threads=use_threads)
         if key_filter is not None:
             t = t.filter(pc.is_in(t[key_col], value_set=key_filter))
         tables.append(cast_to_schema(t, schema))
@@ -429,8 +460,8 @@ class PartitionMergeFn:
         if not files:
             return None
         tables = []
-        for rel in files:
-            t = pq.read_table(os.path.join(self.target_root, rel))
+        for entry in files:  # fragment-aware: deltas may be #rg= slices
+            t = read_entry_table(self.target_root, entry)
             tables.append(cast_to_schema(t, self.schema))
         return pa.concat_tables(tables)
 
@@ -584,7 +615,9 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
         loads.append(int(s["changes_in"]))
         for k in totals:
             totals[k] += int(s[k]) if k in s else 0
-    totals["partitions_touched"] = len(stats)
+    # distinct pids: the 'direct' strategy emits one stats row per
+    # (task, pid), so len(stats) would overcount
+    totals["partitions_touched"] = len({int(s[PID_COL]) for s in stats})
     # skew telemetry (SURVEY.md §4.2): per-cycle partition load histogram —
     # a max/mean ratio near 1 means the key hash spreads hot url prefixes;
     # sustained high ratios would call for re-bucketing the hot partitions
@@ -596,6 +629,134 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             "max_over_mean": round(max(loads) / mean, 3) if mean else 0.0,
         }
     return totals
+
+
+# ---------------------------------------------------------------------------
+# strategy 3: direct per-task delta writes (MoR only — the scale default)
+# ---------------------------------------------------------------------------
+_DIRECT_STATS_SCHEMA = pa.schema(
+    [
+        (PID_COL, pa.int64()),
+        ("rows", pa.int64()),
+        ("upserts", pa.int64()),
+        ("deletes", pa.int64()),
+        ("changes_in", pa.int64()),
+        ("bytes", pa.int64()),
+        ("files_json", pa.string()),
+        ("mode", pa.string()),
+    ]
+)
+
+
+def apply_change_batch_direct(
+    changes_ds,
+    *,
+    target_root: str,
+    cycle_id: str,
+    schema: pa.Schema,
+    num_partitions: int,
+    compression: str = "zstd",
+    sorted_by: tuple[str, ...] = (),
+    batch_size: int | None = None,
+    key_col: str = MERGE_KEY_COL,
+    fsync: bool = True,
+    bloom_columns: tuple[str, ...] = (),
+    hash_algo: str = "pandas",
+    max_rows_per_file: int = 1_000_000,
+) -> list[dict]:
+    """Merge-on-read WITHOUT an exchange: every push task writes its own
+    pid-sorted delta parquet, row groups aligned to partition boundaries,
+    and the manifest records each partition's slice as
+    ``<file>#rg=<a>-<b>`` (see ``split_entry``).
+
+    Why: the owner-actor exchange round-trips the full change payload
+    through the object store (serialize → plasma → deserialize → buffer
+    → write) before anything hits disk.  On bandwidth-bound hosts that
+    copy chain is the non-scaling term of the cycle (BENCH/BASELINE.md
+    round-2 profile: push_s flat from 2→8 CPUs while flush_s scales).
+    Direct mode keeps the data inside the map task: read → transform →
+    route (one argsort + one gather) → zstd to disk.  There is no
+    barrier besides the tiny per-task stats collection, and no state —
+    tasks are fully elastic across a cluster.
+
+    Correctness: read-side LWW resolves strictly by version
+    (``lww_table``), so cross-task duplicate keys within a cycle are
+    resolved at read/OPTIMIZE exactly as cross-cycle duplicates already
+    are; tombstones are retained in the delta.  The per-cycle combine
+    the owner actors performed was an optimization, not a correctness
+    point — within-task storms still collapse via the adaptive
+    pre-combine.
+    """
+    P = num_partitions
+
+    def write_task_delta(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _DIRECT_STATS_SCHEMA.empty_table()
+        changes_in_total = batch.num_rows
+        batch, h = precombine_and_hash(batch, key_col, hash_algo)
+        pid = (h % np.uint64(P)).astype(np.int64)
+        order = np.argsort(pid, kind="stable")
+        b = batch.take(pa.array(order))  # ONE payload gather
+        pids = pid[order]
+        b = cast_to_schema(ensure_merge_key_alias(b, key_col), schema)
+        bounds = np.r_[np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]]), len(pids)]
+        out_dir = os.path.join(target_root, "cycles", cycle_id)
+        os.makedirs(out_dir, exist_ok=True)
+        name = f"delta-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(out_dir, name)
+        rel = f"cycles/{cycle_id}/{name}"
+        rows_stat: list[dict] = []
+        writer = pq.ParquetWriter(path, b.schema, compression=compression)
+        try:
+            rg = 0
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sl = b.slice(s, e - s)
+                if sorted_by:
+                    sl = sl.sort_by([(c, "ascending") for c in sorted_by])
+                first_rg = rg
+                for off in range(0, sl.num_rows, max_rows_per_file):
+                    chunk = sl.slice(off, max_rows_per_file)
+                    writer.write_table(chunk, row_group_size=chunk.num_rows)
+                    rg += 1
+                deletes = sl.num_rows - drop_tombstones(sl).num_rows
+                rows_stat.append(
+                    {
+                        PID_COL: int(pids[s]),
+                        "rows": sl.num_rows,
+                        "upserts": sl.num_rows - deletes,
+                        "deletes": deletes,
+                        "changes_in": sl.num_rows,
+                        "bytes": 0,  # filled from row-group metadata below
+                        "files_json": json.dumps([f"{rel}#rg={first_rg}-{rg - 1}"]),
+                        "mode": "mor",
+                    }
+                )
+        finally:
+            writer.close()
+        if bloom_columns:
+            write_bloom_sidecar(path, b, bloom_columns)
+        if fsync:
+            fsync_file(path)
+        # exact per-partition compressed sizes from the footer
+        md = pq.ParquetFile(path).metadata
+        rg_bytes = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+        for r in rows_stat:
+            _, rgs = split_entry(json.loads(r["files_json"])[0])
+            r["bytes"] = int(sum(rg_bytes[i] for i in rgs))
+        # fold the pre-combine drop into the first pid's changes_in so
+        # cycle totals still account every arriving row
+        if rows_stat:
+            rows_stat[0]["changes_in"] += changes_in_total - int(
+                sum(r["rows"] for r in rows_stat)
+            )
+        return pa.Table.from_pylist(rows_stat, schema=_DIRECT_STATS_SCHEMA)
+
+    # batch_size=None → one delta file per BLOCK: file granularity is then
+    # governed by the read split (4x CPUs, runner.bootstrap), not by a
+    # row-count constant — fewer, larger files at low parallelism
+    return changes_ds.map_batches(
+        write_task_delta, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
 
 
 # ---------------------------------------------------------------------------
@@ -712,11 +873,11 @@ def _make_owner_actor():
                     continue
 
                 existing = []
-                for rel in partition_files.get(pid, []):
+                for entry in partition_files.get(pid, []):
                     existing.append(
                         cast_to_schema(
-                            pq.read_table(
-                                os.path.join(self.target_root, rel), use_threads=False
+                            read_entry_table(
+                                self.target_root, entry, use_threads=False
                             ),
                             schema,
                         )

@@ -124,8 +124,12 @@ class Manifest:
         )
 
     def all_files(self) -> set[str]:
-        return {f for files in self.partitions.values() for f in files} | {
-            f for files in self.deltas.values() for f in files
+        """PHYSICAL data files of this snapshot.  Delta entries from the
+        'direct' merge strategy carry a ``#rg=`` row-group fragment
+        (several entries can share one file); GC and raw reads need the
+        real paths, so fragments are stripped here."""
+        return {f.partition("#rg=")[0] for files in self.partitions.values() for f in files} | {
+            f.partition("#rg=")[0] for files in self.deltas.values() for f in files
         }
 
     def partition_pids(self) -> set[int]:

@@ -394,3 +394,77 @@ def test_multimodal_frame_sample_expansion():
     # offsets are deterministic and non-decreasing per media row
     offs = out["frame_offset_ms"].to_pylist()
     assert offs[:4] == sorted(offs[:4]) and offs[4:] == sorted(offs[4:])
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (the SQL-oracle path)
+# ---------------------------------------------------------------------------
+def test_exact_jaccard_pairs_equals_bruteforce(corpus):
+    """The inverted-index join must produce the EXACT brute-force pair
+    set with bit-identical jaccard values (no sketches anywhere)."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    tbl, _, truth = corpus
+    thr = 0.3
+    out = exact_jaccard_pairs(
+        ray.data.from_arrow(tbl), threshold=thr, text_col="text", id_col="doc_id"
+    ).to_pandas()
+    got = {(int(a), int(b)): float(j) for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])}
+    n = truth.shape[0]
+    want = {
+        (i, j): truth[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if truth[i, j] >= thr
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]  # bit-exact: same integer counts, same division
+
+
+def test_exact_jaccard_pairs_batch_split_invariant(corpus):
+    """Result must not depend on how the corpus splits into batches."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    tbl, _, _ = corpus
+    a = exact_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.3).to_pandas()
+    b = exact_jaccard_pairs(
+        ray.data.from_arrow(tbl).repartition(7), threshold=0.3
+    ).to_pandas()
+    ka = sorted(zip(a["id_a"], a["id_b"], a["jaccard"]))
+    kb = sorted(zip(b["id_a"], b["id_b"], b["jaccard"]))
+    assert ka == kb
+
+
+# ---------------------------------------------------------------------------
+# exact embedding cosine near-dup (the SQL-oracle path)
+# ---------------------------------------------------------------------------
+def test_exact_cosine_pairs_equals_bruteforce():
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        exact_cosine_pairs,
+    )
+
+    tbl, x = _embeddings_table(n=300, d=16, seed=5)
+    xn = x.astype(np.float64)
+    xn /= np.linalg.norm(xn, axis=1, keepdims=True)
+    c = xn @ xn.T
+    thr = 0.6
+    iu = np.triu_indices(len(xn), 1)
+    want = {
+        (int(i), int(j)) for i, j in zip(iu[0][c[iu] >= thr], iu[1][c[iu] >= thr])
+    }
+    out = exact_cosine_pairs(
+        ray.data.from_arrow(tbl).repartition(5), threshold=thr
+    ).to_pandas()
+    assert _pairs_set(out) == want
+    assert want, "corpus must contain at least one pair above threshold"

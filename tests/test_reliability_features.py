@@ -249,8 +249,9 @@ def test_bloom_sidecar_skips_files_on_lookup(tmp_lake):
     ctx = make_ctx(ct, tgt, sink={"bloomFilterColumns": ["arcane_merge_key"]})
     StreamRunner(ctx).run()
     m = ManifestLog(tgt).latest()
-    # sidecars exist next to every delta file
-    files = [f for fl in list(m.partitions.values()) + list(m.deltas.values()) for f in fl]
+    # sidecars exist next to every PHYSICAL data file (delta entries may
+    # carry #rg= fragments under the direct merge strategy)
+    files = sorted(m.all_files())
     assert files
     assert all(os.path.exists(os.path.join(tgt, f + ".bloom.npz")) for f in files)
     exp = expected_final_state(ct)

@@ -53,12 +53,13 @@ def test_watermark_gate_negative(tmp_lake):
 @pytest.mark.parametrize(
     "strategy",
     [
+        {"merge_strategy": "direct"},
         {"merge_strategy": "actors"},
         {"merge_strategy": "groupby"},
         # compressed exchange must be result-identical to uncompressed
         {"merge_strategy": "actors", "exchange_compression": "lz4"},
     ],
-    ids=["actors", "groupby", "actors-lz4"],
+    ids=["direct", "actors", "groupby", "actors-lz4"],
 )
 def test_full_replay_matches_oracle(tmp_lake, strategy):
     """Every merge strategy/exchange variant must yield the identical
