@@ -516,6 +516,7 @@ def exact_jaccard_pairs(
     threshold: float = 0.2,
     k_shingle: int = 3,
     max_df: int = 8192,
+    counts: str = "broadcast",
 ):
     """EXACT n-gram Jaccard similarity join: all pairs (id_a < id_b) with
     ``|A∩B| / |A∪B| >= threshold`` over distinct word-k-shingle sets.
@@ -538,9 +539,11 @@ def exact_jaccard_pairs(
     hit — a shingle shared by > max_df docs emits a truncated pair set,
     so ultra-boilerplate shingles degrade to approximate; at web scale
     run MinHash+LSH instead, this operator is the exact/oracle path).
-    The |A|/|B| side table is 16 bytes/doc broadcast once per actor —
-    beyond ~10^8 docs switch the final lookup to a partitioned join
-    (functions/join.py) instead.
+    ``counts`` picks how |A|/|B| attach to the pair counts:
+    ``"broadcast"`` ships the 16-bytes/doc side table to every task
+    (right up to ~10^8 docs); ``"partitioned"`` hash-joins pair rows to
+    counts by doc id with two groupby exchanges — nothing materializes
+    on the driver or in task memory, the 100-TB path.
     """
     import ray
 
@@ -566,14 +569,16 @@ def exact_jaccard_pairs(
         .groupby(["id_a", "id_b"])
         .count()
     )
-
-    counts_tbl = pa.concat_tables(
-        ray.get(
-            ds.map_batches(
-                _ShingleCounts(text_col, id_col, k_shingle), batch_format="pyarrow"
-            ).to_arrow_refs()
-        )
+    counts_ds = ds.map_batches(
+        _ShingleCounts(text_col, id_col, k_shingle), batch_format="pyarrow"
     )
+
+    if counts == "partitioned":
+        return _jaccard_attach_partitioned(common, counts_ds, threshold)
+    if counts != "broadcast":
+        raise ValueError(f"unknown counts mode: {counts!r}")
+
+    counts_tbl = pa.concat_tables(ray.get(counts_ds.to_arrow_refs()))
     doc_ids = counts_tbl["doc"].to_numpy(zero_copy_only=False)
     n_sh = counts_tbl["n_sh"].to_numpy(zero_copy_only=False)
     order = np.argsort(doc_ids)
@@ -598,6 +603,91 @@ def exact_jaccard_pairs(
         )
 
     return common.map_batches(finalize, batch_format="pyarrow")
+
+
+def _jaccard_attach_partitioned(common, counts_ds, threshold: float):
+    """Attach per-doc shingle counts to pair counts WITHOUT a broadcast:
+    explode each pair into two (doc-keyed) request rows, union with the
+    counts rows, ``groupby(doc)`` to stamp n_sh onto the requests, then
+    ``groupby([id_a, id_b])`` to combine the two sides — everything is a
+    hash exchange over small fixed-width rows, nothing driver-side."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate([ia, ib])),
+                "id_a": pa.array(np.concatenate([ia, ia])),
+                "id_b": pa.array(np.concatenate([ib, ib])),
+                "c": pa.array(np.concatenate([c, c])),
+                "n_sh": pa.nulls(2 * len(ia), pa.int64()),
+            }
+        )
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc": pc.cast(batch["doc"], pa.int64()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "c": pa.nulls(n, pa.int64()),
+                "n_sh": pc.cast(batch["n_sh"], pa.int64()),
+            }
+        )
+
+    def stamp(group: pa.Table) -> pa.Table:
+        is_count = pc.is_null(group["id_a"]).to_numpy(zero_copy_only=False)
+        crow = np.flatnonzero(is_count)
+        # a doc with no requests contributes nothing; a request for a doc
+        # missing from the corpus keeps n_sh null and is dropped later
+        n_val = (
+            group["n_sh"][int(crow[0])].as_py() if len(crow) else None
+        )
+        req = group.filter(pa.array(~is_count))
+        if req.num_rows == 0:
+            return req
+        return req.set_column(
+            req.schema.get_field_index("n_sh"),
+            "n_sh",
+            pa.array([n_val] * req.num_rows, pa.int64()),
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows != 2 or group["n_sh"].null_count:
+            return empty
+        c = int(group["c"][0].as_py())
+        na, nb = (int(v.as_py()) for v in group["n_sh"])
+        union = max(na + nb - c, 1)
+        j = c / union
+        if j < threshold:
+            return empty
+        return pa.table(
+            {
+                "id_a": group["id_a"].slice(0, 1),
+                "id_b": group["id_b"].slice(0, 1),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    requests = common.map_batches(explode, batch_format="pyarrow")
+    tagged = counts_ds.map_batches(tag_counts, batch_format="pyarrow")
+    return (
+        requests.union(tagged)
+        .groupby("doc")
+        .map_groups(stamp, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -468,3 +468,24 @@ def test_exact_cosine_pairs_equals_bruteforce():
     ).to_pandas()
     assert _pairs_set(out) == want
     assert want, "corpus must contain at least one pair above threshold"
+
+
+def test_exact_jaccard_partitioned_counts_equals_broadcast(corpus):
+    """The no-broadcast (hash-join) counts attach must give identical
+    pairs and bit-identical jaccard values to the broadcast path."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    tbl, _, _ = corpus
+    a = exact_jaccard_pairs(
+        ray.data.from_arrow(tbl), threshold=0.3, counts="broadcast"
+    ).to_pandas()
+    b = exact_jaccard_pairs(
+        ray.data.from_arrow(tbl).repartition(6), threshold=0.3, counts="partitioned"
+    ).to_pandas()
+    assert sorted(zip(a["id_a"], a["id_b"], a["jaccard"])) == sorted(
+        zip(b["id_a"], b["id_b"], b["jaccard"])
+    )
