@@ -13,6 +13,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
@@ -542,6 +543,65 @@ def cdc_stream_replay(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def cdc_engine_events_replay(sf_dir: str):
+    """Full-engine end-to-end WITH a hash-checked SQL oracle: the change
+    feed is the driver's own `events` table (version = event_id, op = 'D'
+    for event_type 'error' else 'U'), chunked into CT-log segments and
+    replayed through the REAL engine — tailer plan/poll, transforms,
+    direct MoR merge, manifest commits, merge-on-read final read.  The
+    converged table equals plain LWW SQL over `events`, so the driver
+    can hash-compare the whole engine, not just row counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+
+    events = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+        [("event_id", "ascending")]
+    )
+    op = pc.if_else(
+        pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
+    )
+    feed = events.append_column(VERSION_COL, events["event_id"]).append_column(
+        OP_COL, op
+    )
+    root = tempfile.mkdtemp(prefix="cdc_events_replay_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        os.makedirs(ct, exist_ok=True)
+        n = feed.num_rows
+        chunk = max(math.ceil(n / 8), 1)
+        prev_hi = 0  # segment labels must be contiguous from the watermark;
+        # segment_path's lo is EXCLUSIVE (watermark-style): it labels lo+1
+        for off in range(0, n, chunk):
+            sl = feed.slice(off, chunk)
+            hi = int(pc.max(sl[VERSION_COL]).as_py())
+            pq.write_table(sl, segment_path(ct, prev_hi, hi))
+            prev_hi = hi
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": max(n // 3, 1)},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -559,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_after_replay": watermark_after_replay,
         "backfill_snapshot": backfill_snapshot,
         "cdc_stream_replay": cdc_stream_replay,
+        "cdc_engine_events_replay": cdc_engine_events_replay,
         # transforms
         "field_filter_include": field_filter_include,
         "normalize_colnames": normalize_colnames,
@@ -629,6 +690,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # the FULL engine (tailer -> transforms -> direct MoR merge ->
+        # manifest commits -> merge-on-read read) replaying the events
+        # table as its change feed must converge to plain LWW SQL
+        "cdc_engine_events_replay": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         "changefeed_window": """
             SELECT user_id, event_type, value, event_id AS sys_change_version
