@@ -330,19 +330,24 @@ def run_scaling() -> None:
     # repetitions and score each level by its BEST repetition — each
     # level's best approximates the unloaded host, and the pairs compare
     # like with like.  Per-rep pairs are reported too (worst case).
-    levels = (2, 4, 8, 16, 32)
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,4,8,16,32").split(",")
+    )
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    score_levels = tuple(c for c in (2, 8, 32) if c in levels) or (2, 8)
     replay_runs: dict[int, list[dict]] = {c: [] for c in levels}
-    score_runs: dict[int, list[dict]] = {c: [] for c in (2, 8, 32)}
+    score_runs: dict[int, list[dict]] = {c: [] for c in score_levels}
     bw_runs = []
     for r in range(reps):
         bw_runs.append(measure_memory_bandwidth())
         for c in levels:
             replay_runs[c].append(_fresh(["--headline-only"], c, replay_env))
-        for c in (2, 8, 32):
+        for c in score_levels:
             score_runs[c].append(_fresh(["--score-only"], c))
 
     def eff(metric, a, b):
+        if a not in metric or b not in metric:
+            return None
         return round((metric[b] / metric[a]) / (b / a), 3)
 
     rep_all = {
@@ -351,9 +356,11 @@ def run_scaling() -> None:
     rep_tp = {c: max(v) for c, v in rep_all.items()}
     sc_all = {c: [x["docs_per_sec"] for x in score_runs[c]] for c in score_runs}
     sc_tp = {c: max(v) for c, v in sc_all.items()}
-    per_rep_2_8 = [
-        round(rep_all[8][i] / rep_all[2][i] / 4, 3) for i in range(reps)
-    ]
+    per_rep_2_8 = (
+        [round(rep_all[8][i] / rep_all[2][i] / 4, 3) for i in range(reps)]
+        if 2 in rep_all and 8 in rep_all
+        else []
+    )
     doc = {
         "metric": "scaling_efficiency",
         "value": eff(rep_tp, 2, 8),
