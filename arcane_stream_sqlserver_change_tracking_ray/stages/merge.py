@@ -737,9 +737,16 @@ def apply_change_batch_direct(
             write_bloom_sidecar(path, b, bloom_columns)
         if fsync:
             fsync_file(path)
-        # exact per-partition compressed sizes from the footer
+        # exact per-partition COMPRESSED sizes from the footer (summed per
+        # column chunk — rg.total_byte_size is the uncompressed size)
         md = pq.ParquetFile(path).metadata
-        rg_bytes = [md.row_group(i).total_byte_size for i in range(md.num_row_groups)]
+        rg_bytes = [
+            sum(
+                md.row_group(i).column(j).total_compressed_size
+                for j in range(md.row_group(i).num_columns)
+            )
+            for i in range(md.num_row_groups)
+        ]
         for r in rows_stat:
             _, rgs = split_entry(json.loads(r["files_json"])[0])
             r["bytes"] = int(sum(rg_bytes[i] for i in rgs))
