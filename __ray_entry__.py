@@ -377,6 +377,60 @@ def topk_tokens(sf_dir: str):
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
 
 
+def windowed_agg(sf_dir: str):
+    """Tumbling-window aggregate over event time (the streaming-window
+    operator the reference lacks): per (event_type, hour) row counts and
+    value sums.  Shape: per-batch PARTIAL aggregation with Arrow's
+    hash group_by inside map_batches, then a small global groupby over
+    (type, window) partials — the full events payload never shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table(
+            {"event_type": batch["event_type"], "w": w, "value": batch["value"]}
+        )
+        g = t.group_by(["event_type", "w"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "w", "sv", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # sum as integer 1e-4 units: float-sum low bits differ between
+        # engines by summation order, and round() ulp behavior differs
+        # between Arrow and DuckDB — integer units compare exactly
+        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "w": pc.cast(batch["w"], pa.timestamp("us")),
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sv_u": sv_u,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def top_docs_by_len(sf_dir: str):
+    """Global sort + limit surface: top-50 documents by mean word length
+    (rounded quality metric), doc_id tie-break — a distributed sort whose
+    output is deterministic and SQL-oracle-checkable."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(QualityScoreStage(), batch_format="pyarrow").select_columns(
+        ["doc_id", "mean_word_len"]
+    )
+    return scored.sort(["mean_word_len", "doc_id"], descending=[True, False]).limit(50)
+
+
 # ===========================================================================
 # Training-data operators: dedup
 # ===========================================================================
@@ -449,6 +503,16 @@ def ann_lsh_topk(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_radius=2)
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF ANN (distributed k-means coarse quantizer + probed-cluster
+    scan) — the inverted-file scale path; recall vs brute force is
+    pytest-asserted (rows-only here: ANN output is approximate)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=6)
 
 
 def neardup_cosine_exact(sf_dir: str):
@@ -631,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": broadcast_join,
         "partitioned_join": partitioned_join,
         # text analysis
+        "windowed_agg": windowed_agg,
+        "top_docs_by_len": top_docs_by_len,
         "token_count": token_count,
         "quality_score": quality_score,
         "lang_id": lang_id,
@@ -644,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "neardup_cosine_exact": neardup_cosine_exact,
         "embedding_neardup": embedding_neardup,
         # multimodal
@@ -767,6 +834,20 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "lang_id": _lang_id_sql(),
+        "windowed_agg": """
+            SELECT event_type, date_trunc('hour', ts) AS w,
+                   count(*) AS n,
+                   cast(round(sum(value) * 10000) AS bigint) AS sv_u
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "top_docs_by_len": rf"""
+            SELECT doc_id,
+                   round(cast(length(text) - (len(regexp_extract_all(text, '{WORD_PATTERN}')) - 1) AS double)
+                         / greatest(len(regexp_extract_all(text, '{WORD_PATTERN}')), 1), 6) AS mean_word_len
+            FROM documents
+            ORDER BY mean_word_len DESC, doc_id ASC
+            LIMIT 50
+        """,
         "topk_tokens": r"""
             SELECT token, count(*) AS cnt FROM (
               SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

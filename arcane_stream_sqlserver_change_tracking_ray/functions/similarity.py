@@ -281,6 +281,103 @@ def embedding_neardup_pairs(
     return bucketed.groupby("_bucket").map_groups(pairs, batch_format="pyarrow")
 
 
+def kmeans_centroids(
+    ds,
+    k: int = 16,
+    iters: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> np.ndarray:
+    """Deterministic distributed k-means on the (normalized) embeddings:
+    init = the k lowest-id vectors; each Lloyd iteration is one
+    ``map_batches`` pass emitting per-batch partial sums (k x d) +
+    counts, folded on the driver (tiny: k x d floats per batch task).
+    Nothing but centroids ever leaves the workers."""
+    import ray
+
+    d = dim if dim is not None else embedding_dim(ds, emb_col)
+    seed_tbl = (
+        ds.sort(id_col).limit(k).select_columns([emb_col]).take_all()
+    )
+    cents = _normalize(
+        np.array([r[emb_col] for r in seed_tbl], dtype=np.float64).reshape(k, d)
+    )
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            if batch.num_rows == 0:
+                z = np.zeros_like(c)
+                return pa.table(
+                    {
+                        "sums": pa.array([z.reshape(-1)]),
+                        "counts": pa.array([np.zeros(len(c), np.int64)]),
+                    }
+                )
+            x = _normalize(embedding_matrix(batch[emb_col]).astype(np.float64))
+            a = np.argmax(x @ c.T, axis=1)  # cosine assignment
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {"sums": pa.array([sums.reshape(-1)]), "counts": pa.array([counts])}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, np.int64)
+        for r in parts:
+            sums += np.asarray(r["sums"], np.float64).reshape(k, -1)
+            counts += np.asarray(r["counts"], np.int64)
+        nz = counts > 0
+        cents[nz] = _normalize(sums[nz] / counts[nz, None])
+    return cents
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF (inverted-file) ANN: k-means-partition the corpus, then scan
+    only the ``nprobe`` clusters nearest to each query — the classic
+    coarse-quantizer scale path (scan cost ~ nprobe/n_clusters of the
+    corpus; recall tested against brute force in
+    ``tests/test_neardup_operators.py``).
+
+    Shape: centroids come from the distributed k-means above (broadcast,
+    k x d); one ``map_batches`` pass assigns vectors and keeps only rows
+    whose cluster any query probes; the surviving candidates run the
+    same per-batch matmul + local top-k as ``brute_force_topk``; the
+    global reduce sees at most batches x queries x k tiny rows."""
+    import ray
+
+    cents = kmeans_centroids(ds, n_clusters, iters, emb_col, id_col)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (m, nprobe)
+    probed_clusters = np.unique(probe.reshape(-1))
+    c_ref = ray.put((cents, set(probed_clusters.tolist())))
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cents_, probed = ray.get(c_ref)
+        x = _normalize(embedding_matrix(batch[emb_col]).astype(np.float64))
+        a = np.argmax(x @ cents_.T, axis=1)
+        mask = np.isin(a, list(probed))
+        return batch.filter(pa.array(mask))
+
+    cand = ds.map_batches(keep_probed, batch_format="pyarrow")
+    return brute_force_topk(cand, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
 def exact_cosine_pairs(
     ds, threshold=0.45, id_col: str = "vec_id", emb_col: str = "embedding"
 ):

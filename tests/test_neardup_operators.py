@@ -489,3 +489,25 @@ def test_exact_jaccard_partitioned_counts_equals_broadcast(corpus):
     assert sorted(zip(a["id_a"], a["id_b"], a["jaccard"])) == sorted(
         zip(b["id_a"], b["id_b"], b["jaccard"])
     )
+
+
+def test_ivf_topk_recall_vs_bruteforce():
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    tbl, x = _embeddings_table(n=400, d=32, seed=11)
+    q = x[:3].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    bf = brute_force_topk(ds, q, k=10).to_pandas()
+    ivf = ivf_topk(ds, q, k=10, n_clusters=12, nprobe=4).to_pandas()
+    got = set(map(tuple, ivf[["query_id", "vec_id"]].values))
+    want = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, f"IVF recall {recall} below floor"
+    # probing ALL clusters must reproduce brute force exactly
+    full = ivf_topk(ds, q, k=10, n_clusters=12, nprobe=12).to_pandas()
+    assert set(map(tuple, full[["query_id", "vec_id"]].values)) == want
