@@ -457,11 +457,26 @@ def minhash_dedup_pairs(ds, docs_table: pa.Table | None = None, threshold=0.8, *
 # ---------------------------------------------------------------------------
 class ShingleExplode:
     """map_batches stage: explode each doc into its DISTINCT word-k-shingle
-    hashes — output columns ``(doc, sh)``.  The downstream shuffle payload
-    is 16 bytes/shingle; document text never moves."""
+    hashes — output columns ``(doc, sh)`` plus a coarse ``shb`` bucket
+    (``sh mod bucket_mod``).  The downstream shuffle payload is
+    ~24 bytes/shingle; document text never moves.
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id", k_shingle: int = 3):
+    ``shb`` exists because grouping on the raw shingle would invoke the
+    ``map_groups`` Python function once per DISTINCT SHINGLE (hundreds of
+    thousands of ~µs-payload calls — measured 19 s at sf0.1); grouping on
+    a few thousand buckets moves the same rows but amortizes the per-call
+    overhead, and the pair kernel vectorizes across the bucket's shingle
+    segments."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k_shingle: int = 3,
+        bucket_mod: int = 4096,
+    ):
         self.text_col, self.id_col, self.k = text_col, id_col, k_shingle
+        self.bucket_mod = bucket_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, offs = shingle_hashes(batch[self.text_col], self.k)
@@ -469,7 +484,11 @@ class ShingleExplode:
         doc_of = np.repeat(ids, np.diff(offs))
         if h.size == 0:
             return pa.table(
-                {"doc": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.int64()),
+                    "shb": pa.array([], pa.int64()),
+                }
             )
         # distinct within doc (Jaccard is over shingle SETS); docs are
         # whole rows so a doc never spans batches — per-batch distinct is
@@ -477,10 +496,14 @@ class ShingleExplode:
         order = np.lexsort((h, doc_of))
         d, hh = doc_of[order], h[order]
         keep = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+        d, hh = d[keep], hh[keep]
         return pa.table(
             {
-                "doc": pa.array(d[keep], pa.int64()),
-                "sh": pa.array(hh[keep].view(np.int64), pa.int64()),
+                "doc": pa.array(d, pa.int64()),
+                "sh": pa.array(hh.view(np.int64), pa.int64()),
+                "shb": pa.array(
+                    (hh % np.uint64(self.bucket_mod)).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -551,24 +574,56 @@ def exact_jaccard_pairs(
         ShingleExplode(text_col, id_col, k_shingle), batch_format="pyarrow"
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    def pairs_bucket(group: pa.Table) -> pa.Table:
+        """All candidate pairs from EVERY shingle posting list inside one
+        coarse bucket, vectorized: one lexsort, segment boundaries, then
+        a tight loop over only the df>=2 segments (df==1 shingles — the
+        vast majority — are dropped wholesale first).  Pairs are emitted
+        PACKED as (id_a << 32) | id_b so the pair-count groupby shuffles
+        and hashes a single int64 key."""
+        s = group["sh"].to_numpy(zero_copy_only=False)
+        d = group["doc"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"pair": pa.array([], pa.int64())})
+        if len(s) < 2:
+            return empty
+        if d.max() >= (1 << 31):
+            raise ValueError(
+                "exact_jaccard_pairs packs doc-id pairs into int64 and "
+                "requires ids < 2^31; re-key the corpus or use the MinHash path"
             )
-        ids = _cap_bucket(ids, max_df, "jaccard-posting")
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
-        )
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, s[1:] != s[:-1]]), len(s)]
+        counts = np.diff(bounds)
+        out = []
+        for k in np.flatnonzero(counts >= 2):
+            seg = d[bounds[k] : bounds[k + 1]]  # distinct docs, ascending
+            if len(seg) > max_df:
+                seg = _cap_bucket(seg, max_df, "jaccard-posting")
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out.append((seg[ia].astype(np.int64) << 32) | seg[ib].astype(np.int64))
+        if not out:
+            return empty
+        return pa.table({"pair": pa.array(np.concatenate(out), pa.int64())})
 
     common = (
-        sh.groupby("sh")
-        .map_groups(pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
+        sh.groupby("shb")
+        .map_groups(pairs_bucket, batch_format="pyarrow")
+        .groupby("pair")
         .count()
     )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(p >> 32, pa.int64()),
+                "id_b": pa.array(p & 0xFFFFFFFF, pa.int64()),
+                "count()": batch["count()"],
+            }
+        )
+
+    common = common.map_batches(unpack, batch_format="pyarrow")
     counts_ds = ds.map_batches(
         _ShingleCounts(text_col, id_col, k_shingle), batch_format="pyarrow"
     )
