@@ -332,6 +332,44 @@ def token_count(sf_dir: str):
     )
 
 
+class _PageHtmlBuilder:
+    """Render each document as a Common-Crawl-style page (escape text,
+    wrap in markup with attributes + a content-bearing meta tag) — the
+    query scaffolding that lets ``ExtractTextStage`` be oracle-checked as
+    an exact round trip (input_hint: byte-identical extracted text)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from arcane_stream_sqlserver_change_tracking_ray.functions.text import escape_html_text
+
+        n = batch.num_rows
+        esc = escape_html_text(batch["text"])
+        doc_s = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            pa.array(['<html lang="'] * n, pa.string()),
+            batch["lang"].combine_chunks() if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"],
+            pa.array(['"><head><meta name="title" content="doc '] * n, pa.string()),
+            doc_s,
+            pa.array(['"/></head><body><p>'] * n, pa.string()),
+            esc,
+            pa.array(["</p></body></html>"] * n, pa.string()),
+            "",
+        ).cast(pa.binary())
+        return batch.append_column("html", html)
+
+
+def extract_text(sf_dir: str):
+    """html->text extraction (input_hint invariant): build a page per
+    document, extract, and return the extracted text.  The oracle is the
+    ORIGINAL text column — a hash match proves the extraction is a
+    byte-identical round trip, not merely self-consistent."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import ExtractTextStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(_PageHtmlBuilder(), batch_format="pyarrow")
+    ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_extracted"])
+
+
 def quality_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(QualityScoreStage(), batch_format="pyarrow").select_columns(
@@ -698,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg,
         "top_docs_by_len": top_docs_by_len,
         "token_count": token_count,
+        "extract_text": extract_text,
         "quality_score": quality_score,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
@@ -814,6 +853,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws,
                    len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tokens_bpe
             FROM documents
+        """,
+        # the oracle is the ORIGINAL text: escape -> wrap-in-markup ->
+        # extract must be a byte-identical round trip (input_hint
+        # per-row invariant), so a value-hash match here proves the
+        # extraction exact rather than merely self-consistent
+        "extract_text": """
+            SELECT doc_id, text AS text_extracted FROM documents
         """,
         "quality_score": rf"""
             WITH b AS (

@@ -136,6 +136,53 @@ class LangIdStage:
 
 
 # ---------------------------------------------------------------------------
+# html -> text extraction
+# ---------------------------------------------------------------------------
+HTML_TAG_PATTERN = r"<[^>]*>"
+#: unescape order matters: ``&amp;`` LAST, so a double-escaped sequence
+#: like ``&amp;lt;`` round-trips to ``&lt;`` and not ``<``
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+class ExtractTextStage:
+    """``html:binary`` -> extracted text (the BASELINE.json ``input_hint``
+    per-row invariant: byte-identical extracted text per url).
+
+    Minimal published extraction, fully vectorized: utf8-validate the
+    binary payload, strip markup tags with one re2 pass, then unescape
+    the five standard HTML entities.  Escape(text) -> wrap-in-tags ->
+    extract is an exact identity for every text (escaping removes all
+    raw ``<``, so the tag regex can only match real markup), which is
+    what the round-trip oracle/pytest assert byte-for-byte.
+    """
+
+    def __init__(self, html_col: str = "html", out_col: str = "text_extracted"):
+        self.html_col = html_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[self.html_col], pa.string())  # utf8-validating
+        s = pc.replace_substring_regex(s, HTML_TAG_PATTERN, "")
+        for entity, ch in HTML_ENTITIES:
+            s = pc.replace_substring(s, entity, ch)
+        return batch.append_column(self.out_col, s)
+
+
+def escape_html_text(text: pa.Array | pa.ChunkedArray):
+    """Escape ``& < >`` (``&`` first — injective, exact inverse of the
+    unescape pass in :class:`ExtractTextStage`)."""
+    esc = pc.replace_substring(text, "&", "&amp;")
+    esc = pc.replace_substring(esc, "<", "&lt;")
+    return pc.replace_substring(esc, ">", "&gt;")
+
+
+# ---------------------------------------------------------------------------
 # rolling-hash fingerprint (winnowing-lite)
 # ---------------------------------------------------------------------------
 _B = np.uint64(1000003)  # odd base -> invertible mod 2^64

@@ -87,3 +87,72 @@ def test_column_summary():
     s = T.column_summary(t, ("n", "b"))
     assert s["n"] == {"min": 1, "max": 2, "null_count": 1, "count": 3}
     assert s["b"]["min"] is None  # binary columns skip min/max
+
+
+# ---------------------------------------------------------------------------
+# html -> text extraction (input_hint per-row invariant)
+# ---------------------------------------------------------------------------
+def _roundtrip(texts: list[str]) -> list[str]:
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        ExtractTextStage,
+        escape_html_text,
+    )
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    esc = escape_html_text(t["text"])
+    html = pa.table(
+        {
+            "html": pa.array(
+                [f"<html lang=\"en\"><head><meta content=\"d {i}\"/></head><body><p>".encode()
+                 + e.as_py().encode() + b"</p></body></html>"
+                 for i, e in enumerate(esc.combine_chunks() if isinstance(esc, pa.ChunkedArray) else esc)],
+                pa.binary(),
+            )
+        }
+    )
+    out = ExtractTextStage()(html)
+    return out["text_extracted"].to_pylist()
+
+
+def test_extract_text_roundtrip_adversarial():
+    texts = [
+        "plain words",
+        "a < b && b > c",                      # raw markup-ish chars
+        "already &amp;lt; escaped",            # double-escape must survive
+        'quotes " and \' apostrophes',
+        "&lt;p&gt; looks like a tag but is text",
+        "",                                    # empty doc
+        "trailing ampersand &",
+        "x" * 300,                             # long run (pad-like)
+    ]
+    assert _roundtrip(texts) == texts
+
+
+def test_extract_text_on_generated_pages():
+    """gen.py pages: html = <html><body> + text + x-pad + </body></html>;
+    extraction must yield text + pad byte-identically (the invariant the
+    100-TB replay relies on)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import ExtractTextStage
+    from arcane_stream_sqlserver_change_tracking_ray.gen import (
+        CtLogSpec,
+        plan_events,
+        render_events,
+    )
+    import numpy as np
+
+    spec = CtLogSpec(n_keys=50, n_events=400, seed=7)
+    keys, ops = plan_events(spec)
+    versions = np.arange(1, spec.n_events + 1, dtype=np.int64)
+    tbl = render_events(versions, keys, ops, spec)
+    out = ExtractTextStage()(tbl)
+    texts = tbl["text"].to_pylist()
+    extracted = out["text_extracted"].to_pylist()
+    n_checked = 0
+    for t, e in zip(texts, extracted):
+        if t is None:  # delete events carry no payload
+            assert e is None
+            continue
+        assert e.startswith(t)
+        assert set(e[len(t):]) <= {"x"}  # deterministic pad only
+        n_checked += 1
+    assert n_checked > 200
