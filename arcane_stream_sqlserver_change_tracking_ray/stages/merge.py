@@ -586,8 +586,15 @@ def apply_change_batch(
 def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict:
     """Update manifest.partitions / lineage from merge stats; returns the
     cycle metrics dict (rows_in, upserts, deletes, bytes, partitions)."""
-    totals = {"changes_in": 0, "upserts": 0, "deletes": 0, "bytes": 0, "rows": 0}
-    loads = []
+    totals = {
+        "changes_in": 0,
+        "combined_away": 0,
+        "upserts": 0,
+        "deletes": 0,
+        "bytes": 0,
+        "rows": 0,
+    }
+    per_pid_load: dict[int, int] = {}
     for s in stats:
         pid = int(s[PID_COL])
         files = json.loads(s["files_json"])
@@ -612,15 +619,23 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             "mode": mode,
             "deltas": len(manifest.deltas.get(pid, [])),
         }
-        loads.append(int(s["changes_in"]))
+        per_pid_load[pid] = per_pid_load.get(pid, 0) + int(s["changes_in"])
         for k in totals:
-            totals[k] += int(s[k]) if k in s else 0
+            v = s[k] if k in s else None
+            totals[k] += int(v) if v is not None else 0
     # distinct pids: the 'direct' strategy emits one stats row per
     # (task, pid), so len(stats) would overcount
-    totals["partitions_touched"] = len({int(s[PID_COL]) for s in stats})
-    # skew telemetry (SURVEY.md §4.2): per-cycle partition load histogram —
-    # a max/mean ratio near 1 means the key hash spreads hot url prefixes;
-    # sustained high ratios would call for re-bucketing the hot partitions
+    totals["partitions_touched"] = len(per_pid_load)
+    # every arriving row is accounted: routed + collapsed-by-combine
+    # (precombined_rows is kept visible — storm-defusal telemetry)
+    totals["precombined_rows"] = totals.pop("combined_away")
+    totals["changes_in"] += totals["precombined_rows"]
+    # skew telemetry (SURVEY.md §4.2): per-cycle partition load histogram
+    # over rows ROUTED per partition (post-combine — the physical
+    # exchange/write load).  A max/mean ratio near 1 means hot keys were
+    # defused before the exchange; sustained high ratios would call for
+    # re-bucketing the hot partitions
+    loads = list(per_pid_load.values())
     if loads:
         mean = sum(loads) / len(loads)
         totals["skew"] = {
@@ -641,6 +656,10 @@ _DIRECT_STATS_SCHEMA = pa.schema(
         ("upserts", pa.int64()),
         ("deletes", pa.int64()),
         ("changes_in", pa.int64()),
+        #: rows the adaptive pre-combine collapsed away BEFORE routing
+        #: (attributed to the task's first stats row; cycle accounting +
+        #: storm-defusal telemetry — NOT part of any partition's load)
+        ("combined_away", pa.int64()),
         ("bytes", pa.int64()),
         ("files_json", pa.string()),
         ("mode", pa.string()),
@@ -726,6 +745,7 @@ def apply_change_batch_direct(
                         "upserts": sl.num_rows - deletes,
                         "deletes": deletes,
                         "changes_in": sl.num_rows,
+                        "combined_away": 0,
                         "bytes": 0,  # filled from row-group metadata below
                         "files_json": json.dumps([f"{rel}#rg={first_rg}-{rg - 1}"]),
                         "mode": "mor",
@@ -750,10 +770,12 @@ def apply_change_batch_direct(
         for r in rows_stat:
             _, rgs = split_entry(json.loads(r["files_json"])[0])
             r["bytes"] = int(sum(rg_bytes[i] for i in rgs))
-        # fold the pre-combine drop into the first pid's changes_in so
-        # cycle totals still account every arriving row
+        # account the pre-combine drop separately (combined_away) so the
+        # cycle totals still see every arriving row WITHOUT inflating any
+        # partition's routed load — changes_in stays the true per-pid
+        # exchange/write load the skew histogram measures
         if rows_stat:
-            rows_stat[0]["changes_in"] += changes_in_total - int(
+            rows_stat[0]["combined_away"] = changes_in_total - int(
                 sum(r["rows"] for r in rows_stat)
             )
         return pa.Table.from_pylist(rows_stat, schema=_DIRECT_STATS_SCHEMA)
