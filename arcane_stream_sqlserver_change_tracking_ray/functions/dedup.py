@@ -52,31 +52,46 @@ class AddContentHash:
         # ephemeral (per-run) content hash: the fast buffer-level algo —
         # nothing persists, so routing-format stability doesn't apply
         h = hash_keys(batch[self.text_col], "polars").view(np.int64)
-        return batch.append_column(self.out_col, pa.array(h, type=pa.int64()))
+        batch = batch.append_column(self.out_col, pa.array(h, type=pa.int64()))
+        # coarse shuffle bucket: grouping on the raw hash would invoke the
+        # group UDF once per distinct document; a few thousand buckets
+        # move the same rows and the dedup kernel vectorizes per bucket
+        with np.errstate(over="ignore"):
+            b = (
+                (h.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            ) % np.uint64(4096)
+        return batch.append_column("_chb", pa.array(b.astype(np.int64)))
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep one row per distinct *text_col* value (winner = min id).
 
-    hash-partition + per-group first (SURVEY task list).  The groupby
-    key is the 64-bit content hash, so the shuffle key is 8 bytes/row;
-    within a group, rows are compared on the true text to be
-    collision-safe.
+    hash-partition + per-group first (SURVEY task list).  The shuffle
+    routes rows by a coarse bucket of the 64-bit content hash (the text
+    itself only moves to ONE bucket); within a bucket, rows are
+    compared on (hash, true text) to be collision-safe, vectorized
+    across all of the bucket's hash groups in one sort.
     """
 
     def first_per_text(group: pa.Table) -> pa.Table:
-        # within one hash bucket: min-id row per distinct text
+        # within one coarse bucket: min-id row per distinct (hash, text)
         idx = pc.sort_indices(
-            group, sort_keys=[(text_col, "ascending"), (id_col, "ascending")]
+            group,
+            sort_keys=[
+                ("_content_hash", "ascending"),
+                (text_col, "ascending"),
+                (id_col, "ascending"),
+            ],
         )
         g = group.take(idx)
+        hn = g["_content_hash"].to_numpy(zero_copy_only=False)
         tn = g[text_col].to_numpy(zero_copy_only=False)
-        mask = np.r_[True, tn[1:] != tn[:-1]]
-        return g.filter(pa.array(mask)).drop_columns(["_content_hash"])
+        mask = np.r_[True, (hn[1:] != hn[:-1]) | (tn[1:] != tn[:-1])]
+        return g.filter(pa.array(mask)).drop_columns(["_content_hash", "_chb"])
 
     return (
         ds.map_batches(AddContentHash(text_col), batch_format="pyarrow")
-        .groupby("_content_hash")
+        .groupby("_chb")
         .map_groups(first_per_text, batch_format="pyarrow")
     )
 
@@ -859,42 +874,94 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_s
         for c in range(CHUNKS):
             chunk = (sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)
             keys[c::CHUNKS] = (chunk.astype(np.int64) << 3) | c
+        # coarse shuffle bucket (see ShingleExplode): vectorize the pair
+        # kernel across many mostly-singleton chunk buckets per group
+        with np.errstate(over="ignore"):
+            ckb = (
+                (keys.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            ) % np.uint64(4096)
         return pa.table(
             {
                 "chunk_key": pa.array(keys, pa.int64()),
+                "ckb": pa.array(ckb.astype(np.int64)),
                 id_col: pa.array(np.repeat(ids, CHUNKS)),
                 "simhash": pa.array(np.repeat(sig.view(np.int64), CHUNKS), pa.int64()),
             }
         )
 
+    empty_pairs = pa.table(
+        {"pp": pa.array([], pa.int64()), "pair": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
+        """Hamming-verified pairs from EVERY chunk bucket inside one
+        coarse group: one lexsort, segment bounds, tight loop over only
+        multi-member buckets; pairs packed as (id_a << 32) | id_b."""
+        ck = group["chunk_key"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sig = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        ids, uniq_idx = np.unique(ids, return_index=True)
-        sig = sig[uniq_idx]
-        if len(ids) > max_bucket:
-            capped = _cap_bucket(ids, max_bucket, "simhash-chunk")
-            sig = sig[: len(capped)]
-            ids = capped
         if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
+            return empty_pairs
+        if ids.max() >= (1 << 31):
+            raise ValueError(
+                "simhash_dedup_pairs packs doc-id pairs into int64 and "
+                "requires ids < 2^31; re-key the corpus first"
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sig[ia] ^ sig[ib]
-        ham = popcount64(np.ascontiguousarray(x))
-        m = ham <= max_hamming
+        order = np.lexsort((ids, ck))
+        ck, ids, sig = ck[order], ids[order], sig[order]
+        keep = np.r_[True, (ck[1:] != ck[:-1]) | (ids[1:] != ids[:-1])]
+        ck, ids, sig = ck[keep], ids[keep], sig[keep]
+        bounds = np.r_[np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]]), len(ck)]
+        counts = np.diff(bounds)
+        out_pair, out_ham = [], []
+        for k in np.flatnonzero(counts >= 2):
+            s, e = bounds[k], bounds[k + 1]
+            seg_ids, seg_sig = ids[s:e], sig[s:e]
+            if len(seg_ids) > max_bucket:
+                seg_ids = _cap_bucket(seg_ids, max_bucket, "simhash-chunk")
+                seg_sig = seg_sig[: len(seg_ids)]
+            ia, ib = np.triu_indices(len(seg_ids), k=1)
+            ham = popcount64(np.ascontiguousarray(seg_sig[ia] ^ seg_sig[ib]))
+            m = ham <= max_hamming
+            if m.any():
+                out_pair.append((seg_ids[ia][m] << 32) | seg_ids[ib][m])
+                out_ham.append(ham[m])
+        if not out_pair:
+            return empty_pairs
+        pair = np.concatenate(out_pair)
+        ham = np.concatenate(out_ham).astype(np.int64)
+        # local dedup (hamming is a function of the pair: keep any one)
+        pair, first = np.unique(pair, return_index=True)
+        ham = ham[first]
+        with np.errstate(over="ignore"):
+            pp = (
+                (pair.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(64)
         return pa.table(
-            {"id_a": pa.array(ids[ia][m]), "id_b": pa.array(ids[ib][m]),
-             "hamming": pa.array(ham[m])}
+            {"pp": pa.array(pp.astype(np.int64)), "pair": pa.array(pair),
+             "hamming": pa.array(ham)}
         )
 
-    cand = ds.map_batches(explode, batch_format="pyarrow").groupby("chunk_key").map_groups(
-        pairs, batch_format="pyarrow"
-    )
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        p = group["pair"].to_numpy(zero_copy_only=False)
+        h = group["hamming"].to_numpy(zero_copy_only=False)
+        u, first = np.unique(p, return_index=True)
+        return pa.table(
+            {
+                "id_a": pa.array(u >> 32, pa.int64()),
+                "id_b": pa.array(u & 0xFFFFFFFF, pa.int64()),
+                "hamming": pa.array(h[first].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("ckb")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
     )
 
 
