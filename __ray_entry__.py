@@ -157,16 +157,32 @@ def cdc_lww_rank1(sf_dir: str):
     version (groupby + vectorized LWW kernel)."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import lww_table
 
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
+
     ds = _read(sf_dir, "events").map_batches(_EventsAsChanges(), batch_format="pyarrow")
-    # prune to the output columns BEFORE the groupby: less shuffled payload,
-    # and dropping the map-typed `props` silences Ray's per-block
-    # schema-hash warnings on the reduce path (map schemas are unhashable)
-    ds = ds.select_columns([MERGE_KEY_COL, "user_id", VERSION_COL, "event_type", "value"])
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        # prune to the output columns BEFORE the shuffle: less payload, and
+        # dropping the map-typed `props` silences Ray's per-block schema-hash
+        # warnings on the reduce path (map schemas are unhashable).
+        batch = batch.select([MERGE_KEY_COL, "user_id", VERSION_COL, "event_type", "value"])
+        # local rank-1 first: the feed is a heavy-duplicate upsert stream, so
+        # the per-batch combine collapses most rows before they move
+        batch = lww_table(batch)
+        # coarse shuffle bucket: grouping on the raw merge key would invoke
+        # the group UDF once per distinct key; a few thousand buckets move
+        # the (pre-combined) rows and the LWW kernel vectorizes per bucket
+        b = hash_keys(batch[MERGE_KEY_COL], "polars") % np.uint64(4096)
+        return batch.append_column("_kb", pa.array(b.astype(np.int64)))
+
+    ds = ds.map_batches(precombine, batch_format="pyarrow")
 
     def rank1(group: pa.Table) -> pa.Table:
+        # one call per coarse bucket; lww_table ranks ALL the bucket's keys
+        # in a single (key, version) projection sort
         return lww_table(group)
 
-    out = ds.groupby(MERGE_KEY_COL).map_groups(rank1, batch_format="pyarrow")
+    out = ds.groupby("_kb").map_groups(rank1, batch_format="pyarrow")
     return out.select_columns(["user_id", VERSION_COL, "event_type", "value"])
 
 
