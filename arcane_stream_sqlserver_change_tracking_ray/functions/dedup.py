@@ -400,16 +400,29 @@ def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_i
     )
     if n == 0:
         return ray.data.from_arrow(out_schema.empty_table())
+    def _doc_bucket(doc: np.ndarray) -> pa.Array:
+        # coarse shuffle bucket over doc id: grouping on the raw id would
+        # invoke the attach UDF once per candidate doc; 256 buckets move
+        # the same rows and the attach kernel vectorizes per bucket
+        with np.errstate(over="ignore"):
+            b = (
+                (doc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(32)
+            ) % np.uint64(256)
+        return pa.array(b.astype(np.int64))
+
     ia = cand["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     ib = cand["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
     idx = np.arange(n, dtype=np.int64)
+    req_doc = np.concatenate([ia, ib])
     requests = pa.table(
         {
-            "doc": pa.array(np.concatenate([ia, ib])),
+            "doc": pa.array(req_doc),
             "pair_idx": pa.array(np.concatenate([idx, idx])),
             "id_a": pa.array(np.concatenate([ia, ia])),
             "id_b": pa.array(np.concatenate([ib, ib])),
             "shingles": pa.nulls(2 * n, pa.large_list(pa.uint64())),
+            "_db": _doc_bucket(req_doc),
         }
     )
     ids = np.unique(np.concatenate([ia, ib]))
@@ -419,7 +432,10 @@ def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_i
         # task-based semi-join: the broadcast side is the SMALL candidate
         # id set (ray.get of a local plasma ref is zero-copy); tasks keep
         # the corpus scan at full parallelism with no actor-pool warmup
-        return CandidateShingles(ids_ref, text_col, id_col, k_shingle)(batch)
+        out = CandidateShingles(ids_ref, text_col, id_col, k_shingle)(batch)
+        return out.append_column(
+            "_db", _doc_bucket(out["doc"].to_numpy(zero_copy_only=False))
+        )
 
     # the semi-join output is tiny (candidate docs only): coalesce the
     # corpus read's block count down so the two verify sort-shuffles pay
@@ -430,69 +446,96 @@ def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_i
     unioned = ray.data.from_arrow(requests).union(shingle_rows)
 
     def attach(group: pa.Table) -> pa.Table:
+        """One call per coarse doc bucket: resolve EVERY request row's doc
+        to its shingle list in one searchsorted + list-take (the round-1
+        shape called this once per candidate doc)."""
+        empty = pa.table(
+            {
+                "pair_idx": pa.array([], pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "shingles": pa.array([], pa.large_list(pa.uint64())),
+                "_pb": pa.array([], pa.int64()),
+            }
+        )
         is_doc = pc.is_null(group["pair_idx"]).to_numpy(zero_copy_only=False)
+        doc_ids = group["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rows = np.flatnonzero(is_doc)
+        req_rows = np.flatnonzero(~is_doc)
+        if len(req_rows) == 0:
+            return empty
         sh_col = group["shingles"].combine_chunks() if isinstance(
             group["shingles"], pa.ChunkedArray
         ) else group["shingles"]
-        doc_rows = np.flatnonzero(is_doc)
-        if len(doc_rows):
-            sh = sh_col[int(doc_rows[0])].values
-        else:  # doc missing from the corpus: empty set
-            sh = pa.array([], pa.uint64())
-        req = np.flatnonzero(~is_doc)
-        m = len(req)
-        if m == 0:
-            return pa.table(
-                {
-                    "pair_idx": pa.array([], pa.int64()),
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "doc": pa.array([], pa.int64()),
-                    "shingles": pa.array([], pa.large_list(pa.uint64())),
-                }
-            )
-        sub = group.take(pa.array(req))
-        L = len(sh)
-        offs = pa.array((np.arange(m + 1, dtype=np.int64) * L))
-        vals = pa.concat_arrays([sh] * m) if L else pa.array([], pa.uint64())
+        d_docs = doc_ids[doc_rows]
+        order = np.argsort(d_docs, kind="stable")
+        d_sorted = d_docs[order]
+        req_docs = doc_ids[req_rows]
+        if len(d_sorted):
+            pos = np.searchsorted(d_sorted, req_docs)
+            pos_c = np.minimum(pos, len(d_sorted) - 1)
+            found = d_sorted[pos_c] == req_docs
+            src = np.where(found, doc_rows[order][pos_c], -1)
+        else:
+            src = np.full(len(req_rows), -1, dtype=np.int64)
+        # null index -> null list for docs missing from the corpus
+        # (treated as the empty set downstream)
+        sh_taken = sh_col.take(pa.array(src, type=pa.int64(), mask=src < 0))
+        sub = group.take(pa.array(req_rows))
+        pidx = sub["pair_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "pair_idx": sub["pair_idx"],
                 "id_a": sub["id_a"],
                 "id_b": sub["id_b"],
-                "doc": sub["doc"],
-                "shingles": pa.LargeListArray.from_arrays(offs, vals),
+                "shingles": sh_taken,
+                # coarse pair bucket for the final fold
+                "_pb": pa.array(pidx % 64),
             }
         )
 
     def pair_jaccard(group: pa.Table) -> pa.Table:
-        a = np.empty(0, np.uint64)
-        b = np.empty(0, np.uint64)
+        """One call per coarse pair bucket: exact Jaccard for ALL the
+        bucket's pairs via two segment-unique lexsorts (per-row distinct,
+        then per-pair union)."""
         sh_col = group["shingles"].combine_chunks() if isinstance(
             group["shingles"], pa.ChunkedArray
         ) else group["shingles"]
-        docs = group["doc"].to_numpy(zero_copy_only=False)
-        id_a = int(group["id_a"][0].as_py())
-        id_b = int(group["id_b"][0].as_py())
-        for i in range(group.num_rows):
-            vals = sh_col[i].values.to_numpy(zero_copy_only=False).astype(np.uint64)
-            if int(docs[i]) == id_a:
-                a = vals
-            else:
-                b = vals
-        sim = round(jaccard_of_sets(a, b), 6)
+        pidx = group["pair_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        up, first, inv = np.unique(pidx, return_index=True, return_inverse=True)
+        lens = (
+            pc.fill_null(pc.list_value_length(sh_col), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals = sh_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # distinct within each row's shingle multiset
+        o1 = np.lexsort((vals, row))
+        r1, v1 = row[o1], vals[o1]
+        k1 = np.r_[True, (r1[1:] != r1[:-1]) | (v1[1:] != v1[:-1])] if len(r1) else np.zeros(0, bool)
+        r1, v1 = r1[k1], v1[k1]
+        sizes = np.bincount(inv[r1], minlength=len(up))  # |A| + |B| per pair
+        # distinct (pair, value): |A ∪ B| per pair
+        p2 = inv[r1]
+        o2 = np.lexsort((v1, p2))
+        p3, v3 = p2[o2], v1[o2]
+        k2 = np.r_[True, (p3[1:] != p3[:-1]) | (v3[1:] != v3[:-1])] if len(p3) else np.zeros(0, bool)
+        union = np.bincount(p3[k2], minlength=len(up))
+        inter = sizes - union
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         return pa.table(
             {
-                "id_a": pa.array([id_a], pa.int64()),
-                "id_b": pa.array([id_b], pa.int64()),
-                "jaccard": pa.array([sim], pa.float64()),
+                "id_a": group["id_a"].take(pa.array(first)),
+                "id_b": group["id_b"].take(pa.array(first)),
+                "jaccard": pa.array(np.round(jac, 6), pa.float64()),
             }
         )
 
     return (
-        unioned.groupby("doc")
+        unioned.groupby("_db")
         .map_groups(attach, batch_format="pyarrow")
-        .groupby("pair_idx")
+        .groupby("_pb")
         .map_groups(pair_jaccard, batch_format="pyarrow")
     )
 
