@@ -297,11 +297,30 @@ def kmeans_centroids(
     import ray
 
     d = dim if dim is not None else embedding_dim(ds, emb_col)
-    seed_tbl = (
-        ds.sort(id_col).limit(k).select_columns([emb_col]).take_all()
+    # iterative refinement re-scans the corpus once per Lloyd pass: pin the
+    # (2-column, pruned) projection in the object store once instead of
+    # re-reading parquet every pass — the canonical Ray iterative-ML shape
+    # (blocks spill under pressure; nothing lands on the driver)
+    ds = ds.materialize()
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        # per-batch k-lowest-id rows; the global k-lowest is a fold over
+        # num_blocks * k tiny rows — replaces a full sort shuffle
+        m = min(k, batch.num_rows)
+        if m == 0:
+            return batch.select([id_col, emb_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        low = np.argpartition(ids, m - 1)[:m]
+        return batch.select([id_col, emb_col]).take(pa.array(np.sort(low)))
+
+    seed_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(seed_partial, batch_format="pyarrow").to_arrow_refs())
     )
+    order = np.argsort(seed_tbl[id_col].to_numpy(zero_copy_only=False))[:k]
     cents = _normalize(
-        np.array([r[emb_col] for r in seed_tbl], dtype=np.float64).reshape(k, d)
+        embedding_matrix(seed_tbl[emb_col].combine_chunks().take(pa.array(order)))
+        .astype(np.float64)
+        .reshape(k, d)
     )
     for _ in range(iters):
         c_ref = ray.put(cents)
@@ -359,6 +378,10 @@ def ivf_topk(
     global reduce sees at most batches x queries x k tiny rows."""
     import ray
 
+    # one object-store materialization feeds k-means (iters passes), the
+    # probed-cluster filter AND the candidate scan — without it each of
+    # those re-executes the parquet read
+    ds = ds.materialize()
     cents = kmeans_centroids(ds, n_clusters, iters, emb_col, id_col)
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]  # (m, nprobe)
