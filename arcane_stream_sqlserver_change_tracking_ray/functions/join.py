@@ -93,19 +93,33 @@ def partitioned_equi_join(left_ds, right_ds, on: str, num_buckets: int = 32, joi
             else:
                 arrays.append(pa.nulls(batch.num_rows, f.type))
         out = pa.Table.from_arrays(arrays, schema=union_schema)
-        pid = partition_ids(out[on], num_buckets)
+        # ephemeral (per-run) bucket ids: the fast buffer-level hash —
+        # routing-format stability only matters for persisted tables
+        pid = partition_ids(out[on], num_buckets, algo="polars")
         out = out.append_column(PID_COL, pa.array(pid, type=pa.int64()))
-        return out.append_column("_side", pa.array([side] * out.num_rows))
+        import numpy as np
 
-    left = left_ds.map_batches(lambda b: pad(b, "l"), batch_format="pyarrow")
-    right = right_ds.map_batches(lambda b: pad(b, "r"), batch_format="pyarrow")
+        return out.append_column(
+            "_side", pa.array(np.full(out.num_rows, 0 if side == "l" else 1, np.int8))
+        )
+
+    # coalesce each side to the bucket count before the exchange: the
+    # shuffle's map/reduce task count tracks input blocks, and read-side
+    # splitting (tuned for wide scans) over-fragments a join input —
+    # per-task fixed costs on tiny blocks would dominate the sort
+    left = left_ds.map_batches(lambda b: pad(b, "l"), batch_format="pyarrow").repartition(
+        num_buckets
+    )
+    right = right_ds.map_batches(lambda b: pad(b, "r"), batch_format="pyarrow").repartition(
+        num_buckets
+    )
     both = left.union(right)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        l = group.filter(pc.equal(group["_side"], "l")).select(left_cols)
-        r = group.filter(pc.equal(group["_side"], "r")).select(right_cols)
+        l = group.filter(pc.equal(group["_side"], 0)).select(left_cols)
+        r = group.filter(pc.equal(group["_side"], 1)).select(right_cols)
         return l.join(r, keys=[on], join_type=join_type)
 
     return both.groupby(PID_COL).map_groups(join_bucket, batch_format="pyarrow")

@@ -143,10 +143,12 @@ class FeatureExtractStage:
         )
 
 
-def media_pipeline(ds, decode=True, resize=(224, 224), features_dim=64, batch_size=256, concurrency=(1, 2)):
+def media_pipeline(ds, decode=True, resize=(224, 224), features_dim=64, batch_size=256, concurrency=(1, 8)):
     """The canonical multimodal chain as actor-pool stages: decode ->
     resize -> feature-extract.  Small batch_size because payload rows
-    are large (SURVEY guidance: batch x concurrency must fit heap)."""
+    are large (SURVEY guidance: batch x concurrency must fit heap); the
+    pool autoscales 1..8 actors per stage so warmup stays cheap on small
+    inputs while a wide scan fans out."""
     if decode:
         ds = ds.map_batches(
             DecodeImageStage, batch_format="pyarrow", batch_size=batch_size,
