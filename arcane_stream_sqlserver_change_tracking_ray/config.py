@@ -146,6 +146,13 @@ class StreamModeSettings:
     backfill: bool = False
     backfill_id: str = ""
     backfill_behavior: str = "overwrite"  # overwrite | merge
+    #: Overwrite backfill CONTRACT: snapshot shards must be key-disjoint
+    #: (write_snapshot shards are; the reference inherits the same
+    #: guarantee from its source's PK scan).  Flip this on to verify the
+    #: contract with one extra distributed pass over the new base before
+    #: the atomic flip commits — duplicate merge keys across shards fail
+    #: the backfill instead of silently shipping duplicate rows.
+    backfill_validate_disjoint: bool = False
 
 
 @dataclass

@@ -57,6 +57,12 @@ from arcane_stream_sqlserver_change_tracking_ray.types import (
 logger = logging.getLogger("arcane_ray.runner")
 
 
+class ShardOverlapError(RuntimeError):
+    """Overwrite-backfill snapshot shards share merge keys (the shards
+    must partition the key space; see StreamModeSettings
+    .backfill_validate_disjoint)."""
+
+
 # ---------------------------------------------------------------------------
 # per-batch transform stage (T1-T4 composed into ONE Arrow pass)
 # ---------------------------------------------------------------------------
@@ -659,6 +665,13 @@ class StreamRunner:
                 json.dump(state, f)
             os.replace(tmp, state_path)
 
+        # CONTRACT: shards are key-disjoint (write_snapshot slices are; a
+        # user-provided snapshot must be).  Opt-in verification scans the
+        # staged base ONCE (key column only, coarse-bucket shuffle of the
+        # bare keys) and fails the backfill before the flip commits.
+        if ctx.stream_mode.backfill_validate_disjoint and len(files) > 1:
+            self._validate_disjoint_shards(state, manifest)
+
         # atomic flip: union shard outputs per partition
         nxt = manifest.next()
         nxt.partitions = {}
@@ -684,6 +697,62 @@ class StreamRunner:
             self._replay_range(stamp, manifest.watermark, f"{backfill_id}-cv")
             committed = self.log.latest()
         return committed
+
+    def _validate_disjoint_shards(self, state: dict, manifest: Manifest) -> None:
+        """One distributed pass over the staged overwrite base: count
+        merge keys appearing in more than one row.  apply_change_batch
+        rank-1-collapses duplicates WITHIN a shard, so any survivor
+        duplicate is a cross-shard overlap — a violated disjointness
+        contract that would ship duplicate rows through the flip."""
+        import os
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import ray.data
+
+        from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
+
+        paths = sorted(
+            {
+                os.path.join(self.ctx.sink.target_root, rel.split("#", 1)[0])
+                for shard in state["shards"].values()
+                for fl in shard.values()
+                for rel in fl
+            }
+        )
+        if not paths:
+            return
+        key_col = self._transform.key_col
+        ds = ray.data.read_parquet(paths, columns=[key_col])
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            # only the bare key column moves through the exchange
+            with np.errstate(over="ignore"):
+                b = (
+                    (hash_keys(batch[key_col], "polars") * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(32)
+                ) % np.uint64(1024)
+            return pa.table(
+                {"k": batch[key_col], "_b": pa.array(b.astype(np.int64))}
+            )
+
+        def dup_count(group: pa.Table) -> pa.Table:
+            dups = group.num_rows - len(pc.unique(group["k"].combine_chunks()))
+            return pa.table({"dups": pa.array([dups], pa.int64())})
+
+        total = sum(
+            r["dups"]
+            for r in ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(dup_count, batch_format="pyarrow")
+            .take_all()
+        )
+        if total:
+            raise ShardOverlapError(
+                f"overwrite backfill shards are not key-disjoint: {total} "
+                f"duplicate merge key(s) across shards (contract: each key "
+                f"appears in exactly one snapshot shard)"
+            )
 
     def _replay_range(self, lo: int, hi: int, tag: str) -> None:
         """Re-apply change events ``(lo, hi]`` from the feed to an existing

@@ -167,3 +167,44 @@ def test_golden_stream_backfill_stream(tmp_lake):
     )
     log = ManifestLog(tgt)
     assert log.latest().watermark == 1000
+
+
+def test_backfill_overwrite_validate_disjoint(tmp_lake):
+    """Opt-in shard-disjointness gate: clean shards pass; a snapshot with
+    the same key in two shards fails BEFORE the flip commits (target
+    keeps its previous state)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        ShardOverlapError,
+    )
+
+    ct, tgt, snap = tmp_lake
+    write_ctlog(ct, small_spec())
+    paths = write_snapshot(ct, snap, at_version=1000, num_files=3)
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = make_ctx(
+        ct, tgt, snap, stream_mode={"backfillValidateDisjoint": True}
+    )
+    StreamRunner(ctx).run_backfill()  # disjoint: passes
+    assert get_watermark(tgt) == 1000
+
+    # corrupt the contract: copy one row of shard 0 into shard 1
+    t0 = pq.read_table(paths[0])
+    t1 = pq.read_table(paths[1])
+    import pyarrow as pa
+
+    pq.write_table(pa.concat_tables([t1, t0.slice(0, 1)]), paths[1])
+    shutil.rmtree(os.path.join(tgt, "_backfill"), ignore_errors=True)
+    ctx2 = make_ctx(
+        ct,
+        tgt,
+        snap,
+        stream_mode={"backfillValidateDisjoint": True, "backfillId": "t2"},
+    )
+    before = read_target_table(tgt)
+    with pytest.raises(ShardOverlapError, match="not key-disjoint"):
+        StreamRunner(ctx2).run_backfill()
+    # the flip never committed: table state unchanged
+    assert_tables_equal(read_target_table(tgt), before, sort_by="url")
