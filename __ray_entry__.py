@@ -1018,7 +1018,33 @@ def oracle_sql() -> dict[str, str]:
                     THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fingerprint
             FROM (SELECT doc_id, list_min(hs) AS m FROM wh)
         """,
+        # the fake decoder derives every output from the SAME polynomial
+        # rolling hash as doc_fingerprint (whole-payload window), so the
+        # stubbed decode chain is exactly SQL-replicable; text is ASCII
+        # (unicode(char) == byte) and HUGEINT emulates the mod-2^64 Horner
+        "multimodal_decode": r"""
+            WITH c AS (
+              SELECT doc_id, strlen(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT doc_id, L,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     ELSE list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
+                END AS m
+              FROM c
+            )
+            SELECT doc_id,
+                   L::BIGINT AS n_bytes,
+                   (64 + (m % 448))::INTEGER AS decoded_h,
+                   (64 + ((m // 65536) % 448))::INTEGER AS decoded_w,
+                   3::INTEGER AS channels,
+                   224::INTEGER AS resized_h,
+                   224::INTEGER AS resized_w
+            FROM h
+        """,
         # rows-only (non-SQL-expressible): cdc_stream_replay,
-        # dedup_minhash, dedup_simhash, ann_lsh_topk,
-        # embedding_neardup, multimodal_decode
+        # dedup_minhash, dedup_simhash, ann_lsh_topk, embedding_neardup
     }

@@ -18,7 +18,6 @@ output layout — is real and tested end-to-end.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,8 +34,20 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _content_hash(media: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    vals = media.to_numpy(zero_copy_only=False)
-    return pd.util.hash_array(vals.astype(object))
+    """Whole-payload polynomial rolling hash mod 2^64 (one vectorized
+    pass; empty payloads hash to 0).  Same hash family as the text
+    fingerprint, so every fake-decode output is exactly replicable in
+    SQL (HUGEINT list_reduce) — the stub stays oracle-checkable."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        rolling_window_hashes,
+    )
+
+    # k larger than any payload -> exactly one whole-payload window per
+    # non-empty row, zero windows for empty rows
+    h, offs = rolling_window_hashes(media, k=1 << 31)
+    out = np.zeros(len(offs) - 1, np.uint64)
+    out[np.diff(offs) > 0] = h
+    return out
 
 
 class DecodeImageStage:
