@@ -413,6 +413,17 @@ def quality_score(sf_dir: str):
     )
 
 
+def repetition_score(sf_dir: str):
+    """Gopher repetition filters (duplicate-line fraction + duplicate-line
+    char fraction) — boilerplate detection over the web corpus."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import RepetitionStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionStage(), batch_format="pyarrow").select_columns(
+        ["doc_id", "dup_line_frac", "dup_char_frac"]
+    )
+
+
 def lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangIdStage(), batch_format="pyarrow").select_columns(
@@ -773,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": token_count,
         "extract_text": extract_text,
         "quality_score": quality_score,
+        "repetition_score": repetition_score,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -913,6 +925,29 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(n_chars_actual - (n_words - 1) AS double)
                          / greatest(n_words, 1), 6) AS mean_word_len
             FROM b
+        """,
+        # exact integer divisions (IEEE double division is deterministic)
+        # so numpy and DuckDB agree bit-for-bit with no rounding
+        "repetition_score": """
+            WITH f AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), g AS (
+              SELECT doc_id, line, count(*) AS c, strlen(line) AS len
+              FROM f GROUP BY doc_id, line
+            ), agg AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     count(*) AS n_distinct,
+                     sum(c * len) AS tot_chars,
+                     sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+              FROM g GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   (n_lines - n_distinct)::DOUBLE / greatest(n_lines, 1) AS dup_line_frac,
+                   CASE WHEN tot_chars > 0
+                        THEN dup_chars::DOUBLE / tot_chars ELSE 0.0 END AS dup_char_frac
+            FROM agg
         """,
         "lang_id": _lang_id_sql(),
         "windowed_agg": """

@@ -296,3 +296,58 @@ def words_flat(texts, lowercase: bool = True):
     flat = lists.flatten()
     offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, offsets
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (web-corpus quality filtering)
+# ---------------------------------------------------------------------------
+class RepetitionStage:
+    """Append the two Gopher repetition-filter signals per document:
+
+    - ``dup_line_frac``  = (n_lines - n_distinct_lines) / n_lines
+    - ``dup_char_frac``  = bytes in lines occurring >1 time / total line bytes
+
+    (Rae et al. 2021, "Scaling Language Models" §A1.1 — boilerplate-heavy
+    pages repeat nav/footer lines; both fractions are standard webtext
+    drop signals.)  Fully vectorized: one Arrow split, one lexsort over
+    (doc, line-hash), segment folds; ratios are exact integer divisions
+    so a SQL oracle reproduces them bit-for-bit."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, "\n")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        n_lines = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(n_lines)
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+        from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
+
+        lh = hash_keys(flat, "polars")
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lh, doc))
+        d2, h2, l2 = doc[order], lh[order], lens[order]
+        first = np.r_[True, (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])] if len(d2) else np.zeros(0, bool)
+        grp = np.cumsum(first) - 1 if len(d2) else np.empty(0, np.int64)
+        n_grps = int(grp[-1]) + 1 if len(d2) else 0
+        grp_count = np.bincount(grp, minlength=n_grps)
+        grp_doc = d2[first] if len(d2) else np.empty(0, np.int64)
+        grp_len = l2[first] if len(d2) else np.empty(0, np.int64)
+        n_distinct = np.bincount(grp_doc, minlength=n).astype(np.int64)
+        tot_chars = np.bincount(grp_doc, weights=grp_count * grp_len, minlength=n)
+        dup_chars = np.bincount(
+            grp_doc, weights=np.where(grp_count > 1, grp_count * grp_len, 0), minlength=n
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_line_frac = np.where(
+                n_lines > 0, (n_lines - n_distinct) / np.maximum(n_lines, 1), 0.0
+            )
+            dup_char_frac = np.where(tot_chars > 0, dup_chars / np.maximum(tot_chars, 1), 0.0)
+        batch = batch.append_column("dup_line_frac", pa.array(dup_line_frac, pa.float64()))
+        return batch.append_column("dup_char_frac", pa.array(dup_char_frac, pa.float64()))

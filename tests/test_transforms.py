@@ -156,3 +156,41 @@ def test_extract_text_on_generated_pages():
         assert set(e[len(t):]) <= {"x"}  # deterministic pad only
         n_checked += 1
     assert n_checked > 200
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+def _rep(texts: list[str]):
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import RepetitionStage
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = RepetitionStage()(t)
+    return out["dup_line_frac"].to_pylist(), out["dup_char_frac"].to_pylist()
+
+
+def test_repetition_basic():
+    lf, cf = _rep(
+        [
+            "a\nb\nc",              # all unique
+            "nav\nbody\nnav",       # 1 dup line of 3; dup chars 6 of 10
+            "x\nx\nx\nx",           # fully repeated
+            "single line",          # one line, no dup
+            "",                     # empty text = one empty line
+        ]
+    )
+    assert lf == [0.0, 1 / 3, 3 / 4, 0.0, 0.0]
+    assert cf == [0.0, 6 / 10, 1.0, 0.0, 0.0]
+
+
+def test_repetition_sliced_and_split_invariant():
+    """Result must not depend on batch slicing (Arrow offset != 0 path)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import RepetitionStage
+
+    texts = [f"l{i % 3}\nl{(i * 7) % 4}\nfooter\nfooter" for i in range(20)]
+    t = pa.table({"doc_id": list(range(20)), "text": texts})
+    whole = RepetitionStage()(t)
+    parts = [RepetitionStage()(t.slice(i, 7)) for i in (0, 7, 14)]
+    glued = pa.concat_tables(parts)
+    assert whole["dup_line_frac"].to_pylist() == glued["dup_line_frac"].to_pylist()
+    assert whole["dup_char_frac"].to_pylist() == glued["dup_char_frac"].to_pylist()
