@@ -82,9 +82,21 @@ _register_package_by_value()
 
 
 def _read(sf_dir: str, table: str, **kw):
+    """read_parquet with the file's schema minus its pandas metadata: a
+    pa.Schema carrying metadata is UNHASHABLE (hash(schema) raises on the
+    metadata dict), which defeats Ray Data's schema-dedup at every
+    unify/groupby boundary and spams 'Failed to hash the schemas'
+    warnings.  (Pre-projected to the column subset — read_parquet
+    requires schema and columns to agree.)"""
+    import pyarrow.parquet as pq
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path).remove_metadata()
+    cols = kw.get("columns")
+    if cols:
+        schema = pa.schema([schema.field(c) for c in cols])
+    return ray.data.read_parquet(path, schema=schema, **kw)
 
 
 # ===========================================================================
@@ -421,6 +433,40 @@ def repetition_score(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow").select_columns(
         ["doc_id", "dup_line_frac", "dup_char_frac"]
+    )
+
+
+def ngram_repetition(sf_dir: str):
+    """Gopher word-n-gram repetition signals: heaviest-2-gram char
+    fraction + duplicated-5-gram char fraction (boilerplate/spam
+    detection — the corpus has no newlines, so the word-level signals
+    are the discriminating ones here)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        NgramRepetitionStage,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(NgramRepetitionStage(), batch_format="pyarrow").select_columns(
+        ["doc_id", "top2_char_frac", "dup5_char_frac"]
+    )
+
+
+def corpus_prep(sf_dir: str):
+    """Composed training-corpus curation pipeline: token count ->
+    n-gram repetition -> quality gate (>= 40 words, top-2-gram fraction
+    < 0.05) -> corpus-wide exact dedup keeping the lowest doc_id.  Every
+    stage streams; the only shuffle is the dedup's 8-byte-key exchange."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import exact_dedup
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        NgramRepetitionStage,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
+    ds = ds.map_batches(NgramRepetitionStage(), batch_format="pyarrow")
+    ds = ds.filter(expr="n_tokens_ws >= 40 and top2_char_frac < 0.05")
+    return exact_dedup(ds, "text", "doc_id").select_columns(
+        ["doc_id", "n_tokens_ws", "top2_char_frac"]
     )
 
 
@@ -785,6 +831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": extract_text,
         "quality_score": quality_score,
         "repetition_score": repetition_score,
+        "ngram_repetition": ngram_repetition,
+        "corpus_prep": corpus_prep,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -948,6 +996,79 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN tot_chars > 0
                         THEN dup_chars::DOUBLE / tot_chars ELSE 0.0 END AS dup_char_frac
             FROM agg
+        """,
+        # word-n-gram repetition: the engine hashes words (64-bit ahash)
+        # instead of materializing gram strings; collision probability is
+        # negligible, so count*chars integers — and therefore the IEEE
+        # double ratios — match the string-grouping SQL bit-for-bit
+        "ngram_repetition": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
+            ), p2 AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, greatest(array_length(arr) - 1, 0))) AS i
+              FROM d
+            ), c2 AS (
+              SELECT doc_id, arr[i] || chr(32) || arr[i+1] AS gram,
+                     count(*) AS cnt, any_value(strlen(arr[i]) + strlen(arr[i+1]) + 1) AS len
+              FROM p2 GROUP BY doc_id, gram
+            ), a2 AS (
+              SELECT doc_id, max(cnt * len) AS top_chars, sum(cnt * len) AS tot
+              FROM c2 GROUP BY doc_id
+            ), p5 AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, greatest(array_length(arr) - 4, 0))) AS i
+              FROM d
+            ), c5 AS (
+              SELECT doc_id,
+                     arr[i] || chr(32) || arr[i+1] || chr(32) || arr[i+2] || chr(32)
+                            || arr[i+3] || chr(32) || arr[i+4] AS gram,
+                     count(*) AS cnt,
+                     any_value(strlen(arr[i]) + strlen(arr[i+1]) + strlen(arr[i+2])
+                               + strlen(arr[i+3]) + strlen(arr[i+4]) + 4) AS len
+              FROM p5 GROUP BY doc_id, gram
+            ), a5 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dup_chars,
+                     sum(cnt * len) AS tot
+              FROM c5 GROUP BY doc_id
+            )
+            SELECT dd.doc_id,
+                   CASE WHEN a2.tot > 0 THEN a2.top_chars::DOUBLE / a2.tot ELSE 0.0 END
+                     AS top2_char_frac,
+                   CASE WHEN a5.tot > 0 THEN a5.dup_chars::DOUBLE / a5.tot ELSE 0.0 END
+                     AS dup5_char_frac
+            FROM documents dd
+            LEFT JOIN a2 ON dd.doc_id = a2.doc_id
+            LEFT JOIN a5 ON dd.doc_id = a5.doc_id
+        """,
+        "corpus_prep": rf"""
+            WITH d AS (
+              SELECT doc_id, text, string_split(text, chr(32)) AS arr,
+                     len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws
+              FROM documents
+            ), p2 AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, greatest(array_length(arr) - 1, 0))) AS i
+              FROM d
+            ), c2 AS (
+              SELECT doc_id, arr[i] || chr(32) || arr[i+1] AS gram,
+                     count(*) AS cnt, any_value(strlen(arr[i]) + strlen(arr[i+1]) + 1) AS len
+              FROM p2 GROUP BY doc_id, gram
+            ), a2 AS (
+              SELECT doc_id, max(cnt * len) AS top_chars, sum(cnt * len) AS tot
+              FROM c2 GROUP BY doc_id
+            ), scored AS (
+              SELECT d.doc_id, d.text, d.n_tokens_ws,
+                     CASE WHEN a2.tot > 0 THEN a2.top_chars::DOUBLE / a2.tot ELSE 0.0 END
+                       AS top2_char_frac
+              FROM d LEFT JOIN a2 ON d.doc_id = a2.doc_id
+            ), kept AS (
+              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM scored
+              WHERE n_tokens_ws >= 40 AND top2_char_frac < 0.05
+            )
+            SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
         "lang_id": _lang_id_sql(),
         "windowed_agg": """

@@ -21,6 +21,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+    rolling_window_hashes,
+)
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -38,10 +42,6 @@ def _content_hash(media: pa.ChunkedArray | pa.Array) -> np.ndarray:
     pass; empty payloads hash to 0).  Same hash family as the text
     fingerprint, so every fake-decode output is exactly replicable in
     SQL (HUGEINT list_reduce) — the stub stays oracle-checkable."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        rolling_window_hashes,
-    )
-
     # k larger than any payload -> exactly one whole-payload window per
     # non-empty row, zero windows for empty rows
     h, offs = rolling_window_hashes(media, k=1 << 31)

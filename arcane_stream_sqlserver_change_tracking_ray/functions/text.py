@@ -301,6 +301,17 @@ def words_flat(texts, lowercase: bool = True):
 # ---------------------------------------------------------------------------
 # Gopher-style repetition signals (web-corpus quality filtering)
 # ---------------------------------------------------------------------------
+def _hash_utf8(arr: pa.Array) -> np.ndarray:
+    """uint64 content hash over an Arrow string array (polars ahash over
+    the Arrow buffers — no Python-object round-trip).  Used only for
+    within-batch grouping, never persisted, so it needs no algo pin."""
+    import polars as pl
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pl.from_arrow(arr).hash(seed=42).to_numpy(allow_copy=True)
+
+
 class RepetitionStage:
     """Append the two Gopher repetition-filter signals per document:
 
@@ -327,9 +338,7 @@ class RepetitionStage:
         n_lines = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(n_lines)
         doc = np.repeat(np.arange(n, dtype=np.int64), n_lines)
-        from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
-
-        lh = hash_keys(flat, "polars")
+        lh = _hash_utf8(flat)
         lens = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((lh, doc))
         d2, h2, l2 = doc[order], lh[order], lens[order]
@@ -351,3 +360,88 @@ class RepetitionStage:
             dup_char_frac = np.where(tot_chars > 0, dup_chars / np.maximum(tot_chars, 1), 0.0)
         batch = batch.append_column("dup_line_frac", pa.array(dup_line_frac, pa.float64()))
         return batch.append_column("dup_char_frac", pa.array(dup_char_frac, pa.float64()))
+
+
+class NgramRepetitionStage:
+    """Word-n-gram repetition signals (Gopher §A1.1, Rae et al. 2021):
+
+    - ``top{N}_char_frac`` — fraction of n-gram characters covered by the
+      single heaviest n-gram (count × chars, N = ``top_n``, default 2),
+    - ``dup{M}_char_frac`` — fraction of n-gram characters inside n-grams
+      occurring more than once (M = ``dup_n``, default 5).
+
+    Deviation from the paper, on purpose: "most frequent n-gram" is
+    replaced by argmax of count×chars and overlapping duplicate n-grams
+    count characters per occurrence — both make the signal a pure
+    integer ratio, deterministic under any traversal order, and exactly
+    reproducible by a SQL oracle (DuckDB ``string_split`` +
+    ``generate_series`` n-gram join).  Words split on a single space to
+    match ``string_split(text, ' ')`` byte-for-byte.
+
+    Vectorized: one Arrow split per batch, uint64 word hashes, an FNV
+    fold across n shifted views (no per-row loop), one lexsort per n,
+    segment folds via ``bincount`` / ``maximum.at``."""
+
+    _FNV = np.uint64(1099511628211)
+
+    def __init__(self, text_col: str = "text", top_n: int = 2, dup_n: int = 5):
+        self.text_col = text_col
+        self.top_n = top_n
+        self.dup_n = dup_n
+
+    def _fracs(self, wh, wl, cnt, starts, csl, n):
+        """(top_frac, dup_frac) float64[n_docs] for word-n-gram size n."""
+        ndocs = len(cnt)
+        g = np.maximum(cnt - n + 1, 0)
+        total = int(g.sum())
+        if total == 0:
+            z = np.zeros(ndocs, np.float64)
+            return z, z
+        gdoc = np.repeat(np.arange(ndocs, dtype=np.int64), g)
+        gstart = np.r_[0, np.cumsum(g)]
+        off = np.repeat(starts[:-1], g) + (np.arange(total) - np.repeat(gstart[:-1], g))
+        h = np.zeros(total, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                h = h * self._FNV + wh[off + j]
+        gc = csl[off + n] - csl[off] + (n - 1)  # word bytes + (n-1) separators
+        order = np.lexsort((h, gdoc))
+        d2, h2, c2 = gdoc[order], h[order], gc[order]
+        firsts = np.r_[True, (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])]
+        grp = np.cumsum(firsts) - 1
+        grp_cnt = np.bincount(grp)
+        grp_doc = d2[firsts]
+        grp_gc = c2[firsts]
+        weight = (grp_cnt * grp_gc).astype(np.float64)
+        tot = np.bincount(grp_doc, weights=weight, minlength=ndocs)
+        top = np.zeros(ndocs, np.float64)
+        np.maximum.at(top, grp_doc, weight)
+        dup = np.bincount(
+            grp_doc, weights=np.where(grp_cnt > 1, weight, 0.0), minlength=ndocs
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            top_frac = np.where(tot > 0, top / np.maximum(tot, 1), 0.0)
+            dup_frac = np.where(tot > 0, dup / np.maximum(tot, 1), 0.0)
+        return top_frac, dup_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(texts, " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        cnt = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.r_[0, np.cumsum(cnt)]
+        wh = _hash_utf8(flat)
+        wl = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        csl = np.r_[0, np.cumsum(wl)]
+        top_frac, _ = self._fracs(wh, wl, cnt, starts, csl, self.top_n)
+        _, dup_frac = self._fracs(wh, wl, cnt, starts, csl, self.dup_n)
+        batch = batch.append_column(
+            f"top{self.top_n}_char_frac", pa.array(top_frac, pa.float64())
+        )
+        return batch.append_column(
+            f"dup{self.dup_n}_char_frac", pa.array(dup_frac, pa.float64())
+        )

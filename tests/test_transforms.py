@@ -194,3 +194,43 @@ def test_repetition_sliced_and_split_invariant():
     glued = pa.concat_tables(parts)
     assert whole["dup_line_frac"].to_pylist() == glued["dup_line_frac"].to_pylist()
     assert whole["dup_char_frac"].to_pylist() == glued["dup_char_frac"].to_pylist()
+
+
+def test_ngram_repetition_known_values():
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        NgramRepetitionStage,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b a b a",        # 2-grams: "a b"x2,"b a"x2 -> top 6/12
+                "x y z w",          # all unique 2-grams -> 3/9
+                "q",                # no 2-grams
+                "",                 # empty
+                "a a a a a a b c d e f",  # "a a a a a" window repeats x2
+            ],
+        }
+    )
+    out = NgramRepetitionStage()(t)
+    top2 = out["top2_char_frac"].to_pylist()
+    dup5 = out["dup5_char_frac"].to_pylist()
+    assert top2[0] == 6 / 12 and top2[1] == 3 / 9 and top2[2] == 0.0 and top2[3] == 0.0
+    assert dup5[0] == 0.0 and dup5[1] == 0.0
+    # doc 4: 11 words -> 7 5-gram windows, each 9 chars; only the
+    # all-'a' window occurs twice (positions 1 and 2)
+    assert dup5[4] == 18 / 63
+
+
+def test_ngram_repetition_slice_invariant():
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        NgramRepetitionStage,
+    )
+
+    texts = [" ".join(f"w{(i * j) % 7}" for j in range(30)) for i in range(20)]
+    t = pa.table({"doc_id": list(range(20)), "text": texts})
+    whole = NgramRepetitionStage()(t)
+    glued = pa.concat_tables([NgramRepetitionStage()(t.slice(i, 7)) for i in (0, 7, 14)])
+    assert whole["top2_char_frac"].to_pylist() == glued["top2_char_frac"].to_pylist()
+    assert whole["dup5_char_frac"].to_pylist() == glued["dup5_char_frac"].to_pylist()
