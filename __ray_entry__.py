@@ -470,6 +470,41 @@ def corpus_prep(sf_dir: str):
     )
 
 
+def pii_redact(sf_dir: str):
+    """PII scrub (C4/CCNet-style): plant a deterministic contact block
+    per document (the corpus itself carries no PII), then mask emails /
+    IPv4s / phone-like runs with typed placeholders and count each
+    class.  Arrow and DuckDB both run RE2, so the oracle's nested
+    regexp_replace reproduces the redacted text byte-for-byte."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        PiiRedactStage,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        aug = pc.binary_join_element_wise(
+            batch["text"],
+            " contact user",
+            pa.array(ids.astype("U"), pa.string()),
+            "@example.com or call +1 555 000 ",
+            pa.array((ids % 10000).astype("U"), pa.string()),
+            " from ",
+            pa.array((ids % 256).astype("U"), pa.string()),
+            ".0.0.1",
+            "",
+        )
+        return pa.table({"doc_id": batch["doc_id"].combine_chunks(), "text": aug})
+
+    stage = PiiRedactStage()
+    return (
+        ds.map_batches(augment, batch_format="pyarrow")
+        .map_batches(stage, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"])
+    )
+
+
 def lang_id(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(LangIdStage(), batch_format="pyarrow").select_columns(
@@ -833,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_score": repetition_score,
         "ngram_repetition": ngram_repetition,
         "corpus_prep": corpus_prep,
+        "pii_redact": pii_redact,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -851,6 +887,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
     }
+
+
+def _pii_sql() -> str:
+    """Oracle for pii_redact: build the same planted contact block with
+    integer || concatenation, then apply the SAME RE2 patterns with
+    nested regexp_replace (counts taken on the progressively-redacted
+    text, mirroring the stage's sequential attribution)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import PII_PATTERNS
+
+    (_, em, em_r), (_, ip, ip_r), (_, ph, ph_r) = PII_PATTERNS
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or call +1 555 000 '
+                      || (doc_id % 10000) || ' from ' || (doc_id % 256) || '.0.0.1' AS t0
+          FROM documents
+        ), s AS (
+          SELECT doc_id, t0,
+                 regexp_replace(t0, '{em}', '{em_r}', 'g') AS t1
+          FROM aug
+        ), s2 AS (
+          SELECT *, regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2 FROM s
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t0, '{em}')) AS n_email,
+               len(regexp_extract_all(t1, '{ip}')) AS n_ipv4,
+               len(regexp_extract_all(t2, '{ph}')) AS n_phone,
+               regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS text_redacted
+        FROM s2
+    """
 
 
 def _lang_id_sql() -> str:
@@ -1070,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
+        "pii_redact": _pii_sql(),
         "lang_id": _lang_id_sql(),
         "windowed_agg": """
             SELECT event_type, date_trunc('hour', ts) AS w,

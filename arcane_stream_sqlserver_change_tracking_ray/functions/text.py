@@ -445,3 +445,42 @@ class NgramRepetitionStage:
         return batch.append_column(
             f"dup{self.dup_n}_char_frac", pa.array(dup_frac, pa.float64())
         )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (C4/CCNet-style pre-training scrub)
+# ---------------------------------------------------------------------------
+#: applied in ORDER (email before phone so the digits of user42@... are
+#: already masked); both Arrow and DuckDB run RE2, so the same pattern
+#: strings produce byte-identical redactions in engine and oracle
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() .-]{6,}\d", "<PHONE>"),
+)
+
+
+class PiiRedactStage:
+    """Mask emails / IPv4 addresses / phone-like digit runs with typed
+    placeholder tokens and count the redactions per class — the standard
+    pre-training privacy scrub (C4 and CCNet both ship a variant).
+
+    All matching/replacing runs inside Arrow's vectorized re2 kernels;
+    per-class counts are taken BEFORE replacement so downstream filters
+    can drop PII-dense documents cheaply."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "text_redacted"):
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch[self.text_col]
+        # count each class on the text AFTER the previous classes were
+        # masked (an IPv4 also matches the phone pattern; sequential
+        # counting attributes it once, to the more specific class)
+        for name, pat, repl in PII_PATTERNS:
+            batch = batch.append_column(
+                f"n_{name}", pc.cast(pc.count_substring_regex(s, pat), pa.int64())
+            )
+            s = pc.replace_substring_regex(s, pat, repl)
+        return batch.append_column(self.out_col, s)

@@ -234,3 +234,28 @@ def test_ngram_repetition_slice_invariant():
     glued = pa.concat_tables([NgramRepetitionStage()(t.slice(i, 7)) for i in (0, 7, 14)])
     assert whole["top2_char_frac"].to_pylist() == glued["top2_char_frac"].to_pylist()
     assert whole["dup5_char_frac"].to_pylist() == glued["dup5_char_frac"].to_pylist()
+
+
+def test_pii_redact_planted():
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import PiiRedactStage
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail a.b+c%d@sub.domain.org now",
+                "server at 10.0.255.1 port open; also 1.2.3.4.",
+                "call +1 (555) 123-4567 or 555 000 1234 x",
+                "no pii here at all",
+            ],
+        }
+    )
+    out = PiiRedactStage()(t)
+    red = out["text_redacted"].to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server at <IP> port open; also <IP>."
+    assert red[2] == "call <PHONE> or <PHONE> x"
+    assert red[3] == "no pii here at all"
+    assert out["n_email"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
+    assert out["n_phone"].to_pylist() == [0, 0, 2, 0]
