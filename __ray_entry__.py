@@ -470,6 +470,45 @@ def corpus_prep(sf_dir: str):
     )
 
 
+def tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document.  Two streaming passes over the
+    corpus: (1) per-batch (doc_id, token, tf) counts -> vocab-sized
+    partial-DF combine -> tiny groupby sum (only (token, count) rows
+    ever shuffle); (2) the DF table (vocabulary-sized) is broadcast via
+    ``ray.put`` into an actor pool that scores and keeps each doc's
+    top-3 — no corpus-sized shuffle anywhere.  idf = n_docs/df (no log)
+    so every double matches the SQL oracle bit-for-bit."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        TfidfTopKStage,
+        doc_token_counts,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ds.map_batches(doc_token_counts, batch_format="pyarrow")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        g = batch.select(["token"]).group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "pdf"])
+
+    df_ds = (
+        tf.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pdf", alias_name="df"))
+    )
+    df_tbl = pa.Table.from_pandas(df_ds.to_pandas())  # vocabulary-sized
+    df_ref = ray.put(df_tbl)
+    return tf.map_batches(
+        TfidfTopKStage,
+        fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs, "k": 3},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def pii_redact(sf_dir: str):
     """PII scrub (C4/CCNet-style): plant a deterministic contact block
     per document (the corpus itself carries no PII), then mask emails /
@@ -869,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": ngram_repetition,
         "corpus_prep": corpus_prep,
         "pii_redact": pii_redact,
+        "tfidf_topk": tfidf_topk,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1137,6 +1177,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
         "pii_redact": _pii_sql(),
+        "tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, chr(32))) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM w GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), s AS (
+              SELECT tf.doc_id, tf.token,
+                     (tf.tf * (SELECT count(*) FROM documents))::DOUBLE / df.df
+                       AS tfidf
+              FROM tf JOIN df USING (token)
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                     ) AS rnk
+              FROM s
+            )
+            SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= 3
+        """,
         "lang_id": _lang_id_sql(),
         "windowed_agg": """
             SELECT event_type, date_trunc('hour', ts) AS w,

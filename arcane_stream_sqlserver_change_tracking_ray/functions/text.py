@@ -484,3 +484,84 @@ class PiiRedactStage:
             )
             s = pc.replace_substring_regex(s, pat, repl)
         return batch.append_column(self.out_col, s)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms (search / indexing analytics)
+# ---------------------------------------------------------------------------
+def doc_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, token, tf) rows per batch — each document row lives in
+    exactly one batch, so per-batch grouping gives exact per-doc counts
+    (one vectorized Arrow split + hash group-by, no Python loop)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    n_words = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_ids, n_words), pa.int64()),
+            "token": lists.flatten(),
+        }
+    )
+    g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "token", "tf"])
+
+
+class TfidfTopKStage:
+    """Attach ``tfidf = (tf * n_docs) / df`` from a broadcast DF table
+    and keep each document's top-``k`` terms (ties break token-asc).
+
+    The DF side is vocabulary-sized (tiny next to the corpus), so it is
+    broadcast once via ``ray.put`` and looked up with a vectorized
+    ``index_in`` — no shuffle join.  The score is a pure integer ratio:
+    idf is ``n_docs/df`` instead of ``ln(n_docs/df)`` precisely so the
+    DuckDB oracle reproduces every double bit-for-bit (numpy's SIMD
+    ``log`` and libm may differ in the last ulp); the ranking this
+    produces is the object under test, not the absolute weights."""
+
+    def __init__(self, df_ref, n_docs: int, k: int = 3):
+        import ray
+
+        df_tbl = ray.get(df_ref) if not isinstance(df_ref, pa.Table) else df_ref
+        self.df_tokens = df_tbl["token"].combine_chunks()
+        self.df_counts = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.n_docs = n_docs
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.index_in(batch["token"], value_set=self.df_tokens)
+        df = self.df_counts[idx.to_numpy(zero_copy_only=False)]
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = (tf * self.n_docs) / df  # exact: int64 product, one division
+        t = batch.append_column("tfidf", pa.array(score, pa.float64()))
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tfidf", "descending"),
+                ("token", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        first = np.r_[True, d[1:] != d[:-1]]
+        seg_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        rank = np.arange(n) - seg_start
+        t = t.append_column("rnk", pa.array(rank + 1, pa.int64()))
+        return t.filter(pa.array(rank < self.k)).select(
+            ["doc_id", "token", "tfidf", "rnk"]
+        )

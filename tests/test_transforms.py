@@ -259,3 +259,31 @@ def test_pii_redact_planted():
     assert out["n_email"].to_pylist() == [1, 0, 0, 0]
     assert out["n_ipv4"].to_pylist() == [0, 2, 0, 0]
     assert out["n_phone"].to_pylist() == [0, 0, 2, 0]
+
+
+def test_tfidf_topk_known_values():
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        TfidfTopKStage,
+        doc_token_counts,
+    )
+
+    docs = pa.table({"doc_id": [0, 1, 2], "text": ["a a b", "a c", "c c c"]})
+    tf = doc_token_counts(docs)
+    # df: a->2 docs, b->1, c->2 ; N=3
+    df_tbl = pa.table({"token": ["a", "b", "c"], "df": [2, 1, 2]})
+    out = TfidfTopKStage(df_tbl, n_docs=3, k=3)(tf)
+    rows = sorted(
+        zip(
+            out["doc_id"].to_pylist(),
+            out["token"].to_pylist(),
+            out["tfidf"].to_pylist(),
+            out["rnk"].to_pylist(),
+        )
+    )
+    assert rows == [
+        (0, "a", 3.0, 1),   # tf 2 * 3/2
+        (0, "b", 3.0, 2),   # tf 1 * 3/1 — tie broken token-asc
+        (1, "a", 1.5, 1),
+        (1, "c", 1.5, 2),
+        (2, "c", 4.5, 1),
+    ]
