@@ -34,6 +34,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     FingerprintStage,
     LangIdStage,
     QualityScoreStage,
+    TfidfTopKStage,
     TokenCountStage,
     _stopword_regex,
 )
@@ -470,6 +471,10 @@ def corpus_prep(sf_dir: str):
     )
 
 
+def _tfidf_apply(batch: pa.Table, df_ref=None, n_docs: int = 0, k: int = 3) -> pa.Table:
+    return TfidfTopKStage(df_ref, n_docs=n_docs, k=k)(batch)
+
+
 def tfidf_topk(sf_dir: str):
     """Top-3 TF-IDF terms per document.  Two streaming passes over the
     corpus: (1) per-batch (doc_id, token, tf) counts -> vocab-sized
@@ -501,11 +506,13 @@ def tfidf_topk(sf_dir: str):
     )
     df_tbl = pa.Table.from_pandas(df_ds.to_pandas())  # vocabulary-sized
     df_ref = ray.put(df_tbl)
+    # task-based (not an actor pool): ray.get(df_ref) is plasma-local and
+    # zero-copy after the first task on each worker, and tasks skip the
+    # actor-pool spin-up cost per query invocation
     return tf.map_batches(
-        TfidfTopKStage,
-        fn_constructor_kwargs={"df_ref": df_ref, "n_docs": n_docs, "k": 3},
+        _tfidf_apply,
+        fn_kwargs={"df_ref": df_ref, "n_docs": n_docs, "k": 3},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
