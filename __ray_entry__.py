@@ -516,6 +516,53 @@ def tfidf_topk(sf_dir: str):
     )
 
 
+def seq_pack(sf_dir: str, bin_tokens: int = 512, bucket: int = 256):
+    """Sequence packing for LLM pre-training: assign each document to a
+    fixed-token-budget bin by GLOBAL running token count in doc_id
+    order — a distributed prefix sum.  Pass A reduces per-batch
+    bucket-granular partial sums (tiny shuffle); the driver prefix-sums
+    the bucket table (vocabulary of buckets, not docs) and broadcasts
+    the exclusive offsets; pass B co-locates each bucket with one
+    groupby and finishes the cumsum locally.  No corpus-wide sort, no
+    driver-side row loop."""
+    import ray
+    from ray.data.aggregate import Sum
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        assign_bins_in_bucket,
+        bucket_token_sums,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+    sums = (
+        t.map_batches(bucket_token_sums, fn_kwargs={"bucket": bucket}, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("bn", alias_name="bn"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = sums["bucket"].to_numpy()
+    totals = sums["bn"].to_numpy()
+    offsets = np.zeros(int(buckets.max()) + 1 if len(buckets) else 1, np.int64)
+    offsets[buckets] = np.cumsum(totals) - totals  # exclusive prefix per bucket
+    off_ref = ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(ids // bucket, pa.int64()))
+
+    def finish(group: pa.Table) -> pa.Table:
+        return assign_bins_in_bucket(group, ray.get(off_ref), bin_tokens)
+
+    return (
+        t.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def pii_redact(sf_dir: str):
     """PII scrub (C4/CCNet-style): plant a deterministic contact block
     per document (the corpus itself carries no PII), then mask emails /
@@ -916,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": corpus_prep,
         "pii_redact": pii_redact,
         "tfidf_topk": tfidf_topk,
+        "seq_pack": seq_pack,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1184,6 +1232,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
         "pii_redact": _pii_sql(),
+        "seq_pack": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws
+              FROM documents
+            )
+            SELECT doc_id, n_tokens_ws,
+                   ((sum(n_tokens_ws) OVER (
+                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens_ws) // 512)::BIGINT AS bin_id
+            FROM t
+        """,
         "tfidf_topk": """
             WITH w AS (
               SELECT doc_id, unnest(string_split(text, chr(32))) AS token

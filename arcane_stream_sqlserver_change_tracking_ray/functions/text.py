@@ -565,3 +565,42 @@ class TfidfTopKStage:
         return t.filter(pa.array(rank < self.k)).select(
             ["doc_id", "token", "tfidf", "rnk"]
         )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix sum over token counts)
+# ---------------------------------------------------------------------------
+def bucket_token_sums(batch: pa.Table, bucket: int) -> pa.Table:
+    """(bucket, bn) partial sums per batch — pass A of the distributed
+    prefix sum.  Output is bucket-granular (tiny), so the global groupby
+    that follows shuffles almost nothing."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "bucket": pa.array(ids // bucket, pa.int64()),
+            "bn": batch["n_tokens_ws"],
+        }
+    )
+    g = t.group_by("bucket").aggregate([("bn", "sum")])
+    return g.rename_columns(["bucket", "bn"])
+
+
+def assign_bins_in_bucket(
+    group: pa.Table, offsets: np.ndarray, bin_tokens: int
+) -> pa.Table:
+    """Pass B: inside one doc_id bucket (co-located by the groupby),
+    sort by doc_id, add the bucket's exclusive prefix offset, and assign
+    ``bin_id = tokens_before_this_doc // bin_tokens``.  Pure integer
+    arithmetic — a SQL window cumsum reproduces it exactly."""
+    order = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+    g = group.take(order)
+    n = g["n_tokens_ws"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = int(g["bucket"][0].as_py())
+    cum_before = int(offsets[b]) + np.cumsum(n) - n
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "n_tokens_ws": g["n_tokens_ws"],
+            "bin_id": pa.array(cum_before // bin_tokens, pa.int64()),
+        }
+    )

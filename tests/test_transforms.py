@@ -287,3 +287,31 @@ def test_tfidf_topk_known_values():
         (1, "c", 1.5, 2),
         (2, "c", 4.5, 1),
     ]
+
+
+def test_seq_pack_bins_known_values():
+    import numpy as np
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        assign_bins_in_bucket,
+        bucket_token_sums,
+    )
+
+    # docs 0..5 with token counts; global cumsum-before = 0,100,600,610,1210,1510
+    # -> bins at B=512: 0,0,1,1,2,2
+    t = pa.table({"doc_id": [0, 1, 2, 3, 4, 5], "n_tokens_ws": [100, 500, 10, 600, 300, 20]})
+    # two buckets of 3 docs (bucket=3): offsets [0, 610]
+    parts = [
+        bucket_token_sums(t.slice(0, 2), bucket=3),
+        bucket_token_sums(t.slice(2, 4), bucket=3),
+    ]
+    sums = pa.concat_tables(parts).group_by("bucket").aggregate([("bn", "sum")])
+    sums = sums.rename_columns(["bucket", "bn"]).sort_by("bucket")
+    totals = sums["bn"].to_numpy(zero_copy_only=False)
+    offsets = np.cumsum(totals) - totals
+    assert offsets.tolist() == [0, 610]
+    g0 = t.slice(0, 3).append_column("bucket", pa.array([0, 0, 0], pa.int64()))
+    g1 = t.slice(3, 3).append_column("bucket", pa.array([1, 1, 1], pa.int64()))
+    out = pa.concat_tables(
+        [assign_bins_in_bucket(g, offsets, 512) for g in (g0, g1)]
+    )
+    assert out["bin_id"].to_pylist() == [0, 0, 1, 1, 2, 2]
