@@ -563,6 +563,25 @@ def seq_pack(sf_dir: str, bin_tokens: int = 512, bucket: int = 256):
     )
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows over the event stream (the classic
+    streaming-window operator): one groupby co-locates each user's
+    events, the per-group kernel sorts by (ts, event_id) and cuts a new
+    session when the gap exceeds 30 minutes.  The shuffle moves only
+    (event_id, user_id, ts) — payload columns are pruned at the read."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        sessionize_user,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        return sessionize_user(group, gap_us)
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 def pii_redact(sf_dir: str):
     """PII scrub (C4/CCNet-style): plant a deterministic contact block
     per document (the corpus itself carries no PII), then mask emails /
@@ -964,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": pii_redact,
         "tfidf_topk": tfidf_topk,
         "seq_pack": seq_pack,
+        "sessionize": sessionize,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1232,6 +1252,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
         "pii_redact": _pii_sql(),
+        "sessionize": """
+            SELECT event_id, user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                            THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+              FROM events
+            )
+        """,
         "seq_pack": rf"""
             WITH t AS (
               SELECT doc_id,

@@ -604,3 +604,27 @@ def assign_bins_in_bucket(
             "bin_id": pa.array(cum_before // bin_tokens, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based session windows)
+# ---------------------------------------------------------------------------
+def sessionize_user(group: pa.Table, gap_us: int) -> pa.Table:
+    """Assign per-user session ids inside one user's co-located event
+    group: sort by (ts, event_id), start a new session when the gap to
+    the previous event exceeds ``gap_us`` microseconds.  Vectorized
+    diff + cumsum; session ids start at 1 per user (matching the SQL
+    window-cumsum oracle exactly)."""
+    order = pc.sort_indices(
+        group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    g = group.take(order)
+    ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+    new = np.r_[True, np.diff(ts) > gap_us]
+    return pa.table(
+        {
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "session_id": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )

@@ -315,3 +315,24 @@ def test_seq_pack_bins_known_values():
         [assign_bins_in_bucket(g, offsets, 512) for g in (g0, g1)]
     )
     assert out["bin_id"].to_pylist() == [0, 0, 1, 1, 2, 2]
+
+
+def test_sessionize_gaps_and_ties():
+    import numpy as np
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        sessionize_user,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    mins = np.array([0, 10, 50, 50, 120], "timedelta64[m]")  # gap>30 at idx 2 and 4
+    t = pa.table(
+        {
+            "event_id": [5, 1, 3, 2, 4],  # arrival order scrambled; tie at t=50min
+            "ts": pa.array(base + mins[[4, 0, 1, 2, 3]].astype("timedelta64[us]")),
+            "user_id": [7, 7, 7, 7, 7],
+        }
+    )
+    out = sessionize_user(t, gap_us=30 * 60 * 1_000_000)
+    # sorted by (ts, event_id): e1@0, e3@10, e2@50, e4@50, e5@120
+    assert out["event_id"].to_pylist() == [1, 3, 2, 4, 5]
+    assert out["session_id"].to_pylist() == [1, 1, 2, 2, 3]
