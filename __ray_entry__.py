@@ -37,6 +37,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     TfidfTopKStage,
     TokenCountStage,
     _stopword_regex,
+    rolling_window_hashes,
 )
 from arcane_stream_sqlserver_change_tracking_ray.types import (
     MERGE_KEY_COL,
@@ -563,6 +564,33 @@ def seq_pack(sf_dir: str, bin_tokens: int = 512, bucket: int = 256):
     )
 
 
+def train_eval_split(sf_dir: str, eval_pct: int = 5):
+    """Deterministic content-hash train/eval split: a document lands in
+    the same split no matter how the corpus is sharded, re-ordered or
+    re-ingested (whole-text polynomial hash mod 2^64, then mod 100 —
+    the property that prevents train/eval leakage when the corpus is
+    rebuilt).  Embarrassingly parallel; the oracle replays the exact
+    hash in DuckDB HUGEINT arithmetic."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
+        out = np.zeros(len(offs) - 1, np.uint64)
+        out[np.diff(offs) > 0] = h  # empty docs hash to 0
+        pct = (out % np.uint64(100)).astype(np.int64)
+        split = np.where(pct < eval_pct, "eval", "train")
+        ids = batch["doc_id"]
+        return pa.table(
+            {
+                "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                "hash_pct": pa.array(pct, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows over the event stream (the classic
     streaming-window operator): one groupby co-locates each user's
@@ -984,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "seq_pack": seq_pack,
         "sessionize": sessionize,
+        "train_eval_split": train_eval_split,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1252,6 +1281,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
         """,
         "pii_redact": _pii_sql(),
+        # whole-text polynomial hash mod 2^64 replayed in HUGEINT (same
+        # technique as doc_fingerprint; codepoint==byte on this corpus)
+        "train_eval_split": """
+            WITH c AS (
+              SELECT doc_id, length(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     ELSE list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
+                END AS hv
+              FROM c
+            )
+            SELECT doc_id,
+                   (hv % 100)::BIGINT AS hash_pct,
+                   CASE WHEN hv % 100 < 5 THEN 'eval' ELSE 'train' END AS split
+            FROM h
+        """,
         "sessionize": """
             SELECT event_id, user_id,
                    sum(CASE WHEN prev_ts IS NULL

@@ -336,3 +336,29 @@ def test_sessionize_gaps_and_ties():
     # sorted by (ts, event_id): e1@0, e3@10, e2@50, e4@50, e5@120
     assert out["event_id"].to_pylist() == [1, 3, 2, 4, 5]
     assert out["session_id"].to_pylist() == [1, 1, 2, 2, 3]
+
+
+def test_train_eval_split_resharding_invariant():
+    """The same document must land in the same split regardless of how
+    the corpus is sharded or ordered (the anti-leakage property)."""
+    import numpy as np
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        rolling_window_hashes,
+    )
+
+    texts = [f"doc {i} " + "tok " * (i % 17) for i in range(200)]
+
+    def split_of(batch_texts):
+        arr = pa.array(batch_texts, pa.string())
+        h, offs = rolling_window_hashes(arr, k=1 << 31)
+        out = np.zeros(len(offs) - 1, np.uint64)
+        out[np.diff(offs) > 0] = h
+        return {t: int(v % 100) < 5 for t, v in zip(batch_texts, out)}
+
+    whole = split_of(texts)
+    rev = split_of(texts[::-1])
+    shards = {}
+    for i in range(0, 200, 37):  # ragged shard sizes
+        shards.update(split_of(texts[i : i + 37]))
+    assert whole == rev == shards
+    assert 1 <= sum(whole.values()) <= 30  # ~5% of 200, not degenerate
