@@ -793,6 +793,32 @@ def _query_vectors(sf_dir: str) -> np.ndarray:
     return np.array([row[0] for row in q], dtype=np.float64)
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup canonicalization: exact-Jaccard pairs -> connected
+    components -> ``cluster_id`` = min doc_id in the component (the
+    standard keep-one-per-cluster step after a similarity join).  The
+    pair list is the similarity join's SPARSE output (orders of
+    magnitude smaller than the corpus — the distributed work already
+    happened inside ``exact_jaccard_pairs``), so components are solved
+    with vectorized min-label propagation + pointer jumping over numpy
+    arrays; at a scale where even the pair list outgrows one node this
+    becomes iterative label propagation via groupby, same math."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = dedup_ngram_jaccard(sf_dir).select_columns(["id_a", "id_b"]).to_pandas()
+    nodes, lbl = connected_components(
+        pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(lbl, pa.int64()),
+        }
+    )
+
+
 def ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the embeddings of vec_id 0 and 1
     (query matrix broadcast once; per-batch matmul + local top-k)."""
@@ -1021,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         # similarity
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1084,6 +1111,24 @@ SELECT doc_id,
       {cases}
   END AS lang_pred
 FROM m
+"""
+
+
+_NGRAM_JACCARD_SQL = r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+              FROM w WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
 """
 
 
@@ -1401,21 +1446,22 @@ def oracle_sql() -> dict[str, str]:
         # 3-shingle sets (string form; the Ray side hashes them — equal
         # counts modulo 64-bit collisions) and the same c/(|A|+|B|-c)
         # double division, so values hash-compare bit-exactly
-        "dedup_ngram_jaccard": r"""
-            WITH w AS (
-              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(ws) - 1),
-                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-              FROM w WHERE len(ws) >= 3
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # connected components over the same pair list via recursive
+        # min-label closure (components are tiny, so the closure is too)
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), lab AS (
+              SELECT a AS id, a AS lbl FROM edges
+              UNION
+              SELECT e.a AS id, l.lbl FROM lab l JOIN edges e ON l.id = e.b
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+            SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
         """,
         # exact embedding near-dup: pair ids only (scores deliberately
         # omitted — identical pair SETS are the contract; threshold 0.45

@@ -1024,3 +1024,28 @@ def ngram_jaccard_matrix(texts, k_shingle: int = 3) -> np.ndarray:
             union = ua.size + ub.size - inter
             out[i, j] = out[j, i] = inter / union if union else 1.0
     return out
+
+
+# ---------------------------------------------------------------------------
+# connected components over a near-dup pair list
+# ---------------------------------------------------------------------------
+def connected_components(a: np.ndarray, b: np.ndarray):
+    """Min-label connected components over an edge list: returns
+    ``(nodes, labels)`` where ``labels[i]`` is the smallest node id in
+    ``nodes[i]``'s component.  Vectorized min propagation with pointer
+    jumping — O(E) numpy work per round, rounds ~ log(diameter).  Meant
+    for the SPARSE pair output of a similarity join; for a pair list
+    beyond one node's memory the same min-label iteration runs as a
+    groupby-min exchange per round."""
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lbl = nodes.copy()
+    while True:
+        old = lbl.copy()
+        np.minimum.at(lbl, ia, lbl[ib])
+        np.minimum.at(lbl, ib, lbl[ia])
+        lbl = np.minimum(lbl, lbl[np.searchsorted(nodes, lbl)])  # pointer jump
+        if np.array_equal(old, lbl):
+            break
+    return nodes, lbl

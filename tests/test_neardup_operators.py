@@ -511,3 +511,23 @@ def test_ivf_topk_recall_vs_bruteforce():
     # probing ALL clusters must reproduce brute force exactly
     full = ivf_topk(ds, q, k=10, n_clusters=12, nprobe=12).to_pandas()
     assert set(map(tuple, full[["query_id", "vec_id"]].values)) == want
+
+
+def test_connected_components_topologies():
+    import numpy as np
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3, separate pair (10,11), long path 20-21-22-23-24,
+    # star 30-{31,32,33}, edge order scrambled and duplicated
+    a = np.array([2, 1, 10, 23, 21, 20, 22, 30, 33, 30, 1], np.int64)
+    b = np.array([3, 2, 11, 24, 22, 21, 23, 31, 30, 32, 2], np.int64)
+    nodes, lbl = connected_components(a, b)
+    got = dict(zip(nodes.tolist(), lbl.tolist()))
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
