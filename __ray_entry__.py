@@ -591,6 +591,53 @@ def train_eval_split(sf_dir: str, eval_pct: int = 5):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def stratified_sample(sf_dir: str, per_group: int = 5):
+    """Deterministic stratified sampling: per language, keep the
+    ``per_group`` documents with the smallest whole-text content hash
+    (ties by doc_id) — a reshard-stable "random" sample per stratum
+    (the hash is uniform; sampling by hash order is the standard
+    reproducible-sample trick).  One lang-keyed groupby; the hash is
+    replayed in DuckDB HUGEINT arithmetic (uint64 and non-negative
+    HUGEINT sort identically)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
+        out = np.zeros(len(offs) - 1, np.uint64)
+        out[np.diff(offs) > 0] = h
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                "lang": batch["lang"].combine_chunks()
+                if isinstance(batch["lang"], pa.ChunkedArray)
+                else batch["lang"],
+                "hv": pa.array(out, pa.uint64()),
+            }
+        )
+
+    def top_per_lang(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("hv", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order).slice(0, per_group)
+        n = g.num_rows
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "doc_id": g["doc_id"],
+                "rnk": pa.array(np.arange(1, n + 1), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(top_per_lang, batch_format="pyarrow")
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows over the event stream (the classic
     streaming-window operator): one groupby co-locates each user's
@@ -1039,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": seq_pack,
         "sessionize": sessionize,
         "train_eval_split": train_eval_split,
+        "stratified_sample": stratified_sample,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1346,6 +1394,27 @@ def oracle_sql() -> dict[str, str]:
                    (hv % 100)::BIGINT AS hash_pct,
                    CASE WHEN hv % 100 < 5 THEN 'eval' ELSE 'train' END AS split
             FROM h
+        """,
+        "stratified_sample": """
+            WITH c AS (
+              SELECT doc_id, lang, length(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT doc_id, lang,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     ELSE list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
+                END AS hv
+              FROM c
+            ), r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+                       AS rnk
+              FROM h
+            )
+            SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
         """,
         "sessionize": """
             SELECT event_id, user_id,
