@@ -108,3 +108,97 @@ def test_concurrent_committers_one_wins(tmp_path):
         log_b.commit(mb, expect_version=base_b.version)
     assert log_a.latest().watermark == 10
     assert log_a.versions() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# text repetition / packing kernels vs slow Python references
+# ---------------------------------------------------------------------------
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "d d", ""]), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(doc_strategy)
+def test_ngram_repetition_matches_python_reference(texts):
+    from collections import Counter
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        NgramRepetitionStage,
+    )
+
+    out = NgramRepetitionStage()(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+    def ref(text, n):
+        words = text.split(" ")
+        grams = [
+            " ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 0))
+        ]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        weights = {g: cnt * len(g) for g, cnt in c.items()}
+        tot = sum(weights.values())
+        top = max(weights.values())
+        dup = sum(w for g, w in weights.items() if c[g] > 1)
+        return top / tot if tot else 0.0, dup / tot if tot else 0.0
+
+    for i, t in enumerate(texts):
+        top2, _ = ref(t, 2)
+        _, dup5 = ref(t, 5)
+        assert out["top2_char_frac"][i].as_py() == pytest.approx(top2, abs=0)
+        assert out["dup5_char_frac"][i].as_py() == pytest.approx(dup5, abs=0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(0, 700), min_size=1, max_size=40),
+    st.integers(1, 5),
+)
+def test_seq_pack_matches_window_cumsum(token_counts, bucket):
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        assign_bins_in_bucket,
+        bucket_token_sums,
+    )
+
+    n = len(token_counts)
+    t = pa.table(
+        {"doc_id": list(range(n)), "n_tokens_ws": pa.array(token_counts, pa.int64())}
+    )
+    # distributed path: ragged batches -> bucket sums -> offsets -> per-bucket
+    parts = [bucket_token_sums(t.slice(i, 7), bucket=bucket) for i in range(0, n, 7)]
+    sums = (
+        pa.concat_tables(parts)
+        .group_by("bucket")
+        .aggregate([("bn", "sum")])
+        .rename_columns(["bucket", "bn"])
+        .sort_by("bucket")
+    )
+    buckets = sums["bucket"].to_numpy(zero_copy_only=False)
+    totals = sums["bn"].to_numpy(zero_copy_only=False)
+    offsets = np.zeros(int(buckets.max()) + 1, np.int64)
+    offsets[buckets] = np.cumsum(totals) - totals
+    ids = np.arange(n)
+    outs = []
+    for bkt in np.unique(ids // bucket):
+        mask = ids // bucket == bkt
+        g = t.filter(pa.array(mask)).append_column(
+            "bucket", pa.array(np.full(mask.sum(), bkt), pa.int64())
+        )
+        outs.append(assign_bins_in_bucket(g, offsets, 512))
+    got = pa.concat_tables(outs).sort_by("doc_id")["bin_id"].to_pylist()
+    # reference: plain running cumsum
+    cum = 0
+    exp = []
+    for c in token_counts:
+        exp.append(cum // 512)
+        cum += c
+    assert got == exp
