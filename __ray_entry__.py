@@ -37,6 +37,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     TfidfTopKStage,
     TokenCountStage,
     _stopword_regex,
+    contamination_counts,
     rolling_window_hashes,
 )
 from arcane_stream_sqlserver_change_tracking_ray.types import (
@@ -61,7 +62,7 @@ def _register_package_by_value() -> None:
         import arcane_stream_sqlserver_change_tracking_ray  # noqa: F401
         # import the submodules queries() relies on so they are registered
         from arcane_stream_sqlserver_change_tracking_ray.functions import (  # noqa: F401
-            dedup, join, multimodal, similarity, text, transforms,
+            dedup, join, multimodal, similarity, text, transforms, web,
         )
         from arcane_stream_sqlserver_change_tracking_ray.pipelines import runner  # noqa: F401
         from arcane_stream_sqlserver_change_tracking_ray.stages import (  # noqa: F401
@@ -638,6 +639,151 @@ def stratified_sample(sf_dir: str, per_group: int = 5):
     )
 
 
+def doc_chunk(sf_dir: str, size: int = 32, stride: int = 24):
+    """Fixed-token-window chunking with overlap (LLM pre-training prep):
+    one row per 32-word window starting every 24 words.  A row-expanding
+    ``map_batches`` — each doc's chunks are produced inside its own
+    batch, no shuffle, no per-row Python (one Arrow split + numpy window
+    arithmetic + one vectorized gather/join per batch)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import chunk_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        chunk_docs, fn_kwargs={"size": size, "stride": stride}, batch_format="pyarrow"
+    )
+
+
+def _contamination_apply(batch: pa.Table, bench_ref=None, n: int = 8) -> pa.Table:
+    # NOTE: contamination_counts is imported at module level on purpose —
+    # worker-executed runtime `from arcane_...` imports break under a
+    # foreign cwd (by-value registration doesn't cover name-based imports)
+    keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 10) != 7
+    return contamination_counts(batch.filter(pa.array(keep)), bench_ref=bench_ref, n=n)
+
+
+def decontaminate(sf_dir: str, n: int = 8):
+    """Benchmark decontamination (GPT-3 §C-style n-gram overlap): flag
+    every training doc sharing a word-8-gram with the held-out benchmark
+    slice (here: doc_id % 10 == 7 stands in for the benchmark corpus).
+
+    Scale shape: the benchmark side is tiny by definition — its distinct
+    gram hashes are reduced once and broadcast via ``ray.put`` (sorted
+    uint64 array, plasma-local per worker); the corpus side streams
+    through one ``searchsorted`` per batch.  No shuffle anywhere."""
+    import ray
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        bench_gram_table,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 10) == 7
+        return bench_gram_table(batch.filter(pa.array(keep)), n=n)
+
+    gh = (
+        ds.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["gh"]
+        .to_numpy(dtype=np.uint64)
+    )
+    bench_ref = ray.put(np.unique(gh))
+    return ds.map_batches(
+        _contamination_apply,
+        fn_kwargs={"bench_ref": bench_ref, "n": n},
+        batch_format="pyarrow",
+    )
+
+
+def length_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the per-doc whitespace token count
+    (p25/p50/p75/p90/p99 by the rank rule ``value at row ceil(p*n/100)``
+    of the sorted counts).  Shape: per-batch value-count partials →
+    groupby over DISTINCT count values (a shuffle of the value histogram,
+    not the corpus) → driver-side cumsum over the histogram.  The only
+    materialization is the histogram (cardinality = distinct lengths)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["n_tokens_ws"])
+            .group_by("n_tokens_ws")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["v", "c"])
+
+    hist = (
+        t.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy(np.int64)
+    cum = np.cumsum(hist["c"].to_numpy(np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    row: dict[str, int] = {"n_docs": n}
+    for p in (25, 50, 75, 90, 99):
+        rank = (p * n + 99) // 100
+        row[f"p{p}"] = int(v[np.searchsorted(cum, rank)]) if n else 0
+    return pd.DataFrame([row])
+
+
+def url_normalize(sf_dir: str):
+    """URL canonicalization over the web corpus — the key-normalization
+    step in front of the url-keyed CDC merge (lowercase scheme/host,
+    strip www. and default port, drop tracking params + fragment).
+    Embarrassingly parallel Arrow re2 kernels; the synthetic messy url
+    is built deterministically from (source, doc_id, lang) because the
+    test corpus carries no url column."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.web import (
+        normalize_urls,
+        synth_urls,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("url", synth_urls(batch))
+        return normalize_urls(batch).select(
+            ["doc_id", "url", "url_norm", "host", "path"]
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def domain_stats(sf_dir: str):
+    """Per-domain corpus statistics (docs + chars per registered host):
+    the standard crawl-health rollup.  Pre-aggregated inside each batch
+    (partial count/sum per host) before the global groupby, so only
+    (host, n, chars) rows — domain cardinality, not corpus cardinality —
+    ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.web import (
+        normalize_urls,
+        synth_urls,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("url", synth_urls(batch))
+        t = normalize_urls(batch).select(["host", "n_chars"])
+        g = t.group_by("host").aggregate([([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["host", "n", "chars"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("chars", alias_name="sum_chars"))
+    )
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows over the event stream (the classic
     streaming-window operator): one groupby co-locates each user's
@@ -1087,6 +1233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize,
         "train_eval_split": train_eval_split,
         "stratified_sample": stratified_sample,
+        "doc_chunk": doc_chunk,
+        "decontaminate": decontaminate,
+        "length_quantiles": length_quantiles,
+        "url_normalize": url_normalize,
+        "domain_stats": domain_stats,
         "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
         "topk_tokens": topk_tokens,
@@ -1106,6 +1257,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
     }
+
+
+def _url_norm_sql(select: str) -> str:
+    """Shared oracle CTE for url_normalize / domain_stats: synthesize the
+    identical messy url from (source, doc_id, lang), then canonicalize
+    with the SAME RE2 patterns the Arrow kernels run (lowercase
+    scheme+host, strip www. and the scheme-default port, '/' for the
+    empty path, drop tracking params + fragment)."""
+    return rf"""
+        WITH u AS (
+          SELECT doc_id, n_chars,
+            'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Cat-' || (doc_id % 7)
+              || '/Page_' || doc_id || '.html?utm_source=feed&id=' || doc_id
+              || '&ref=' || lang || '#sec' AS url
+          FROM documents
+        ), q0 AS (
+          SELECT doc_id, n_chars, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            regexp_replace(lower(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)), '^www\.', '') AS host,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+              AS port,
+            coalesce(nullif(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path,
+            array_to_string(list_filter(
+              string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
+              p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=')),
+              '&') AS q
+          FROM u
+        ), p AS (
+          SELECT doc_id, n_chars, url, host, path,
+            scheme || '://' ||
+            (CASE WHEN port <> ''
+                   AND port <> (CASE WHEN scheme = 'http' THEN '80' ELSE '443' END)
+                  THEN host || ':' || port ELSE host END) ||
+            path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url_norm
+          FROM q0
+        )
+        {select}
+    """
 
 
 def _pii_sql() -> str:
@@ -1416,6 +1607,77 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
         """,
+        # 1-based inclusive list slices; generate_series step = stride
+        "doc_chunk": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
+            ), s AS (
+              SELECT doc_id, arr,
+                     unnest(generate_series(1, array_length(arr), 24)) AS st
+              FROM d
+            )
+            SELECT doc_id,
+                   (st - 1) // 24 AS chunk_idx,
+                   (least(st + 31, array_length(arr)) - st + 1)::BIGINT AS n_words,
+                   array_to_string(arr[st:least(st + 31, array_length(arr))], chr(32))
+                     AS chunk
+            FROM s
+        """,
+        # engine compares 64-bit gram hashes, oracle compares gram strings
+        # — identical counts modulo ~2^-64 collisions (same argument as
+        # ngram_repetition)
+        "decontaminate": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(arr[i:i+7], chr(32)) AS gram
+              FROM (SELECT doc_id, arr,
+                           unnest(generate_series(1, greatest(array_length(arr) - 7, 0)))
+                             AS i
+                    FROM d)
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7
+            ), hits AS (
+              SELECT g.doc_id, count(*) AS nh
+              FROM g JOIN bench USING (gram)
+              WHERE g.doc_id % 10 <> 7
+              GROUP BY g.doc_id
+            )
+            SELECT dd.doc_id,
+                   coalesce(h.nh, 0)::BIGINT AS n_contaminated,
+                   (CASE WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS contaminated
+            FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
+            WHERE dd.doc_id % 10 <> 7
+        """,
+        # rank rule: value at row ceil(p*n/100) = (p*n + 99) // 100 of the
+        # sorted counts — integer arithmetic on both sides
+        "length_quantiles": rf"""
+            WITH t AS (
+              SELECT len(regexp_extract_all(text, '{WORD_PATTERN}')) AS v
+              FROM documents
+            ), vc AS (
+              SELECT v, count(*) AS c FROM t GROUP BY v
+            ), w AS (
+              SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc
+            ), nn AS (
+              SELECT count(*) AS n FROM t
+            )
+            SELECT nn.n::BIGINT AS n_docs,
+                   (SELECT min(v) FROM w WHERE cum >= (25 * nn.n + 99) // 100)::BIGINT AS p25,
+                   (SELECT min(v) FROM w WHERE cum >= (50 * nn.n + 99) // 100)::BIGINT AS p50,
+                   (SELECT min(v) FROM w WHERE cum >= (75 * nn.n + 99) // 100)::BIGINT AS p75,
+                   (SELECT min(v) FROM w WHERE cum >= (90 * nn.n + 99) // 100)::BIGINT AS p90,
+                   (SELECT min(v) FROM w WHERE cum >= (99 * nn.n + 99) // 100)::BIGINT AS p99
+            FROM nn
+        """,
+        "url_normalize": _url_norm_sql(
+            "SELECT doc_id, url, url_norm, host, path FROM p ORDER BY doc_id"
+        ),
+        "domain_stats": _url_norm_sql(
+            """SELECT host, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+               FROM p GROUP BY host"""
+        ),
         "sessionize": """
             SELECT event_id, user_id,
                    sum(CASE WHEN prev_ts IS NULL

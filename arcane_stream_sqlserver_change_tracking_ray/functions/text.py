@@ -628,3 +628,147 @@ def sessionize_user(group: pa.Table, gap_us: int) -> pa.Table:
             "session_id": pa.array(np.cumsum(new), pa.int64()),
         }
     )
+
+# ---------------------------------------------------------------------------
+# word splitting / n-gram hashing / chunking / benchmark decontamination
+# ---------------------------------------------------------------------------
+_FNV64 = np.uint64(1099511628211)
+
+
+def split_words(texts):
+    """Split on a single space — byte-for-byte ``string_split(text, ' ')``
+    (an empty document yields one empty word on both sides).  Returns
+    ``(flat_words, counts int64[n_docs], starts int64[n_docs+1])``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    cnt = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.r_[0, np.cumsum(cnt)]
+    return lists.flatten(), cnt, starts
+
+
+def word_ngram_hashes(texts, n: int):
+    """uint64 hashes of every word-``n``-gram, flattened across the batch.
+
+    Returns ``(hashes uint64[total_grams], grams_per_doc int64[n_docs])``.
+    Words are 64-bit-hashed (polars ahash, fixed seed — deterministic
+    across processes for a pinned polars version, so hashes computed in
+    one Ray task compare equal in another) and FNV-folded across the
+    ``n`` shifted views: no gram strings are ever materialized and no
+    Python loop touches a row.  Collisions (~2^-64 per pair) are
+    negligible, so equality of hashes ≡ equality of gram strings and a
+    string-grouping SQL oracle reproduces downstream counts exactly."""
+    flat, cnt, starts = split_words(texts)
+    wh = _hash_utf8(flat)
+    g = np.maximum(cnt - n + 1, 0)
+    total = int(g.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), g
+    gstart = np.r_[0, np.cumsum(g)]
+    off = np.repeat(starts[:-1], g) + (np.arange(total) - np.repeat(gstart[:-1], g))
+    h = np.zeros(total, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            h = h * _FNV64 + wh[off + j]
+    return h, g
+
+
+def chunk_docs(
+    batch: pa.Table,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Fixed-token-window chunking for LLM pre-training: split each doc
+    into word windows of ``size`` starting every ``stride`` words (the
+    ``size - stride`` word overlap preserves context across boundaries).
+
+    Chunk ``i`` of a doc covers words ``[i*stride, min(i*stride+size,
+    n_words))``; every doc emits at least one chunk.  Fully vectorized:
+    one Arrow split, numpy window-index arithmetic, one ``take`` to
+    gather the (overlapping) word windows into a fresh list array, one
+    ``binary_join`` to re-assemble chunk text.  Emits (doc_id,
+    chunk_idx, n_words, chunk) — one row per chunk, so the stage is a
+    row-expanding ``map_batches`` (flat_map semantics without per-row
+    Python)."""
+    flat, cnt, starts = split_words(batch[text_col])
+    n_chunks = (cnt + stride - 1) // stride
+    total = int(n_chunks.sum())
+    doc_rep = np.repeat(np.arange(len(cnt), dtype=np.int64), n_chunks)
+    gs = np.r_[0, np.cumsum(n_chunks)]
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(gs[:-1], n_chunks)
+    wstart = cidx * stride
+    wend = np.minimum(wstart + size, cnt[doc_rep])
+    clen = wend - wstart
+    abs_start = starts[doc_rep] + wstart
+    cs = np.r_[0, np.cumsum(clen)]
+    gather = np.repeat(abs_start, clen) + (
+        np.arange(int(cs[-1]), dtype=np.int64) - np.repeat(cs[:-1], clen)
+    )
+    new_flat = flat.take(pa.array(gather, pa.int64()))
+    if isinstance(new_flat, pa.ChunkedArray):
+        new_flat = new_flat.combine_chunks()
+    chunk_lists = pa.LargeListArray.from_arrays(
+        pa.array(cs, pa.int64()), pc.cast(new_flat, pa.large_string())
+    )
+    chunk_text = pc.cast(
+        pc.binary_join(chunk_lists, pa.scalar(" ", pa.large_string())), pa.string()
+    )
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(doc_rep, pa.int64())),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "n_words": pa.array(clen, pa.int64()),
+            "chunk": chunk_text,
+        }
+    )
+
+
+def bench_gram_table(batch: pa.Table, n: int = 8, text_col: str = "text") -> pa.Table:
+    """Distinct word-n-gram hashes of one batch of benchmark docs —
+    the tiny side of the decontamination broadcast."""
+    h, _ = word_ngram_hashes(batch[text_col], n)
+    return pa.table({"gh": pa.array(np.unique(h), pa.uint64())})
+
+
+def contamination_counts(
+    batch: pa.Table,
+    bench_ref=None,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Benchmark decontamination scan (GPT-3 §C / PaLM-style n-gram
+    overlap): count, per training doc, the word-n-gram occurrences that
+    also appear in the held-out benchmark set.
+
+    ``bench_ref`` is a ``ray.put`` ObjectRef of the SORTED uint64
+    benchmark gram-hash array — plasma-local and zero-copy on every
+    worker after the first task, so the corpus side streams with no
+    shuffle.  Membership is one vectorized ``searchsorted`` per batch."""
+    import ray
+
+    bench = bench_ref if isinstance(bench_ref, np.ndarray) else ray.get(bench_ref)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    h, g = word_ngram_hashes(batch[text_col], n)
+    nh = np.zeros(len(g), np.int64)
+    if len(h) and len(bench):
+        doc_rep = np.repeat(np.arange(len(g), dtype=np.int64), g)
+        pos = np.searchsorted(bench, h)
+        hit = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)] == h)
+        nh = np.bincount(doc_rep[hit], minlength=len(g)).astype(np.int64)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_contaminated": pa.array(nh, pa.int64()),
+            "contaminated": pa.array((nh > 0).astype(np.int64), pa.int64()),
+        }
+    )

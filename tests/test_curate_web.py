@@ -1,0 +1,151 @@
+"""Unit tests for the curation/web kernels added in round 2: chunking,
+benchmark decontamination, URL canonicalization, exact quantiles.
+
+Each kernel is checked against a plain-Python reference on planted
+inputs (boundary/edge cases the sf-corpora don't exercise), and the
+hash path is checked for cross-process stability (a Ray task must
+produce the same gram hashes the driver does, or the decontamination
+broadcast silently finds nothing)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+    chunk_docs,
+    contamination_counts,
+    word_ngram_hashes,
+)
+from arcane_stream_sqlserver_change_tracking_ray.functions.web import (
+    normalize_urls,
+)
+
+
+def _py_chunks(text: str, size: int, stride: int):
+    words = text.split(" ")
+    out = []
+    st = 0
+    while True:
+        w = words[st : st + size]
+        out.append((st // stride, len(w), " ".join(w)))
+        st += stride
+        if st >= len(words):
+            break
+    return out
+
+
+def test_chunk_docs_boundaries():
+    docs = [
+        "a b c d e",          # 5 words, size 3 stride 2 -> [0:3],[2:5],[4:5]
+        "x",                  # single word -> one chunk
+        "",                   # empty doc -> one chunk of one empty word
+        " ".join(f"w{i}" for i in range(7)),  # exact multiple boundary
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+    got = chunk_docs(batch, size=3, stride=2).to_pylist()
+    exp = []
+    for i, d in enumerate(docs):
+        for idx, n, chunk in _py_chunks(d, 3, 2):
+            exp.append({"doc_id": i, "chunk_idx": idx, "n_words": n, "chunk": chunk})
+    assert got == exp
+    # the empty doc contributes exactly one chunk whose word is ""
+    empty = [r for r in got if r["doc_id"] == 2]
+    assert empty == [{"doc_id": 2, "chunk_idx": 0, "n_words": 1, "chunk": ""}]
+
+
+def test_chunk_docs_overlap_covers_every_word():
+    rng = np.random.default_rng(7)
+    docs = [" ".join(f"t{rng.integers(0, 50)}" for _ in range(int(n)))
+            for n in rng.integers(1, 120, size=40)]
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs)})
+    got = chunk_docs(batch, size=32, stride=24).to_pandas()
+    for i, d in enumerate(docs):
+        rows = got[got.doc_id == i].sort_values("chunk_idx")
+        ref = _py_chunks(d, 32, 24)
+        assert list(zip(rows.chunk_idx, rows.n_words, rows.chunk)) == ref
+
+
+def test_contamination_planted_pairs():
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = pa.table({
+        "doc_id": pa.array([7, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            bench_text,                                          # benchmark doc
+            "x y " + bench_text + " z",  # contains benchmark 8-grams
+            "totally different words with no overlap here at all present",
+            "short doc",                                         # < 8 words
+        ]),
+    })
+    bench_mask = (corpus["doc_id"].to_numpy() % 10) == 7
+    h, _ = word_ngram_hashes(corpus.filter(pa.array(bench_mask))["text"], 8)
+    bench = np.unique(h)
+    rest = corpus.filter(pa.array(~bench_mask))
+    got = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+           for r in contamination_counts(rest, bench_ref=bench, n=8).to_pylist()}
+    # doc 3 embeds the full 10-word benchmark text -> its 3 inner 8-grams
+    # are exactly the benchmark's 3 distinct 8-grams
+    assert got[3] == (3, 1)
+    assert got[4] == (0, 0)
+    assert got[5] == (0, 0)
+
+
+def test_gram_hashes_stable_across_ray_tasks():
+    import ray
+
+    texts = pa.array(["the quick brown fox jumps over the lazy dog today",
+                      "pack my box with five dozen liquor jugs now then"])
+    local, _ = word_ngram_hashes(texts, 8)
+
+    @ray.remote
+    def remote_hashes():
+        t = pa.array(["the quick brown fox jumps over the lazy dog today",
+                      "pack my box with five dozen liquor jugs now then"])
+        h, _ = word_ngram_hashes(t, 8)
+        return h
+
+    remote = ray.get(remote_hashes.remote())
+    assert np.array_equal(local, remote)
+
+
+def test_normalize_urls_corner_cases():
+    urls = [
+        "HTTPS://WWW.Example.COM:443/A/B?utm_source=x&id=1&ref=z#frag",
+        "http://Example.com:80/",           # default http port dropped
+        "http://example.com:8080/p",        # non-default port kept
+        "https://sub.www.example.com/q",    # only a LEADING www. strips
+        "https://example.com",              # empty path -> '/'
+        "https://example.com/x?utm_a=1&ref=2",  # all params tracking -> no '?'
+    ]
+    batch = pa.table({"url": pa.array(urls)})
+    out = normalize_urls(batch).to_pylist()
+    assert [r["url_norm"] for r in out] == [
+        "https://example.com/A/B?id=1",
+        "http://example.com/",
+        "http://example.com:8080/p",
+        "https://sub.www.example.com/q",
+        "https://example.com/",
+        "https://example.com/x",
+    ]
+    assert [r["host"] for r in out] == [
+        "example.com", "example.com", "example.com",
+        "sub.www.example.com", "example.com", "example.com",
+    ]
+    assert out[0]["path"] == "/A/B" and out[4]["path"] == "/"
+
+
+def test_length_quantiles_rank_rule():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    got = E.length_quantiles("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = np.sort(docs["text"].str.count(r"\S+").to_numpy(np.int64))
+    n = len(counts)
+    assert got["n_docs"].iloc[0] == n
+    for p in (25, 50, 75, 90, 99):
+        rank = (p * n + 99) // 100
+        assert got[f"p{p}"].iloc[0] == counts[rank - 1], p
