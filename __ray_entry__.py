@@ -942,7 +942,9 @@ def dedup_exact(sf_dir: str):
 
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs, verified with true shingle Jaccard
-    (verification is a distributed join by doc id — no corpus broadcast)."""
+    (verification is a distributed join by doc id — no corpus broadcast).
+    Oracle-checked against the sketch-free all-pairs Jaccard SQL: a hash
+    match means exact verified values AND LSH recall 1.0 on this corpus."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1778,6 +1780,12 @@ def oracle_sql() -> dict[str, str]:
         # counts modulo 64-bit collisions) and the same c/(|A|+|B|-c)
         # double division, so values hash-compare bit-exactly
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # exact oracle for the MinHash+LSH path: verification computes the
+        # TRUE shingle Jaccard (integer ratio), so the value-hash compare
+        # is exact — and a hash match additionally certifies LSH recall
+        # 1.0 vs the sketch-free all-pairs ground truth on this corpus
+        # (a banding miss would drop a row and fail the compare)
+        "dedup_minhash": _NGRAM_JACCARD_SQL.replace(">= 0.2", ">= 0.5"),
         # connected components over the same pair list via recursive
         # min-label closure (components are tiny, so the closure is too)
         "dedup_clusters": f"""

@@ -528,7 +528,9 @@ def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_i
             {
                 "id_a": group["id_a"].take(pa.array(first)),
                 "id_b": group["id_b"].take(pa.array(first)),
-                "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+                # exact integer ratio — no rounding, so a DuckDB
+                # ``len(list_intersect)/(...)`` oracle matches bit-for-bit
+                "jaccard": pa.array(jac, pa.float64()),
             }
         )
 

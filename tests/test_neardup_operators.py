@@ -84,8 +84,8 @@ def corpus():
 # ---------------------------------------------------------------------------
 def test_minhash_verified_jaccard_is_exact(corpus):
     """Every reported pair's jaccard equals the brute-force n-gram
-    Jaccard (rounded to 6), and every reported pair clears the
-    threshold: the distributed join-by-id verification is exact."""
+    Jaccard bit-for-bit, and every reported pair clears the threshold:
+    the distributed join-by-id verification is exact."""
     import ray.data
 
     tbl, _, truth = corpus
@@ -95,7 +95,7 @@ def test_minhash_verified_jaccard_is_exact(corpus):
     for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"]):
         assert a < b
         assert j >= 0.5
-        assert j == pytest.approx(round(truth[int(a), int(b)], 6), abs=1e-9)
+        assert j == truth[int(a), int(b)]
 
 
 def test_minhash_recall_of_planted_dups(corpus):
