@@ -958,6 +958,20 @@ def dedup_simhash(sf_dir: str):
     return simhash_dedup_pairs(ds, max_hamming=3)
 
 
+def span_dedup(sf_dir: str, window: int = 16):
+    """Duplicate-passage removal: keep the corpus-wide first occurrence
+    of every distinct 16-word chunk and reassemble docs (the chunk-
+    granular approximation of suffix-array substring dedup).  Shuffle #1
+    moves 24-byte chunk triples; shuffle #2 is one doc-bucketed rebuild
+    exchange — text crosses the wire exactly once."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        span_dedup as _span,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _span(ds, window=window)
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard similarity join (inverted shingle index:
     explode → groupby(shingle) pair emission → pair-count groupby →
@@ -1249,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "span_dedup": span_dedup,
         # similarity
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1786,6 +1801,30 @@ def oracle_sql() -> dict[str, str]:
         # 1.0 vs the sketch-free all-pairs ground truth on this corpus
         # (a banding miss would drop a row and fail the compare)
         "dedup_minhash": _NGRAM_JACCARD_SQL.replace(">= 0.2", ">= 0.5"),
+        # first-occurrence order is (doc_id, cidx) on both sides; the
+        # engine compares chunk hashes, the oracle chunk strings
+        "span_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
+            ), c AS (
+              SELECT doc_id, (st - 1) // 16 AS cidx,
+                     array_to_string(arr[st:least(st + 15, array_length(arr))],
+                                     chr(32)) AS chunk
+              FROM (SELECT doc_id, arr,
+                           unnest(generate_series(1, array_length(arr), 16)) AS st
+                    FROM d)
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY chunk
+                                           ORDER BY doc_id, cidx) AS rn
+              FROM c
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, chr(32)
+                                       ORDER BY cidx), '') AS text_dedup
+            FROM r GROUP BY doc_id
+        """,
         # connected components over the same pair list via recursive
         # min-label closure (components are tiny, so the closure is too)
         "dedup_clusters": f"""

@@ -27,7 +27,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
+from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+    _FNV64,
+    _hash_utf8,
+    split_words,
+    words_flat,
+)
 from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -1051,3 +1056,186 @@ def connected_components(a: np.ndarray, b: np.ndarray):
         if np.array_equal(old, lbl):
             break
     return nodes, lbl
+
+
+# ---------------------------------------------------------------------------
+# span-level dedup (chunk-granular duplicate-passage removal + reassembly)
+# ---------------------------------------------------------------------------
+def _span_chunk_meta(texts, window: int):
+    """Non-overlapping word-window geometry + per-chunk uint64 hashes.
+
+    Returns ``(flat_words, word_starts, chunk_doc, chunk_idx, chunk_len,
+    chunk_abs_start, chunk_hash)`` — everything numpy, one Arrow split.
+    The chunk hash is an FNV fold over per-word 64-bit hashes (stable
+    across processes for a pinned polars version), so hash equality ≡
+    chunk-string equality modulo ~2^-64 collisions and a string-grouping
+    SQL oracle reproduces the drop decisions exactly."""
+    flat, cnt, starts = split_words(texts)
+    wh = _hash_utf8(flat)
+    n_chunks = (cnt + window - 1) // window
+    total = int(n_chunks.sum())
+    doc_rep = np.repeat(np.arange(len(cnt), dtype=np.int64), n_chunks)
+    gs = np.r_[0, np.cumsum(n_chunks)]
+    cidx = np.arange(total, dtype=np.int64) - np.repeat(gs[:-1], n_chunks)
+    wstart = cidx * window
+    clen = np.minimum(wstart + window, cnt[doc_rep]) - wstart
+    abs_start = starts[doc_rep] + wstart
+    h = np.zeros(total, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            m = clen > j
+            h[m] = h[m] * _FNV64 + wh[abs_start[m] + j]
+    return flat, starts, doc_rep, cidx, clen, abs_start, h
+
+
+def _doc_bucket_i64(doc: np.ndarray, mod: int = 256) -> pa.Array:
+    with np.errstate(over="ignore"):
+        b = ((doc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(mod)
+    return pa.array(b.astype(np.int64))
+
+
+def span_dedup(ds, window: int = 16, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-wide duplicate-passage removal at chunk granularity (the
+    scalable approximation of suffix-array substring dedup, Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"):
+    split every doc into non-overlapping ``window``-word chunks, keep
+    only the FIRST occurrence (by ``(doc_id, chunk_idx)``) of every
+    distinct chunk corpus-wide, and reassemble each doc from its
+    surviving chunks.
+
+    Scale shape: the duplicate-detection shuffle moves only
+    ``(chunk_hash, doc_id, chunk_idx)`` triples (24 bytes/chunk — text
+    never moves); the rebuild is ONE doc-bucketed exchange of the corpus
+    + the (small) drop list, i.e. the same cost as a repartition.  Both
+    groupbys use coarse buckets so the per-group Python overhead
+    amortizes and every kernel vectorizes across the bucket."""
+    import ray.data
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        _, _, doc_rep, cidx, _, _, h = _span_chunk_meta(batch[text_col], window)
+        hb = (h % np.uint64(4096)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_rep], pa.int64()),
+                "cidx": pa.array(cidx, pa.int64()),
+                "ch": pa.array(h, pa.uint64()),
+                "_hb": pa.array(hb, pa.int64()),
+            }
+        )
+
+    def drops_in_bucket(group: pa.Table) -> pa.Table:
+        h = group["ch"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        c = group["cidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, d, h))
+        h2, d2, c2 = h[order], d[order], c[order]
+        first = np.r_[True, h2[1:] != h2[:-1]] if len(h2) else np.zeros(0, bool)
+        keep = ~first
+        return pa.table(
+            {
+                "doc_id": pa.array(d2[keep], pa.int64()),
+                "cidx": pa.array(c2[keep], pa.int64()),
+            }
+        )
+
+    drops = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(drops_in_bucket, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "_b", _doc_bucket_i64(b["doc_id"].to_numpy(zero_copy_only=False))
+            ).append_column("text", pa.nulls(b.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+        # the drop list is duplication-sized, not corpus-sized: coalesce
+        # so the rebuild union doesn't inherit one block per corpus block
+        .repartition(8)
+    )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cidx": pa.nulls(len(ids), pa.int64()),  # null marks a doc row
+                "ch": pa.nulls(len(ids), pa.uint64()),
+                "_b": _doc_bucket_i64(ids),
+                "text": texts,
+            }
+        )
+
+    def drop_rows_schema(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ch", pa.nulls(batch.num_rows, pa.uint64())).select(
+            ["doc_id", "cidx", "ch", "_b", "text"]
+        )
+
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        drops.map_batches(drop_rows_schema, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(group["cidx"]).to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(is_doc))
+        if docs.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "n_dropped": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                }
+            )
+        d_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        d_order = np.argsort(d_ids, kind="stable")
+        docs = docs.take(pa.array(d_order))
+        d_ids = d_ids[d_order]
+        flat, _, doc_rep, cidx, clen, abs_start, _ = _span_chunk_meta(
+            docs["text"], window
+        )
+        n_chunks = np.bincount(doc_rep, minlength=docs.num_rows).astype(np.int64)
+        gs = np.r_[0, np.cumsum(n_chunks)]
+        keep = np.ones(len(cidx), bool)
+        dr = group.filter(pa.array(~is_doc))
+        if dr.num_rows:
+            dd = dr["doc_id"].to_numpy(zero_copy_only=False)
+            dc = dr["cidx"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d_ids, dd)
+            ok = (pos < len(d_ids)) & (d_ids[np.minimum(pos, len(d_ids) - 1)] == dd)
+            keep[gs[pos[ok]] + dc[ok]] = False
+        n_dropped = np.bincount(doc_rep[~keep], minlength=docs.num_rows).astype(
+            np.int64
+        )
+        # gather surviving chunks' words into one per-doc list array
+        ks, kl, kd = abs_start[keep], clen[keep], doc_rep[keep]
+        cs = np.r_[0, np.cumsum(kl)]
+        gather = np.repeat(ks, kl) + (
+            np.arange(int(cs[-1]), dtype=np.int64) - np.repeat(cs[:-1], kl)
+        )
+        new_flat = flat.take(pa.array(gather, pa.int64()))
+        if isinstance(new_flat, pa.ChunkedArray):
+            new_flat = new_flat.combine_chunks()
+        words_per_doc = np.bincount(kd, weights=kl, minlength=docs.num_rows).astype(
+            np.int64
+        )
+        offs = pa.array(np.r_[0, np.cumsum(words_per_doc)], pa.int64())
+        doc_lists = pa.LargeListArray.from_arrays(
+            offs, pc.cast(new_flat, pa.large_string())
+        )
+        text_dedup = pc.cast(
+            pc.binary_join(doc_lists, pa.scalar(" ", pa.large_string())), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+                "text_dedup": text_dedup,
+            }
+        )
+
+    return unioned.groupby("_b").map_groups(rebuild, batch_format="pyarrow")

@@ -149,3 +149,90 @@ def test_length_quantiles_rank_rule():
     for p in (25, 50, 75, 90, 99):
         rank = (p * n + 99) // 100
         assert got[f"p{p}"].iloc[0] == counts[rank - 1], p
+
+
+def _py_span_dedup(docs, window):
+    """Plain-Python reference: corpus-wide first occurrence by (doc, cidx)."""
+    chunks = []  # (doc_i, cidx, chunk)
+    for i, text in docs:
+        words = text.split(" ")
+        st = 0
+        ci = 0
+        while True:
+            chunks.append((i, ci, " ".join(words[st : st + window])))
+            st += window
+            ci += 1
+            if st >= len(words):
+                break
+    first = {}
+    for i, ci, ch in sorted(chunks):
+        if ch not in first:
+            first[ch] = (i, ci)
+    out = {}
+    for i, text in docs:
+        kept, dropped, n = [], 0, 0
+        words = text.split(" ")
+        st, ci = 0, 0
+        while True:
+            ch = " ".join(words[st : st + window])
+            n += 1
+            if first[ch] == (i, ci):
+                kept.append(ch)
+            else:
+                dropped += 1
+            st += window
+            ci += 1
+            if st >= len(words):
+                break
+        out[i] = (n, dropped, " ".join(kept))
+    return out
+
+
+def test_span_dedup_planted():
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))  # a 4-word chunk (window=4)
+    body_a = " ".join(f"a{i}" for i in range(4))
+    body_b = " ".join(f"c{i}" for i in range(4))
+    docs = [
+        (0, boiler + " " + body_a + " " + boiler),   # within-doc repeat
+        (1, boiler + " " + body_b),                  # cross-doc repeat of chunk 0
+        (2, "tiny"),                                 # shorter than window
+        (3, ""),                                     # empty doc
+        (4, ""),                                     # duplicate empty doc
+        (5, body_b + " tail words here"),            # cross-doc repeat, partial tail
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    got = {r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["text_dedup"])
+           for r in span_dedup(ray.data.from_arrow(tbl), window=4).take_all()}
+    exp = _py_span_dedup(docs, 4)
+    assert got == exp
+    # the planted facts themselves
+    assert got[0] == (3, 1, boiler + " " + body_a)   # second boiler dropped
+    assert got[1][1] == 1 and got[1][2] == body_b     # cross-doc boiler dropped
+    assert got[3] == (1, 0, "")                       # first empty kept
+    assert got[4] == (1, 1, "")                       # duplicate empty dropped
+
+
+def test_span_dedup_batch_split_invariant():
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import span_dedup
+
+    rng = np.random.default_rng(11)
+    base = [" ".join(f"w{rng.integers(0, 30)}" for _ in range(int(n)))
+            for n in rng.integers(1, 80, size=60)]
+    texts = base + base[:10]  # plant exact dups
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    a = sorted(map(tuple, span_dedup(
+        ray.data.from_arrow(tbl), window=8).to_pandas().values.tolist()))
+    b = sorted(map(tuple, span_dedup(
+        ray.data.from_arrow(tbl).repartition(13), window=8).to_pandas().values.tolist()))
+    assert a == b
+    exp = _py_span_dedup(list(enumerate(texts)), 8)
+    got = {r[0]: (r[1], r[2], r[3]) for r in a}
+    assert got == exp
