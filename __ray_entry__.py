@@ -875,6 +875,53 @@ def topk_tokens(sf_dir: str):
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
 
 
+def asof_join(sf_dir: str):
+    """Backward as-of join: every click event picks up the user's latest
+    purchase at-or-before it (the event×slowly-changing-dimension
+    operator Ray Data lacks a primitive for).  One key-bucketed
+    co-shuffle; inside each bucket a single lexsort + maximum.accumulate
+    merge resolves all matches in O(n).  Nulls (no earlier purchase)
+    are filled to sentinel values so the oracle compare stays typed."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        asof_join as _asof,
+    )
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    left = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    right = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+    out = _asof(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        payload_cols=["event_id", "value"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "matched_event_id": pc.fill_null(
+                    batch["matched_event_id"], pa.scalar(-1, pa.int64())
+                ),
+                "matched_value": pc.fill_null(
+                    batch["matched_value"], pa.scalar(0.0, pa.float64())
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def windowed_agg(sf_dir: str):
     """Tumbling-window aggregate over event time (the streaming-window
     operator the reference lacks): per (event_type, hour) row counts and
@@ -1234,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (M3)
         "broadcast_join": broadcast_join,
         "partitioned_join": partitioned_join,
+        "asof_join": asof_join,
         # text analysis
         "windowed_agg": windowed_agg,
         "top_docs_by_len": top_docs_by_len,
@@ -1453,6 +1501,32 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_join": """
             SELECT o_orderkey, o_custkey, c_name, o_totalprice
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        # the window mirrors the engine's merge order exactly: right
+        # (purchase) rows sort before left (click) rows at equal ts, so
+        # a same-ts purchase matches; ties break to the max event_id
+        "asof_join": """
+            WITH e AS (
+              SELECT event_id, user_id, ts, value, event_type FROM events
+              WHERE event_type IN ('click', 'purchase')
+            ), w AS (
+              SELECT event_id, user_id, ts, event_type,
+                last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, (event_type = 'click'), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS)
+                  OVER (PARTITION BY user_id
+                        ORDER BY ts, (event_type = 'click'), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_val
+              FROM e
+            )
+            SELECT event_id, user_id, ts,
+                   coalesce(m_id, -1)::BIGINT AS matched_event_id,
+                   coalesce(m_val, 0.0) AS matched_value
+            FROM w WHERE event_type = 'click'
         """,
         "token_count": rf"""
             SELECT doc_id,

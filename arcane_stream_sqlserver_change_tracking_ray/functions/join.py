@@ -123,3 +123,92 @@ def partitioned_equi_join(left_ds, right_ds, on: str, num_buckets: int = 32, joi
         return l.join(r, keys=[on], join_type=join_type)
 
     return both.groupby(PID_COL).map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    payload_cols: list[str],
+    num_buckets: int = 64,
+):
+    """Backward as-of join — for every left row, attach the LAST right
+    row of the same key with ``(ts, tie) <= (left.ts, +inf)`` (same-ts
+    right rows DO match; ties break to the largest ``tie_col``).  The
+    classic event×slowly-changing-dimension operator Ray Data has no
+    primitive for.
+
+    Shape: one co-shuffle — both sides are padded to a union schema,
+    bucketed by key hash, and co-located with a single groupby; inside a
+    bucket ONE lexsort by (key, ts, side, tie) linearizes the merge and
+    ``np.maximum.accumulate`` over right-row positions resolves every
+    left row's match in O(n) with no per-row Python.  Nulls (no earlier
+    right row) surface as nulls in the matched columns."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    left_schema: pa.Schema = left_ds.schema().base_schema
+    left_cols = [f.name for f in left_schema]
+    right_schema: pa.Schema = right_ds.schema().base_schema
+    union_fields = list(left_schema) + [
+        f for f in right_schema if f.name not in set(left_cols)
+    ]
+    union_schema = pa.schema(union_fields)
+
+    def pad(batch: pa.Table, side: int) -> pa.Table:
+        arrays = []
+        for f in union_schema:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                arrays.append(col if col.type == f.type else col.cast(f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, f.type))
+        out = pa.Table.from_arrays(arrays, schema=union_schema)
+        pid = partition_ids(out[key_col], num_buckets, algo="polars")
+        out = out.append_column(PID_COL, pa.array(pid, type=pa.int64()))
+        return out.append_column(
+            "_side", pa.array(np.full(out.num_rows, side, np.int8))
+        )
+
+    left = left_ds.map_batches(
+        lambda b: pad(b, 1), batch_format="pyarrow"
+    ).repartition(num_buckets)
+    right = right_ds.map_batches(
+        lambda b: pad(b, 0), batch_format="pyarrow"
+    ).repartition(num_buckets)
+    both = left.union(right)
+
+    def _i64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        k = _i64(group[key_col])
+        ts = _i64(group[ts_col])
+        tie = _i64(group[tie_col])
+        # key major; right (0) before left (1) at equal ts so same-ts
+        # right rows are visible; tie ascending so the LAST equal-ts
+        # right row has the max tie
+        order = np.lexsort((tie, side, ts, k))
+        srt = group.take(pa.array(order))
+        is_r = side[order] == 0
+        k2 = k[order]
+        pos = np.where(is_r, np.arange(len(order), dtype=np.int64), -1)
+        last_r = np.maximum.accumulate(pos) if len(pos) else pos
+        li = np.flatnonzero(~is_r)
+        cand = last_r[li]
+        valid = (cand >= 0) & (k2[np.maximum(cand, 0)] == k2[li])
+        src = np.where(valid, cand, -1)
+        src_arr = pa.array(src, type=pa.int64(), mask=src < 0)
+        out = srt.take(pa.array(li)).select(left_cols)
+        for c in payload_cols:
+            out = out.append_column(f"matched_{c}", srt[c].take(src_arr))
+        return out
+
+    return both.groupby(PID_COL).map_groups(asof_bucket, batch_format="pyarrow")

@@ -236,3 +236,44 @@ def test_span_dedup_batch_split_invariant():
     exp = _py_span_dedup(list(enumerate(texts)), 8)
     got = {r[0]: (r[1], r[2], r[3]) for r in a}
     assert got == exp
+
+
+def test_asof_join_tie_and_miss_semantics():
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import asof_join
+
+    def _ts(vals):
+        return pa.array([v * 1_000_000 for v in vals], pa.int64()).cast(
+            pa.timestamp("us")
+        )
+
+    left = pa.table({
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": _ts([10, 5, 10, 10]),
+    })
+    right = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        # user 1: two purchases at ts=5 (tie -> max event_id), one later
+        "ts": _ts([5, 5, 20, 30]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        key_col="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        payload_cols=["event_id", "value"],
+        num_buckets=4,
+    ).to_pandas().set_index("event_id")
+    # click@10 for user1: latest purchase <= 10 is the ts=5 tie -> id 2
+    assert out.loc[100, "matched_event_id"] == 2 and out.loc[100, "matched_value"] == 2.0
+    # click@5 same-ts purchases DO match (backward-inclusive), tie -> id 2
+    assert out.loc[101, "matched_event_id"] == 2
+    # user2's only purchase is at ts=30 > 10 -> no match
+    assert pd.isna(out.loc[102, "matched_event_id"])
+    # user3 has no purchases at all -> no match
+    assert pd.isna(out.loc[103, "matched_event_id"])
