@@ -639,6 +639,70 @@ def stratified_sample(sf_dir: str, per_group: int = 5):
     )
 
 
+def corpus_shuffle(sf_dir: str, bucket_bits: int = 8):
+    """Deterministic global training-order shuffle with CONTIGUOUS ranks:
+    order docs by (whole-text content hash, doc_id) — the reshard-stable
+    "random" permutation used to fix an LLM data order.  NO corpus-wide
+    ``ds.sort``: the hash's top bits give ordered buckets, pass A reduces
+    a bucket histogram (the only driver materialization), the exclusive
+    prefix offsets broadcast via ``ray.put``, and pass B finishes each
+    bucket locally (one groupby, local sort, rank = offset + local idx).
+    ``bucket_bits`` scales bucket count to the cluster."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    shift = np.uint64(64 - bucket_bits)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
+        out = np.zeros(len(offs) - 1, np.uint64)
+        out[np.diff(offs) > 0] = h  # empty docs hash to 0
+        ids = batch["doc_id"]
+        return pa.table(
+            {
+                "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                "hv": pa.array(out, pa.uint64()),
+                "hb": pa.array((out >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["hb"]).group_by("hb").aggregate([([], "count_all")])
+        return g.rename_columns(["hb", "c"])
+
+    hist = (
+        hashed.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("hb")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("hb")
+    )
+    offsets = np.zeros(1 << bucket_bits, np.int64)
+    bs = hist["hb"].to_numpy(np.int64)
+    cs = hist["c"].to_numpy(np.int64)
+    offsets[bs] = np.cumsum(cs) - cs
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        hv = group["hv"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hv))
+        off = int(ray.get(off_ref)[int(group["hb"][0].as_py())])
+        rank = np.empty(len(order), np.int64)
+        rank[order] = off + np.arange(len(order), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "shuffle_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return hashed.groupby("hb").map_groups(rank_bucket, batch_format="pyarrow")
+
+
 def doc_chunk(sf_dir: str, size: int = 32, stride: int = 24):
     """Fixed-token-window chunking with overlap (LLM pre-training prep):
     one row per 32-word window starting every 24 words.  A row-expanding
@@ -1297,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize,
         "train_eval_split": train_eval_split,
         "stratified_sample": stratified_sample,
+        "corpus_shuffle": corpus_shuffle,
         "doc_chunk": doc_chunk,
         "decontaminate": decontaminate,
         "length_quantiles": length_quantiles,
@@ -1697,6 +1762,28 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
+        """,
+        # same HUGEINT whole-text-hash replay as train_eval_split; uint64
+        # and non-negative HUGEINT sort identically, so the global
+        # (hash, doc_id) order — and therefore every rank — matches
+        "corpus_shuffle": """
+            WITH c AS (
+              SELECT doc_id, length(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     ELSE list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
+                END AS hv
+              FROM c
+            )
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY hv, doc_id) - 1)::BIGINT
+                     AS shuffle_rank
+            FROM h
         """,
         # 1-based inclusive list slices; generate_series step = stride
         "doc_chunk": """

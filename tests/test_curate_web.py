@@ -277,3 +277,21 @@ def test_asof_join_tie_and_miss_semantics():
     assert pd.isna(out.loc[102, "matched_event_id"])
     # user3 has no purchases at all -> no match
     assert pd.isna(out.loc[103, "matched_event_id"])
+
+
+def test_corpus_shuffle_rank_is_total_and_reshard_stable():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    a = E.corpus_shuffle("/root/testdata/sf0.001").to_pandas()
+    # a total contiguous permutation
+    assert sorted(a.shuffle_rank) == list(range(len(a)))
+    # reshard-stable: a second run over the same input is identical
+    b = E.corpus_shuffle("/root/testdata/sf0.001", bucket_bits=4).to_pandas()
+    am = a.sort_values("doc_id").reset_index(drop=True)
+    bm = b.sort_values("doc_id").reset_index(drop=True)
+    assert (am.shuffle_rank == bm.shuffle_rank).all()
+    # and it is not the identity order (it actually shuffles)
+    assert (am.shuffle_rank.to_numpy() != np.arange(len(am))).any()
