@@ -202,3 +202,75 @@ def test_seq_pack_matches_window_cumsum(token_counts, bucket):
         exp.append(cum // 512)
         cum += c
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-2 curation kernels vs plain-Python references over arbitrary docs
+# ---------------------------------------------------------------------------
+_doc_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab x"),  # tiny alphabet -> dense collisions
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=_doc_strategy, size=st.integers(1, 7), stride=st.integers(1, 7))
+def test_chunk_docs_matches_python_reference(docs, size, stride):
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import chunk_docs
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = chunk_docs(batch, size=size, stride=stride).to_pylist()
+    exp = []
+    for i, text in enumerate(docs):
+        words = text.split(" ")
+        starts = list(range(0, len(words), stride)) or [0]
+        for ci, stt in enumerate(starts):
+            w = words[stt : stt + size]
+            exp.append(
+                {"doc_id": i, "chunk_idx": ci, "n_words": len(w), "chunk": " ".join(w)}
+            )
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(docs=_doc_strategy, n=st.integers(1, 5))
+def test_word_ngram_hashes_group_like_gram_strings(docs, n):
+    """Hash equality must partition gram occurrences exactly like string
+    equality (an off-by-one in the window offsets or the FNV fold would
+    split or merge groups)."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
+        word_ngram_hashes,
+    )
+
+    h, g = word_ngram_hashes(pa.array(docs, pa.string()), n)
+    grams = []
+    for text in docs:
+        words = text.split(" ")
+        grams += [
+            " ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 0))
+        ]
+    assert len(h) == len(grams) and list(g) == [
+        max(len(t.split(" ")) - n + 1, 0) for t in docs
+    ]
+    by_hash: dict = {}
+    for hv, gs in zip(h.tolist(), grams):
+        by_hash.setdefault(hv, set()).add(gs)
+    # no collision ever observed (tiny alphabet maximizes the chance)
+    assert all(len(v) == 1 for v in by_hash.values())
+    # equal strings always hash equal
+    by_gram: dict = {}
+    for hv, gs in zip(h.tolist(), grams):
+        by_gram.setdefault(gs, set()).add(hv)
+    assert all(len(v) == 1 for v in by_gram.values())
