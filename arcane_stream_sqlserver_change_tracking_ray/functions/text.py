@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from arcane_stream_sqlserver_change_tracking_ray.types import import_polars
+
 # BPE-ish token pattern: letter runs | digit runs | single punctuation
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 WORD_PATTERN = r"\S+"
@@ -305,7 +307,7 @@ def _hash_utf8(arr: pa.Array) -> np.ndarray:
     """uint64 content hash over an Arrow string array (polars ahash over
     the Arrow buffers — no Python-object round-trip).  Used only for
     within-batch grouping, never persisted, so it needs no algo pin."""
-    import polars as pl
+    pl = import_polars()
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()

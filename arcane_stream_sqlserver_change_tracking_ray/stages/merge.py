@@ -51,6 +51,7 @@ import pyarrow.parquet as pq
 
 from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
 from arcane_stream_sqlserver_change_tracking_ray.types import (
+    import_polars,
     MERGE_KEY_COL,
     OP_COL,
     OP_DELETE,
@@ -87,7 +88,7 @@ def hash_keys(keys, algo: str = "pandas") -> np.ndarray:
       version (verified 1.42); the default for new tables.
     """
     if algo == "polars":
-        import polars as pl
+        pl = import_polars()
 
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()

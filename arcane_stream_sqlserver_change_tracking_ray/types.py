@@ -100,3 +100,25 @@ def schema_to_bytes(schema: pa.Schema) -> bytes:
 
 def schema_from_bytes(data: bytes) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(data))
+
+
+def import_polars():
+    """Import polars with its Rust thread pool capped for worker use.
+
+    polars sizes its global pool to the machine at FIRST import; inside
+    a Ray worker that means every worker process spawns a full-width
+    pool (workers × cores threads machine-wide), and a failed
+    ``pthread_create`` under host pressure panics the pool permanently
+    for that worker — every later polars call in the process then fails
+    (observed once as two unrelated queries failing on the same worker
+    pid).  The hashing workloads here are per-batch and small, so two
+    threads lose nothing.  The cap must be set before the first import;
+    if polars is already loaded this is a no-op."""
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "2")
+    import polars as pl
+
+    return pl
