@@ -1317,6 +1317,70 @@ def cdc_engine_events_replay(sf_dir: str):
     )
 
 
+def cdc_time_travel(sf_dir: str):
+    """Hash-checked SNAPSHOT ISOLATION: replay the events feed through
+    the full engine in 8 single-segment cycles, then read the table AS
+    OF the manifest committed after cycle 3.  The poll cap admits whole
+    segments until rows >= rows_per_group, so with segment size ==
+    rows_per_group every cycle consumes exactly one segment and the
+    cycle-3 watermark is deterministically the 3*ceil(n/8)-th event —
+    the SQL oracle reproduces the cut by row_number and applies plain
+    LWW below it.  A hash match proves time-travel reads return exactly
+    the committed prefix (exactly-once, no leakage from later cycles)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prepare_watermark,
+    )
+
+    events = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
+        [("event_id", "ascending")]
+    )
+    op = pc.if_else(
+        pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
+    )
+    feed = events.append_column(VERSION_COL, events["event_id"]).append_column(
+        OP_COL, op
+    )
+    root = tempfile.mkdtemp(prefix="cdc_time_travel_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        os.makedirs(ct, exist_ok=True)
+        n = feed.num_rows
+        chunk = max(math.ceil(n / 8), 1)
+        prev_hi = 0
+        for off in range(0, n, chunk):
+            sl = feed.slice(off, chunk)
+            hi = int(pc.max(sl[VERSION_COL]).as_py())
+            pq.write_table(sl, segment_path(ct, prev_hi, hi))
+            prev_hi = hi
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        versions = ManifestLog(tgt).versions()
+        out = read_target_table(tgt, version=versions[3])  # after cycle 3
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -1335,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backfill_snapshot": backfill_snapshot,
         "cdc_stream_replay": cdc_stream_replay,
         "cdc_engine_events_replay": cdc_engine_events_replay,
+        "cdc_time_travel": cdc_time_travel,
         # transforms
         "field_filter_include": field_filter_include,
         "normalize_colnames": normalize_colnames,
@@ -1524,6 +1589,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # snapshot isolation: LWW over exactly the first 3 single-segment
+        # cycles' events (3 * ceil(n/8) by event_id order) — the engine's
+        # time-travel read of the cycle-3 manifest must equal this prefix
+        "cdc_time_travel": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cut AS (
+              SELECT max(3 * ((n + 7) // 8)) AS c FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) urn
+                  FROM o, cut WHERE o.rn <= cut.c)
+            WHERE urn = 1 AND event_type <> 'error'
         """,
         "changefeed_window": """
             SELECT user_id, event_type, value, event_id AS sys_change_version

@@ -868,15 +868,19 @@ def read_target(
     )
 
 
-def read_target_table(target_root: str, drop_meta: bool = True) -> pa.Table:
+def read_target_table(
+    target_root: str, drop_meta: bool = True, version: int | None = None
+) -> pa.Table:
     """Driver-side materialized read (tests / small results only);
-    resolves pending merge-on-read deltas per partition."""
+    resolves pending merge-on-read deltas per partition.  ``version``
+    time-travels to an older retained snapshot (same contract as
+    ``read_target``)."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
         resolve_partition_table,
     )
 
     log = ManifestLog(target_root)
-    m = log.require_watermark()
+    m = log.read(version) if version is not None else log.require_watermark()
     tables = [
         resolve_partition_table(
             target_root, m.partitions.get(pid, []), m.deltas.get(pid, []), m.schema
