@@ -1266,17 +1266,39 @@ def cdc_engine_events_replay(sf_dir: str):
     direct MoR merge, manifest commits, merge-on-read final read.  The
     converged table equals plain LWW SQL over `events`, so the driver
     can hash-compare the whole engine, not just row counts."""
-    import math
-
-    import pyarrow.parquet as pq
-
     from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
         StreamRunner,
         read_target_table,
     )
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+
+    feed = _events_feed(sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_events_replay_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
+def _events_feed(sf_dir: str) -> pa.Table:
+    """The driver's events table as a CT feed: version = event_id,
+    op = 'D' for event_type 'error' else 'U', sorted by version."""
+    import pyarrow.parquet as pq
 
     events = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
         [("event_id", "ascending")]
@@ -1284,31 +1306,104 @@ def cdc_engine_events_replay(sf_dir: str):
     op = pc.if_else(
         pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
     )
-    feed = events.append_column(VERSION_COL, events["event_id"]).append_column(
+    return events.append_column(VERSION_COL, events["event_id"]).append_column(
         OP_COL, op
     )
-    root = tempfile.mkdtemp(prefix="cdc_events_replay_")
+
+
+def _write_events_segments(feed: pa.Table, ct: str, n_segments: int = 8) -> int:
+    """Write the feed as contiguous CT-log segments; returns the segment
+    row size (``ceil(n / n_segments)``)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+
+    os.makedirs(ct, exist_ok=True)
+    n = feed.num_rows
+    chunk = max(math.ceil(n / n_segments), 1)
+    prev_hi = 0
+    for off in range(0, n, chunk):
+        sl = feed.slice(off, chunk)
+        hi = int(pc.max(sl[VERSION_COL]).as_py())
+        pq.write_table(sl, segment_path(ct, prev_hi, hi))
+        prev_hi = hi
+    return chunk
+
+
+def cdc_backfill_then_stream(sf_dir: str):
+    """Hash-checked BOOTSTRAP→STREAM (M4 Overwrite completion): snapshot
+    the source state as of the 3rd segment boundary, Overwrite-backfill
+    it (two key-disjoint shards; rows stamped with the snapshot version
+    from the shard filenames), then stream the remaining feed.  The end
+    state must equal plain LWW over ALL events — except that rows
+    untouched after the snapshot keep the backfill stamp as their
+    version (StreamRunner.scala:209-223 semantics), which the oracle
+    reproduces with a CASE on the cut version."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    n = feed.num_rows
+    chunk = max(math.ceil(n / 8), 1)
+    cut_pos = min(3 * chunk, n)
+    cut_ver = int(feed[VERSION_COL][cut_pos - 1].as_py())
+
+    # snapshot = LWW state over the first cut_pos events, live rows only
+    pre = feed.slice(0, cut_pos)
+    order = pc.sort_indices(
+        pre,
+        sort_keys=[("user_id", "ascending"), (VERSION_COL, "descending")],
+    )
+    s = pre.take(order)
+    u = s["user_id"].to_numpy(zero_copy_only=False)
+    first = np.r_[True, u[1:] != u[:-1]] if len(u) else np.zeros(0, bool)
+    win = s.filter(pa.array(first))
+    live = win.filter(pc.not_equal(win[OP_COL], "D")).select(
+        ["user_id", "ts", "event_type", "value", "props"]
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_backfill_stream_")
     try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        os.makedirs(ct, exist_ok=True)
-        n = feed.num_rows
-        chunk = max(math.ceil(n / 8), 1)
-        prev_hi = 0  # segment labels must be contiguous from the watermark;
-        # segment_path's lo is EXCLUSIVE (watermark-style): it labels lo+1
-        for off in range(0, n, chunk):
-            sl = feed.slice(off, chunk)
-            hi = int(pc.max(sl[VERSION_COL]).as_py())
-            pq.write_table(sl, segment_path(ct, prev_hi, hi))
-            prev_hi = hi
+        ct, tgt, snap = f"{root}/ctlog", f"{root}/target", f"{root}/snapshot"
+        _write_events_segments(feed, ct)
+        os.makedirs(snap, exist_ok=True)
+        half = max(-(-live.num_rows // 2), 1)
+        for i in range(2):  # key-disjoint shards (sliced from a sorted table)
+            pq.write_table(
+                live.slice(i * half, half),
+                f"{snap}/shard{i:04d}-snapshot-v{cut_ver:012d}.parquet",
+            )
         prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": tgt, "num_partitions": 8},
-                "throughput": {"rows_per_group": max(n // 3, 1)},
-            }
-        )
-        StreamRunner(ctx).run()
+        base = {
+            "source": {
+                "ctlog_dir": ct,
+                "snapshot_dir": snap,
+                "key_columns": ["user_id"],
+            },
+            "sink": {"target_root": tgt, "num_partitions": 8},
+            "throughput": {"rows_per_group": chunk},
+        }
+        StreamRunner(
+            StreamContext.from_dict(
+                {
+                    **base,
+                    "stream_mode": {"backfill": True, "backfill_id": "drv"},
+                }
+            )
+        ).run_backfill()
+        StreamRunner(StreamContext.from_dict(base)).run()
         out = read_target_table(tgt)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1327,12 +1422,7 @@ def cdc_time_travel(sf_dir: str):
     the SQL oracle reproduces the cut by row_number and applies plain
     LWW below it.  A hash match proves time-travel reads return exactly
     the committed prefix (exactly-once, no leakage from later cycles)."""
-    import math
-
-    import pyarrow.parquet as pq
-
     from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
         StreamRunner,
         read_target_table,
@@ -1342,27 +1432,11 @@ def cdc_time_travel(sf_dir: str):
         prepare_watermark,
     )
 
-    events = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
-        [("event_id", "ascending")]
-    )
-    op = pc.if_else(
-        pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
-    )
-    feed = events.append_column(VERSION_COL, events["event_id"]).append_column(
-        OP_COL, op
-    )
+    feed = _events_feed(sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_time_travel_")
     try:
         ct, tgt = f"{root}/ctlog", f"{root}/target"
-        os.makedirs(ct, exist_ok=True)
-        n = feed.num_rows
-        chunk = max(math.ceil(n / 8), 1)
-        prev_hi = 0
-        for off in range(0, n, chunk):
-            sl = feed.slice(off, chunk)
-            hi = int(pc.max(sl[VERSION_COL]).as_py())
-            pq.write_table(sl, segment_path(ct, prev_hi, hi))
-            prev_hi = hi
+        chunk = _write_events_segments(feed, ct)
         prepare_watermark(tgt, version=0, num_partitions=8)
         ctx = StreamContext.from_dict(
             {
@@ -1400,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_stream_replay": cdc_stream_replay,
         "cdc_engine_events_replay": cdc_engine_events_replay,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_backfill_then_stream": cdc_backfill_then_stream,
         # transforms
         "field_filter_include": field_filter_include,
         "normalize_colnames": normalize_colnames,
@@ -1606,6 +1681,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
                                                  ORDER BY event_id DESC) urn
                   FROM o, cut WHERE o.rn <= cut.c)
+            WHERE urn = 1 AND event_type <> 'error'
+        """,
+        # bootstrap -> stream: plain LWW over ALL events, except rows
+        # untouched after the snapshot keep the backfill stamp (the
+        # version current at backfill start = the cut event) as their
+        # sys_change_version — StreamRunner.scala:209-223 semantics
+        "cdc_backfill_then_stream": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cutv AS (
+              SELECT event_id AS v FROM o
+              WHERE rn = (SELECT max(least(3 * ((n + 7) // 8), n)) FROM o)
+            )
+            SELECT user_id,
+                   CASE WHEN event_id <= cutv.v THEN cutv.v
+                        ELSE event_id END AS sys_change_version,
+                   ts, event_type, value, props
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) urn
+                  FROM o) l, cutv
             WHERE urn = 1 AND event_type <> 'error'
         """,
         "changefeed_window": """
