@@ -1412,6 +1412,77 @@ def cdc_backfill_then_stream(sf_dir: str):
     )
 
 
+def cdc_schema_evolution(sf_dir: str):
+    """Hash-checked SCHEMA EVOLUTION through the full engine: the feed's
+    first 4 segments carry the base schema, the last 4 add a
+    ``source_region`` column mid-stream.  The engine's additive
+    migration widens the table at the first wide cycle (old rows null);
+    the oracle reproduces the widened LWW state with a CASE on the cut
+    position.  A hash match proves add-column migration preserves every
+    pre-migration row and stamps nulls exactly where the column did not
+    yet exist."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    n = feed.num_rows
+    # only the LAST 64 events carry the new column — the feed is dense
+    # (every user appears in every eighth), so an earlier cut would leave
+    # no pre-migration LWW winners and the null path would be invisible
+    tail = min(64, n)
+    cut_pos = n - tail
+    chunk = max(math.ceil(max(cut_pos, 1) / 8), 1)
+    wide = feed.append_column("source_region", pc.utf8_upper(feed["event_type"]))
+    root = tempfile.mkdtemp(prefix="cdc_schema_evo_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        os.makedirs(ct, exist_ok=True)
+        prev_hi = 0
+        for off in range(0, cut_pos, chunk):
+            sl = feed.slice(off, min(chunk, cut_pos - off))
+            hi = int(pc.max(sl[VERSION_COL]).as_py())
+            pq.write_table(sl, segment_path(ct, prev_hi, hi))
+            prev_hi = hi
+        if tail:
+            sl = wide.slice(cut_pos, tail)
+            hi = int(pc.max(sl[VERSION_COL]).as_py())
+            pq.write_table(sl, segment_path(ct, prev_hi, hi))
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        [
+            "user_id",
+            VERSION_COL,
+            "ts",
+            "event_type",
+            "value",
+            "props",
+            "source_region",
+        ]
+    )
+
+
 def cdc_time_travel(sf_dir: str):
     """Hash-checked SNAPSHOT ISOLATION: replay the events feed through
     the full engine in 8 single-segment cycles, then read the table AS
@@ -1475,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_engine_events_replay": cdc_engine_events_replay,
         "cdc_time_travel": cdc_time_travel,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
+        "cdc_schema_evolution": cdc_schema_evolution,
         # transforms
         "field_filter_include": field_filter_include,
         "normalize_colnames": normalize_colnames,
@@ -1703,6 +1775,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
                                                  ORDER BY event_id DESC) urn
                   FROM o) l, cutv
+            WHERE urn = 1 AND event_type <> 'error'
+        """,
+        # additive migration: the column exists only for the LAST 64
+        # events; LWW winners from before that must read back NULL
+        "cdc_schema_evolution": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cut AS (
+              SELECT max(greatest(n - 64, 0)) AS c FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props,
+                   CASE WHEN rn > cut.c THEN upper(event_type) END
+                     AS source_region
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) urn
+                  FROM o) l, cut
             WHERE urn = 1 AND event_type <> 'error'
         """,
         "changefeed_window": """
