@@ -966,6 +966,9 @@ def asof_join(sf_dir: str):
         ts_col="ts",
         tie_col="event_id",
         payload_cols=["event_id", "value"],
+        # bucket count is the parallelism knob: sized to this corpus
+        # (150 users); at cluster scale raise it with the key cardinality
+        num_buckets=16,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
