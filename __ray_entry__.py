@@ -639,6 +639,113 @@ def stratified_sample(sf_dir: str, per_group: int = 5):
     )
 
 
+def domain_temperature_sample(sf_dir: str):
+    """Temperature-flattened domain sampling (the multilingual/domain
+    rebalancing step of corpus mixing, cf. XLM-R's alpha-sampling): keep
+    ``floor(sqrt(n_d))`` docs per source — big domains are downsampled
+    sublinearly, tiny ones kept nearly whole.  Two passes: a tiny
+    per-source count groupby decides each quota driver-side (broadcast
+    via ``ray.put``); pass B keeps each source's quota by content-hash
+    order (reshard-stable).  ``floor(sqrt())`` is IEEE-exact on int64
+    counts, so the SQL oracle reproduces every quota."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source"]).group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "c"])
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # domain-cardinality table, tiny
+    )
+    quota = {
+        s: int(np.floor(np.sqrt(c)))
+        for s, c in zip(counts["source"], counts["c"].astype(np.int64))
+    }
+    q_ref = ray.put(quota)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
+        out = np.zeros(len(offs) - 1, np.uint64)
+        out[np.diff(offs) > 0] = h
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks()
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"],
+                "source": batch["source"].combine_chunks()
+                if isinstance(batch["source"], pa.ChunkedArray)
+                else batch["source"],
+                "hv": pa.array(out, pa.uint64()),
+            }
+        )
+
+    def keep_quota(group: pa.Table) -> pa.Table:
+        k = ray.get(q_ref).get(group["source"][0].as_py(), 0)
+        order = pc.sort_indices(
+            group, sort_keys=[("hv", "ascending"), ("doc_id", "ascending")]
+        )
+        g = group.take(order).slice(0, k)
+        return pa.table(
+            {
+                "source": g["source"],
+                "doc_id": g["doc_id"],
+                "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(keep_quota, batch_format="pyarrow")
+    )
+
+
+def grouped_quantiles(sf_dir: str):
+    """EXACT per-language token-count quantiles (p50/p90 per lang): the
+    per-stratum variant of ``length_quantiles``.  Per-batch (lang, count)
+    value-count partials → a groupby over the per-lang histograms (only
+    distinct (lang, length) pairs shuffle) → driver-side cumsum per lang
+    over the tiny histogram table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["lang", "n_tokens_ws"])
+            .group_by(["lang", "n_tokens_ws"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "v", "c"])
+
+    hist = (
+        t.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["lang", "v"])
+    )
+    rows = []
+    for lang, grp in hist.groupby("lang", sort=True):
+        v = grp["v"].to_numpy(np.int64)
+        cum = np.cumsum(grp["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        row = {"lang": lang, "n_docs": n}
+        for p in (50, 90):
+            rank = (p * n + 99) // 100
+            row[f"p{p}"] = int(v[np.searchsorted(cum, rank)])
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def corpus_shuffle(sf_dir: str, bucket_bits: int = 8):
     """Deterministic global training-order shuffle with CONTIGUOUS ranks:
     order docs by (whole-text content hash, doc_id) — the reshard-stable
@@ -1576,6 +1683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize,
         "train_eval_split": train_eval_split,
         "stratified_sample": stratified_sample,
+        "domain_temperature_sample": domain_temperature_sample,
+        "grouped_quantiles": grouped_quantiles,
         "corpus_shuffle": corpus_shuffle,
         "doc_chunk": doc_chunk,
         "decontaminate": decontaminate,
@@ -2036,6 +2145,48 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
+        """,
+        # floor(sqrt) of an int64 count is IEEE-exact in both numpy and
+        # DuckDB; hash order replayed in HUGEINT as usual
+        "domain_temperature_sample": """
+            WITH c AS (
+              SELECT doc_id, source, length(text) AS L,
+                     list_transform(range(1, length(text) + 1),
+                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
+              FROM documents
+            ), h AS (
+              SELECT doc_id, source,
+                CASE WHEN L = 0 THEN 0::HUGEINT
+                     ELSE list_reduce(b,
+                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
+                END AS hv
+              FROM c
+            ), q AS (
+              SELECT source, floor(sqrt(count(*)))::BIGINT AS k
+              FROM documents GROUP BY source
+            ), r AS (
+              SELECT h.source, h.doc_id, q.k,
+                     row_number() OVER (PARTITION BY h.source
+                                        ORDER BY hv, doc_id) AS rnk
+              FROM h JOIN q USING (source)
+            )
+            SELECT source, doc_id, rnk FROM r WHERE rnk <= k
+        """,
+        "grouped_quantiles": rf"""
+            WITH t AS (
+              SELECT lang, len(regexp_extract_all(text, '{WORD_PATTERN}')) AS v
+              FROM documents
+            ), vc AS (
+              SELECT lang, v, count(*) AS c FROM t GROUP BY lang, v
+            ), w AS (
+              SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM vc
+            )
+            SELECT lang, max(n)::BIGINT AS n_docs,
+                   min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)::BIGINT AS p50,
+                   min(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END)::BIGINT AS p90
+            FROM w GROUP BY lang
         """,
         # same HUGEINT whole-text-hash replay as train_eval_split; uint64
         # and non-negative HUGEINT sort identically, so the global
