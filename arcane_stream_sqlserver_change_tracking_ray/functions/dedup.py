@@ -1149,9 +1149,10 @@ def span_dedup(ds, window: int = 16, text_col: str = "text", id_col: str = "doc_
             ).append_column("text", pa.nulls(b.num_rows, pa.string())),
             batch_format="pyarrow",
         )
-        # the drop list is duplication-sized, not corpus-sized: coalesce
-        # so the rebuild union doesn't inherit one block per corpus block
-        .repartition(8)
+        # NO coalescing repartition here: the drop list scales with the
+        # duplication rate, and squeezing it into a fixed block count
+        # would materialize unbounded blocks at a 100-TB dup-heavy corpus;
+        # the groupby shuffle right after bounds per-task input anyway
     )
 
     def doc_rows(batch: pa.Table) -> pa.Table:
