@@ -442,12 +442,15 @@ def verify_jaccard_pairs(cand: pa.Table, docs_ds, text_col="text", id_col="doc_i
             "_db", _doc_bucket(out["doc"].to_numpy(zero_copy_only=False))
         )
 
-    # the semi-join output is tiny (candidate docs only): coalesce the
-    # corpus read's block count down so the two verify sort-shuffles pay
-    # per-block fixed costs on ~8 blocks, not one per corpus block
+    # the semi-join output is candidate-sized, not corpus-sized: coalesce
+    # the corpus read's block count down so the two verify sort-shuffles
+    # pay per-block fixed costs on few blocks — but scale the block count
+    # with the (known, driver-side) candidate count so a dup-heavy corpus
+    # never squeezes unbounded bytes into a fixed number of blocks
+    n_blocks = max(8, min(1024, (2 * n) // 10_000 + 1))
     shingle_rows = docs_ds.map_batches(
         cand_shingles, batch_format="pyarrow"
-    ).repartition(8)
+    ).repartition(n_blocks)
     unioned = ray.data.from_arrow(requests).union(shingle_rows)
 
     def attach(group: pa.Table) -> pa.Table:
