@@ -1139,6 +1139,97 @@ def windowed_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window(sf_dir: str):
+    """Hopping (overlapping) window aggregate: 2-hour windows advancing
+    hourly — each event lands in TWO windows.  The window expansion is a
+    row-duplicating map_batches (event → its two window starts) with
+    in-batch partial aggregation BEFORE the global (type, window)
+    groupby, so the shuffle carries window partials, never the doubled
+    event stream."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    hour = pa.scalar(3_600_000_000, pa.duration("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.concat_tables(
+            [
+                pa.table(
+                    {"event_type": batch["event_type"], "w": w, "value": batch["value"]}
+                )
+                for w in (w0, pc.subtract(w0, hour))
+            ]
+        )
+        g = t.group_by(["event_type", "w"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "w", "sv", "n"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "w": pc.cast(batch["w"], pa.timestamp("us")),
+                "n": pc.cast(batch["n"], pa.int64()),
+                "sv_u": sv_u,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT) at scale: distinct users per event type via
+    the standard two-level groupby — level 1 dedups (type, user) pairs
+    (per-batch pre-distinct shrinks the exchange to unique pairs), level
+    2 counts pairs per type with another partial/sum.  No sketches, no
+    driver-side set."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pre_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    uniq = (
+        ds.map_batches(pre_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_per_type(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type"])
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "pn"])
+
+    out = (
+        uniq.map_batches(count_per_type, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pn", alias_name="n_users"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_users": pc.cast(batch["n_users"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def top_docs_by_len(sf_dir: str):
     """Global sort + limit surface: top-50 documents by mean word length
     (rounded quality metric), doc_id tie-break — a distributed sort whose
@@ -1670,6 +1761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": asof_join,
         # text analysis
         "windowed_agg": windowed_agg,
+        "hopping_window": hopping_window,
+        "distinct_count": distinct_count,
         "top_docs_by_len": top_docs_by_len,
         "token_count": token_count,
         "extract_text": extract_text,
@@ -2335,6 +2428,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    cast(round(sum(value) * 10000) AS bigint) AS sv_u
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "hopping_window": """
+            WITH e AS (
+              SELECT event_type, value, date_trunc('hour', ts) AS h FROM events
+            ), x AS (
+              SELECT event_type, value, h AS w FROM e
+              UNION ALL
+              SELECT event_type, value, h - INTERVAL 1 HOUR AS w FROM e
+            )
+            SELECT event_type, w, count(*) AS n,
+                   cast(round(sum(value) * 10000) AS bigint) AS sv_u
+            FROM x GROUP BY event_type, w
+        """,
+        "distinct_count": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
         """,
         "top_docs_by_len": rf"""
             SELECT doc_id,
