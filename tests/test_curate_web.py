@@ -295,3 +295,38 @@ def test_corpus_shuffle_rank_is_total_and_reshard_stable():
     assert (am.shuffle_rank == bm.shuffle_rank).all()
     # and it is not the identity order (it actually shuffles)
     assert (am.shuffle_rank.to_numpy() != np.arange(len(am))).any()
+
+
+def test_domain_temperature_sample_quota_rule():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    out = E.domain_temperature_sample("/root/testdata/sf0.001").to_pandas()
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = docs.groupby("source").size()
+    for src, grp in out.groupby("source"):
+        k = int(np.floor(np.sqrt(counts[src])))
+        assert len(grp) == k, src                       # exact quota
+        assert sorted(grp.rnk) == list(range(1, k + 1))  # dense ranks
+        assert grp.doc_id.isin(docs[docs.source == src].doc_id).all()
+
+
+def test_hopping_window_covers_each_event_twice():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    hop = E.hopping_window("/root/testdata/sf0.001").to_pandas()
+    tum = E.windowed_agg("/root/testdata/sf0.001").to_pandas()
+    # every event lands in exactly two hopping windows
+    assert hop.n.sum() == 2 * tum.n.sum()
+    # a hopping window [w, w+2h) = tumbling(w) + tumbling(w+1h)
+    t = tum.set_index(["event_type", "w"]).n
+    for _, r in hop.sample(50, random_state=0).iterrows():
+        expect = t.get((r.event_type, r.w), 0) + t.get(
+            (r.event_type, r.w + pd.Timedelta(hours=1)), 0
+        )
+        assert r.n == expect
