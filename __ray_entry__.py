@@ -1096,6 +1096,187 @@ def asof_join(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def cdc_net_changes(sf_dir: str, buckets: int = 32):
+    """MSSQL ``CHANGETABLE(CHANGES t, @since)`` analog: the NET change
+    per key since a baseline version (here max(event_id)//2, read from
+    the parquet footer statistics — no extra scan).  This is the exact
+    contract the reference's change-tracking source consumes upstream
+    of the merge (reference ``docs/merge.md`` CT semantics).
+
+    Shape: each batch PRE-COMBINES to <=2 rows per key (max-version row
+    on the baseline side and on the post side) before any movement, the
+    shuffle is key-bucketed over those partials only, and the per-bucket
+    fold resolves net ops vectorized over all keys at once."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.cdc_ops import (
+        last_per_key_side,
+        net_changes_fold,
+    )
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    names = [md.schema.column(j).name for j in range(md.num_columns)]
+    ci = names.index("event_id")
+    stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+    since = max(s.max for s in stats) // 2 if all(s and s.has_min_max for s in stats) else None
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    if since is None:  # fallback: one pruned-column pass
+        since = ds.max("event_id") // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(
+            pc.equal(batch["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
+        )
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "side": pc.cast(pc.greater(batch["event_id"], since), pa.int64()),
+                "version": batch["event_id"],
+                "op": op,
+                "ts": batch["ts"],
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        t = last_per_key_side(t)
+        return t.append_column(
+            "kb", pc.bit_wise_and(t["user_id"], pa.scalar(buckets - 1, pa.int64()))
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        return net_changes_fold(group.drop_columns(["kb"]))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def scd2_history(sf_dir: str, buckets: int = 32):
+    """Type-2 slowly-changing-dimension build from the change feed: per
+    key, each non-delete event opens an interval [version, next_version)
+    with the newest one current; deletes close intervals without opening
+    one.  The classic warehouse consumer of a CDC feed downstream of the
+    LWW merge.  Shape: the pruned feed co-shuffles once by key bucket,
+    then one vectorized sort + shift per bucket resolves every key's
+    interval chain (no per-key Python calls)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.cdc_ops import scd2_intervals
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(
+            pc.equal(batch["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "version": batch["event_id"],
+                "op": op,
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "kb": pc.bit_wise_and(
+                    batch["user_id"], pa.scalar(buckets - 1, pa.int64())
+                ),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        return scd2_intervals(group.drop_columns(["kb"]))
+
+    return (
+        ds.map_batches(add, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def funnel_users(sf_dir: str):
+    """Conversion-funnel membership (view -> later purchase) — a pure
+    pre-aggregable pattern: per-batch Arrow hash-aggregate collapses to
+    one (user, min_view_ts, max_purchase_ts) row per key per batch
+    (sentinel-filled, so the global Min/Max fold never sees nulls), then
+    a tiny groupby folds partials and a final filter keeps converting
+    users.  The events payload never shuffles."""
+    from ray.data.aggregate import Min, Max
+
+    I64MAX, I64MIN = 2**63 - 1, -(2**63)
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        fv = pc.if_else(
+            pc.equal(batch["event_type"], "view"), ts, pa.scalar(I64MAX, pa.int64())
+        )
+        lp = pc.if_else(
+            pc.equal(batch["event_type"], "purchase"), ts, pa.scalar(I64MIN, pa.int64())
+        )
+        t = pa.table({"user_id": batch["user_id"], "fv": fv, "lp": lp})
+        g = t.group_by("user_id").aggregate([("fv", "min"), ("lp", "max")])
+        return g.rename_columns(["user_id", "fv", "lp"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("fv", alias_name="fv"), Max("lp", alias_name="lp"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        fv, lp = batch["fv"], batch["lp"]
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(fv, pa.scalar(I64MAX, pa.int64())),
+                pc.not_equal(lp, pa.scalar(I64MIN, pa.int64())),
+            ),
+            pc.less(fv, lp),
+        )
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "first_view": pc.cast(fv, pa.timestamp("us")),
+                "last_purchase": pc.cast(lp, pa.timestamp("us")),
+            }
+        )
+        return t.filter(keep)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def per_domain_topk(sf_dir: str, k: int = 3):
+    """Top-k documents per source domain by length (grouped top-k, the
+    per-stratum ranking primitive): per-batch vectorized top-k per
+    source runs BEFORE the shuffle, so at most k rows per (source,
+    batch) move; the per-source finish re-ranks the partials."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    keys = [("source", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.take(pc.sort_indices(batch, sort_keys=keys))
+        src = g["source"].to_numpy(zero_copy_only=False)
+        n = len(src)
+        if n == 0:
+            return g
+        starts = np.r_[True, src[1:] != src[:-1]]
+        idx = np.flatnonzero(starts)
+        counts = np.diff(np.r_[idx, n])
+        rank = np.arange(n) - np.repeat(idx, counts)
+        return g.filter(pa.array(rank < k))
+
+    def finish(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        return group.take(order[:k])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def windowed_agg(sf_dir: str):
     """Tumbling-window aggregate over event time (the streaming-window
     operator the reference lacks): per (event_type, hour) row counts and
@@ -1748,6 +1929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_net_changes": cdc_net_changes,
+        "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
         "normalize_colnames": normalize_colnames,
@@ -1774,6 +1957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "seq_pack": seq_pack,
         "sessionize": sessionize,
+        "funnel_users": funnel_users,
+        "per_domain_topk": per_domain_topk,
         "train_eval_split": train_eval_split,
         "stratified_sample": stratified_sample,
         "domain_temperature_sample": domain_temperature_sample,
@@ -1932,6 +2117,63 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # CHANGETABLE(CHANGES …, @since) net-op semantics with
+        # since = max(event_id)//2: I/U/D per key, created-then-deleted
+        # keys net out, delete rows carry keys only (NULL payload)
+        "cdc_net_changes": """
+            WITH s AS (SELECT max(event_id) // 2 AS v FROM events),
+            e AS (SELECT user_id, event_id AS version, ts, event_type, value,
+                         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+                  FROM events),
+            base AS (SELECT user_id, arg_max(op, version) AS bop
+                     FROM e, s WHERE version <= s.v GROUP BY user_id),
+            post AS (SELECT user_id, max(version) AS sys_change_version,
+                            arg_max(op, version) AS lop,
+                            arg_max(ts, version) AS ts,
+                            arg_max(event_type, version) AS event_type,
+                            arg_max(value, version) AS value
+                     FROM e, s WHERE version > s.v GROUP BY user_id)
+            SELECT p.user_id,
+                   CASE WHEN coalesce(b.bop, 'D') <> 'D'
+                        THEN CASE WHEN p.lop = 'D' THEN 'D' ELSE 'U' END
+                        ELSE 'I' END AS sys_change_operation,
+                   p.sys_change_version,
+                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.ts END AS ts,
+                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.event_type END AS event_type,
+                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.value END AS value
+            FROM post p LEFT JOIN base b USING (user_id)
+            WHERE coalesce(b.bop, 'D') <> 'D' OR p.lop <> 'D'
+        """,
+        # type-2 history: non-delete events open [version, next_version);
+        # the newest non-delete interval per key is current
+        "scd2_history": """
+            WITH e AS (SELECT user_id, event_id AS version, event_type, value,
+                              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+                       FROM events),
+            w AS (SELECT *, lead(version) OVER (PARTITION BY user_id
+                                                ORDER BY version) AS valid_to
+                  FROM e)
+            SELECT user_id, version AS valid_from, valid_to, event_type, value,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_current
+            FROM w WHERE op <> 'D'
+        """,
+        "funnel_users": """
+            SELECT user_id, first_view, last_purchase FROM (
+              SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+                     max(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase
+              FROM events GROUP BY user_id)
+            WHERE first_view IS NOT NULL AND last_purchase IS NOT NULL
+              AND first_view < last_purchase
+        """,
+        "per_domain_topk": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 3
         """,
         # the FULL engine (tailer -> transforms -> direct MoR merge ->
         # manifest commits -> merge-on-read read) replaying the events
