@@ -1445,10 +1445,15 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) with the SQL-reproducible
+    polynomial word hash: the 4x16-bit chunk banding is pigeonhole-EXACT
+    at this cutoff, so the all-pairs DuckDB oracle certifies the whole
+    distributed pipeline (signatures, banding, in-bucket verify,
+    cross-bucket pair dedup) bit-for-bit."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import simhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup_pairs(ds, max_hamming=3)
+    return simhash_dedup_pairs(ds, max_hamming=3, hash_impl="poly")
 
 
 def span_dedup(sf_dir: str, window: int = 16):
@@ -2103,6 +2108,67 @@ _NGRAM_JACCARD_SQL = r"""
 """
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """All-pairs SimHash oracle, recomputing the ENTIRE signature
+    definition of ``shingle_hashes(hash_impl='poly')`` in DuckDB HUGEINT
+    arithmetic: per-word byte-polynomial hash (base 1000003 mod 2^64),
+    Horner 3-shingle combine, splitmix64 finalizer (the 64x64-bit
+    multiply emulated as split 32-bit products), per-bit majority vote,
+    then brute-force hamming over every doc pair.  Corpus is ASCII so
+    unicode(char) == utf8 byte.  The banding the engine uses is
+    pigeonhole-exact at hamming<=3, so identical pair sets certify it."""
+    M = "18446744073709551616::HUGEINT"  # 2^64
+    pow2 = ", ".join(f"{1 << j}::HUGEINT" for j in range(64))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+          FROM documents
+        ), wh AS (
+          SELECT doc_id, len(ws) AS n,
+                 list_transform(ws, w -> CASE WHEN length(w) = 0 THEN 0::HUGEINT
+                   ELSE list_reduce(
+                          list_transform(range(1, length(w) + 1),
+                                         i -> unicode(substr(w, i, 1))::HUGEINT),
+                          (a, x) -> (a * 1000003 + x) % {M}) END) AS hs
+          FROM w
+        ), raw AS (
+          SELECT doc_id, list_transform(range(1, n - 1),
+                   i -> ((((hs[i] * 1000003 + hs[i+1]) % {M}) * 1000003
+                          + hs[i+2]) % {M})) AS sg
+          FROM wh WHERE n >= 3
+        ), f1 AS (
+          SELECT doc_id, list_transform(sg, s -> xor(s, s // 536870912)) AS sg
+          FROM raw
+        ), f2 AS (
+          SELECT doc_id, list_transform(sg, s ->
+                   ((s * 484763065)
+                    + ((((s % 4294967296) * 3210233709) % 4294967296)
+                       * 4294967296)) % {M}) AS sg
+          FROM f1
+        ), f3 AS (
+          SELECT doc_id, list_transform(sg, s -> xor(s, s // 4294967296)) AS sg
+          FROM f2
+        ), u AS (
+          SELECT doc_id, unnest(sg) AS h FROM f3
+        ), p AS (
+          SELECT unnest([{pow2}]) AS pw
+        ), bits AS (
+          SELECT doc_id, pw,
+                 CASE WHEN 2 * sum((h // pw) % 2) > count(*)
+                      THEN pw ELSE 0::HUGEINT END AS wbit
+          FROM u CROSS JOIN p GROUP BY doc_id, pw
+        ), sig AS (
+          SELECT doc_id, sum(wbit)::HUGEINT AS s FROM bits GROUP BY doc_id
+          UNION ALL
+          SELECT doc_id, 0::HUGEINT FROM wh WHERE n < 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.s, b.s))::BIGINT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = _stopword_regex(STOPWORDS["en"])
     return {
@@ -2738,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         # 1.0 vs the sketch-free all-pairs ground truth on this corpus
         # (a banding miss would drop a row and fail the compare)
         "dedup_minhash": _NGRAM_JACCARD_SQL.replace(">= 0.2", ">= 0.5"),
+        "dedup_simhash": _simhash_sql(max_hamming=3),
         # first-occurrence order is (doc_id, cidx) on both sides; the
         # engine compares chunk hashes, the oracle chunk strings
         "span_dedup": """

@@ -104,18 +104,45 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 # shingle machinery (shared by minhash / simhash / jaccard)
 # ---------------------------------------------------------------------------
+def poly_word_hashes(flat: pa.Array) -> np.ndarray:
+    """uint64 polynomial hash of each word's UTF-8 bytes
+    (``h = h*1000003 + byte`` mod 2^64 — the repo's one
+    SQL-oracle-expressible hash, same definition as
+    ``text.rolling_window_hashes`` with a whole-string window).
+    Empty words hash to 0."""
+    from .text import rolling_window_hashes
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # one whole-string window per non-empty word
+    max_len = int(pc.max(pc.binary_length(flat)).as_py() or 0) + 1
+    h, offs = rolling_window_hashes(flat, k=max_len)
+    out = np.zeros(len(flat), dtype=np.uint64)
+    has = np.diff(offs) > 0
+    if h.size:
+        out[has] = h
+    return out
+
+
 def shingle_hashes(
-    texts, k: int = 3
+    texts, k: int = 3, hash_impl: str = "polars"
 ) -> tuple[np.ndarray, np.ndarray]:
     """uint64 hashes of word k-shingles for every doc, vectorized.
 
     Returns ``(hashes, doc_offsets)`` — ``hashes[doc_offsets[i]:
     doc_offsets[i+1]]`` are doc i's shingles.  Word hashes come from
     the flattened Arrow split (one C pass); shingles combine k
-    consecutive word hashes with distinct odd multipliers.
+    consecutive word hashes — with distinct odd multipliers for the
+    default (fast) impl, or with a small-base polynomial for
+    ``hash_impl="poly"``, whose whole definition (word hash, combiner,
+    splitmix finalizer) is reproducible bit-for-bit in DuckDB HUGEINT
+    arithmetic (see ``oracle_sql()['dedup_simhash']``).
     """
     flat, offsets = words_flat(texts)
-    wh = hash_keys(flat, "polars")  # uint64 per word (fast buffer-level hash)
+    if hash_impl == "poly":
+        wh = poly_word_hashes(flat)
+    else:
+        wh = hash_keys(flat, "polars")  # uint64 per word (fast buffer-level hash)
     n_docs = len(offsets) - 1
     doc_lens = np.diff(offsets)
     n_sh = np.maximum(doc_lens - k + 1, 0)
@@ -133,8 +160,14 @@ def shingle_hashes(
     mults = [np.uint64((0x9E3779B97F4A7C15 + 2 * j) & 0xFFFFFFFFFFFFFFFF) for j in range(k)]
     with np.errstate(over="ignore"):
         h = np.zeros(total, dtype=np.uint64)
-        for j in range(k):
-            h ^= wh[starts + j] * mults[j]
+        if hash_impl == "poly":
+            # Horner combine mod 2^64 (small base -> plain HUGEINT SQL)
+            B = np.uint64(1000003)
+            for j in range(k):
+                h = h * B + wh[starts + j]
+        else:
+            for j in range(k):
+                h ^= wh[starts + j] * mults[j]
         h ^= h >> np.uint64(29)
         h *= np.uint64(0xBF58476D1CE4E5B9)
         h ^= h >> np.uint64(32)
@@ -169,10 +202,10 @@ def minhash_signatures(
     return sig
 
 
-def simhash_signatures(texts, k_shingle: int = 3) -> np.ndarray:
+def simhash_signatures(texts, k_shingle: int = 3, hash_impl: str = "polars") -> np.ndarray:
     """uint64 SimHash per doc: majority vote per bit over shingle hashes
     (vectorized bit-unpack + ``np.add.reduceat``)."""
-    h, doc_offsets = shingle_hashes(texts, k_shingle)
+    h, doc_offsets = shingle_hashes(texts, k_shingle, hash_impl)
     n_docs = len(doc_offsets) - 1
     out = np.zeros(n_docs, dtype=np.uint64)
     counts = np.diff(doc_offsets)
@@ -901,15 +934,15 @@ def _jaccard_attach_partitioned(common, counts_ds, threshold: float):
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 class SimHashStage:
-    def __init__(self, text_col: str = "text", k_shingle: int = 3):
-        self.text_col, self.k = text_col, k_shingle
+    def __init__(self, text_col: str = "text", k_shingle: int = 3, hash_impl: str = "polars"):
+        self.text_col, self.k, self.hash_impl = text_col, k_shingle, hash_impl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sig = simhash_signatures(batch[self.text_col], self.k)
+        sig = simhash_signatures(batch[self.text_col], self.k, self.hash_impl)
         return batch.append_column("simhash", pa.array(sig.view(np.int64), pa.int64()))
 
 
-def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_shingle=3, max_bucket=8192):
+def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_shingle=3, max_bucket=8192, hash_impl="polars"):
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Banding: split the 64-bit signature into 4 16-bit chunks; any pair
@@ -919,7 +952,7 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_s
     CHUNKS = 4
 
     def explode(batch: pa.Table) -> pa.Table:
-        sh = SimHashStage(text_col, k_shingle)(batch)
+        sh = SimHashStage(text_col, k_shingle, hash_impl)(batch)
         sig = sh["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(sig)

@@ -531,3 +531,44 @@ def test_connected_components_topologies():
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
         30: 30, 31: 30, 32: 30, 33: 30,
     }
+
+
+def test_simhash_poly_mode_matches_python_reference():
+    """hash_impl='poly' must equal a from-scratch Python recomputation
+    (byte polynomial word hash, Horner shingle combine, splitmix64) —
+    the definition the DuckDB oracle replays in HUGEINT arithmetic."""
+    M = 1 << 64
+
+    def ref_sig(text: str) -> int:
+        words = __import__("re").split(r"\s+", text.lower())
+        wh = []
+        for w in words:
+            h = 0
+            for b in w.encode():
+                h = (h * 1000003 + b) % M
+            wh.append(h)
+        shingles = []
+        for i in range(len(wh) - 2):
+            s = ((wh[i] * 1000003 + wh[i + 1]) % M * 1000003 + wh[i + 2]) % M
+            s ^= s >> 29
+            s = (s * 0xBF58476D1CE4E5B9) % M
+            s ^= s >> 32
+            shingles.append(s)
+        if not shingles:
+            return 0
+        sig = 0
+        for j in range(64):
+            cnt = sum((s >> j) & 1 for s in shingles)
+            if 2 * cnt > len(shingles):
+                sig |= 1 << j
+        return sig
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "Mixed CASE Words  with   extra whitespace",
+        "tiny doc",  # < 3 words -> signature 0
+        "a b c d e f g h i j",
+    ]
+    sig = simhash_signatures(pa.array(texts), k_shingle=3, hash_impl="poly")
+    for t, s in zip(texts, sig):
+        assert int(s) == ref_sig(t), t
