@@ -1526,6 +1526,131 @@ def dedup_clusters(sf_dir: str):
     )
 
 
+def dedup_keep_best(sf_dir: str):
+    """Canonical-doc selection after near-dup clustering: every doc maps
+    to its cluster (singletons to themselves), and the LONGEST doc per
+    cluster wins (tie -> min doc_id) — the standard keep-one step that
+    turns a near-dup join into an actual dedup.  The sparse cluster map
+    (only docs that appear in some pair) is broadcast via ``ray.put``;
+    the corpus streams through one vectorized lookup + per-batch
+    best-per-cluster partial, then a tiny per-cluster finish."""
+    import ray
+
+    cl = dedup_clusters(sf_dir)
+    lut_ref = ray.put(
+        (cl["doc_id"].to_numpy(), cl["cluster_id"].to_numpy())
+    )
+
+    def assign(batch: pa.Table, lut=lut_ref) -> pa.Table:
+        nodes, lbl = (ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes, ids)
+        pos = np.clip(pos, 0, max(len(nodes) - 1, 0))
+        cid = ids.copy()
+        if len(nodes):
+            hit = nodes[pos] == ids
+            cid[hit] = lbl[pos[hit]]
+        t = pa.table(
+            {
+                "cluster_id": pa.array(cid, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+        # per-batch partial: best row per cluster before the shuffle
+        g = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("cluster_id", "ascending"),
+                    ("n_chars", "descending"),
+                    ("doc_id", "ascending"),
+                ],
+            )
+        )
+        c = g["cluster_id"].to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(np.r_[True, c[1:] != c[:-1]]))
+
+    def best(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
+        )
+        return group.take(order[:1])
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(best, batch_format="pyarrow")
+    )
+
+
+def inverted_index(sf_dir: str, min_df: int = 2, max_postings: int = 64, buckets: int = 512):
+    """Inverted-index build (the retrieval-side primitive): token ->
+    document frequency + ordered posting list.  Per-batch: tokenize with
+    Arrow's split kernel, DISTINCT (token, doc_id) via Arrow hash
+    group-by — so the shuffle carries one row per (token, doc) and the
+    texts never move.  Tokens co-shuffle by a coarse hash bucket (NOT
+    one group per token — hot stopword tokens would serialize); the
+    per-bucket finish resolves every token's df and postings in one
+    vectorized sort + run-length pass.  Posting lists are capped at
+    ``max_postings`` ids (df stays exact over the full set — the cap is
+    part of the contract and the oracle applies the same slice)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, offsets = words_flat(batch["text"])
+        n_words = np.diff(offsets)
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_words)
+        t = pa.table({"token": flat, "doc_id": pa.array(ids, pa.int64())})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        t = t.group_by(["token", "doc_id"]).aggregate([])
+        tb = hash_keys(t["token"], "polars") % np.uint64(buckets)
+        return t.append_column("tb", pa.array(tb.astype(np.int64)))
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.take(
+            pc.sort_indices(
+                group,
+                sort_keys=[("token", "ascending"), ("doc_id", "ascending")],
+            )
+        )
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        n = len(tok)
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        keep = counts >= min_df
+        rank = np.arange(n) - np.repeat(starts, counts)
+        take_mask = (rank < max_postings) & np.repeat(keep, counts)
+        ids_str = pc.cast(g["doc_id"], pa.string()).combine_chunks()
+        kept_counts = np.minimum(counts[keep], max_postings)
+        kept = ids_str.filter(pa.array(take_mask))
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs), kept)
+        postings = pc.binary_join(lists, ",")
+        first = g.filter(pa.array(np.r_[True, tok[1:] != tok[:-1]])).filter(
+            pa.array(keep)
+        )
+        return pa.table(
+            {
+                "token": first["token"],
+                "df": pa.array(counts[keep].astype(np.int64)),
+                "postings": postings,
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(lambda g: finish(g.drop_columns(["tb"])), batch_format="pyarrow")
+    )
+
+
 def ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 vs the embeddings of vec_id 0 and 1
     (query matrix broadcast once; per-batch matmul + local top-k)."""
@@ -1983,6 +2108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_clusters": dedup_clusters,
+        "dedup_keep_best": dedup_keep_best,
+        "inverted_index": inverted_index,
         "span_dedup": span_dedup,
         # similarity
         "ann_cosine_topk": ann_cosine_topk,
@@ -2844,6 +2971,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.a AS id, l.lbl FROM lab l JOIN edges e ON l.id = e.b
             )
             SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
+        """,
+        # keep-one-per-cluster: longest doc wins (tie -> min id);
+        # singleton docs (in no near-dup pair) are their own cluster
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), lab AS (
+              SELECT a AS id, a AS lbl FROM edges
+              UNION
+              SELECT e.a AS id, l.lbl FROM lab l JOIN edges e ON l.id = e.b
+            ), cl AS (
+              SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
+            ), assigned AS (
+              SELECT coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+                     d.doc_id, d.n_chars
+              FROM documents d LEFT JOIN cl USING (doc_id)
+            )
+            SELECT cluster_id, doc_id, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM assigned) WHERE rn = 1
+        """,
+        # inverted index: distinct (token, doc) -> df + ordered posting
+        # list capped at 64 ids (df exact over the full set)
+        "inverted_index": r"""
+            WITH tok AS (
+              SELECT DISTINCT doc_id, t AS token
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(text), '\s+')) AS t
+                    FROM documents)
+              WHERE t <> ''
+            ), agg AS (
+              SELECT token, count(*)::BIGINT AS df,
+                     list(doc_id ORDER BY doc_id) AS ids
+              FROM tok GROUP BY token
+            )
+            SELECT token, df, array_to_string(ids[1:64], ',') AS postings
+            FROM agg WHERE df >= 2
         """,
         # exact embedding near-dup: pair ids only (scores deliberately
         # omitted — identical pair SETS are the contract; threshold 0.45

@@ -818,7 +818,14 @@ def exact_jaccard_pairs(
     if counts != "broadcast":
         raise ValueError(f"unknown counts mode: {counts!r}")
 
-    counts_tbl = pa.concat_tables(ray.get(counts_ds.to_arrow_refs()))
+    # drop empty blocks: Ray may emit 0-row blocks with a degenerate
+    # schema, which pa.concat_tables rejects as a schema mismatch
+    counts_blocks = [t for t in ray.get(counts_ds.to_arrow_refs()) if t.num_rows]
+    counts_tbl = (
+        pa.concat_tables(counts_blocks)
+        if counts_blocks
+        else pa.table({"doc": pa.array([], pa.int64()), "n_sh": pa.array([], pa.int64())})
+    )
     doc_ids = counts_tbl["doc"].to_numpy(zero_copy_only=False)
     n_sh = counts_tbl["n_sh"].to_numpy(zero_copy_only=False)
     order = np.argsort(doc_ids)

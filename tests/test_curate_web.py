@@ -330,3 +330,56 @@ def test_hopping_window_covers_each_event_twice():
             (r.event_type, r.w + pd.Timedelta(hours=1)), 0
         )
         assert r.n == expect
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["srcT"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_inverted_index_df_exact_postings_capped(tmp_path):
+    """70 docs share one token: df stays exact (70) while the posting
+    list is capped at the first 64 ids; df-1 tokens are dropped and a
+    df-2 token keeps both ids in order."""
+    import __ray_entry__ as E
+
+    texts = [f"shared uniq{i}a uniq{i}b" for i in range(70)]
+    texts[3] = texts[3] + " twice"
+    texts[5] = texts[5] + " twice"
+    sf = _write_docs(tmp_path, texts)
+    out = E.queries()["inverted_index"](sf).to_pandas().set_index("token")
+    assert int(out.loc["shared", "df"]) == 70
+    assert out.loc["shared", "postings"] == ",".join(str(i) for i in range(64))
+    assert int(out.loc["twice", "df"]) == 2
+    assert out.loc["twice", "postings"] == "3,5"
+    assert "uniq0a" not in out.index  # min_df=2 filter
+
+
+def test_dedup_keep_best_longest_wins(tmp_path):
+    """Near-dup cluster keeps the LONGEST member; singletons keep
+    themselves; exact-duplicate tie breaks to the min doc_id."""
+    import __ray_entry__ as E
+
+    base = " ".join(f"w{i}" for i in range(20))
+    texts = [
+        base,                    # 0: near-dup of 1 (shorter)
+        base + " extraword",     # 1: longest in cluster -> winner
+        "completely different words " + " ".join(f"q{i}" for i in range(16)),  # 2: singleton
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = E.queries()["dedup_keep_best"](sf).to_pandas()
+    winners = {int(r.cluster_id): int(r.doc_id) for r in out.itertuples()}
+    assert winners[0] == 1    # cluster {0,1} labeled min-id 0, keeps doc 1
+    assert winners[2] == 2    # singleton
+    assert len(out) == 2
