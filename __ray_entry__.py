@@ -1277,6 +1277,75 @@ def per_domain_topk(sf_dir: str, k: int = 3):
     )
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-lite: revenue by customer nation for orders placed in
+    1996 — the classic fact×fact×dimension chain.  Scale shape: revenue
+    pre-aggregates per (orderkey) INSIDE each lineitem batch before any
+    movement (the fact table collapses ~4:1 and payload columns drop to
+    one int64); the lineitem×orders join is the explicit partitioned
+    hash join (both sides huge); customer⋈nation collapses to a
+    custkey->n_name lookup broadcast once via ray.put (at extreme scale
+    this becomes a second partitioned join on custkey — same operator).
+    Revenue is integer 1e-4 units (price cents × (100 - discount
+    cents)) so sums compare bit-for-bit with the SQL oracle."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        broadcast_lookup_join,
+        partitioned_equi_join,
+    )
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0), 0), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0), 0), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev_u": rev})
+        g = t.group_by("o_orderkey").aggregate([("rev_u", "sum")])
+        return g.rename_columns(["o_orderkey", "rev_u"])
+
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    fact = li.map_batches(li_partial, batch_format="pyarrow")
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(od_filter, batch_format="pyarrow")
+    joined = partitioned_equi_join(fact, orders, on="o_orderkey", num_buckets=16)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lookup = cust.join(
+        nat, keys=["c_nationkey"], right_keys=["n_nationkey"], join_type="inner"
+    ).select(["c_custkey", "n_name"])
+    with_nation = broadcast_lookup_join(
+        joined, lookup, on="o_custkey", right_on="c_custkey", small_columns=["n_name"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["n_name", "rev_u"])
+            .group_by("n_name")
+            .aggregate([("rev_u", "sum")])
+        )
+        return g.rename_columns(["n_name", "rev_u"])
+
+    return (
+        with_nation.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_u", alias_name="revenue_u"))
+    )
+
+
 def windowed_agg(sf_dir: str):
     """Tumbling-window aggregate over event time (the streaming-window
     operator the reference lacks): per (event_type, hour) row counts and
@@ -2072,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": broadcast_join,
         "partitioned_join": partitioned_join,
         "asof_join": asof_join,
+        "revenue_by_nation": revenue_by_nation,
         # text analysis
         "windowed_agg": windowed_agg,
         "hopping_window": hopping_window,
@@ -2360,6 +2430,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id)
             WHERE first_view IS NOT NULL AND last_purchase IS NOT NULL
               AND first_view < last_purchase
+        """,
+        # Q5-lite: integer 1e-4-dollar revenue units so float summation
+        # order cannot perturb the hash
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                       AS revenue_u
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "per_domain_topk": """
             SELECT source, doc_id, n_chars FROM (
