@@ -1854,21 +1854,57 @@ def cdc_engine_events_replay(sf_dir: str):
     )
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
 
-    feed = _events_feed(sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_events_replay_")
     try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        _write_events_segments(feed, ct)
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": tgt, "num_partitions": 8},
-                "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
-            }
-        )
-        StreamRunner(ctx).run()
+        tgt = _replay_events_to_target(sf_dir, root)
         out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
+def _replay_events_to_target(sf_dir: str, root: str) -> str:
+    """Replay the events table as a CT feed through the real engine into
+    ``root/target``; returns the target root (caller owns cleanup)."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+
+    feed = _events_feed(sf_dir)
+    ct, tgt = f"{root}/ctlog", f"{root}/target"
+    _write_events_segments(feed, ct)
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+            "sink": {"target_root": tgt, "num_partitions": 8},
+            "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+        }
+    )
+    StreamRunner(ctx).run()
+    return tgt
+
+
+_LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
+
+
+def cdc_point_lookup(sf_dir: str):
+    """Point lookups against the engine-built target table — the
+    partition-pruned + bloom-sidecar read path (K-path) under the
+    value-hash gate: replay the events feed through the real engine,
+    then ``lookup_keys`` for a fixed key set (Fibonacci user ids plus
+    one absent key).  Deleted keys (last op 'D') and absent keys return
+    no row; the oracle is plain LWW SQL restricted to the same ids.
+    Only the keys' owning partitions are read, and inside a partition
+    per-file bloom sidecars skip files that cannot contain the keys."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import lookup_keys
+
+    root = tempfile.mkdtemp(prefix="cdc_lookup_")
+    try:
+        tgt = _replay_events_to_target(sf_dir, root)
+        out = lookup_keys(tgt, [str(k) for k in _LOOKUP_KEYS])
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out.select(
@@ -2129,6 +2165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_net_changes": cdc_net_changes,
+        "cdc_point_lookup": cdc_point_lookup,
         "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
@@ -2380,6 +2417,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # the partition-pruned + bloom point-lookup read path: plain LWW
+        # restricted to the fixed key set (deleted/absent keys -> no row)
+        "cdc_point_lookup": f"""
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+              AND user_id IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
         """,
         # CHANGETABLE(CHANGES …, @since) net-op semantics with
         # since = max(event_id)//2: I/U/D per key, created-then-deleted
