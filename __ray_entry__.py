@@ -974,6 +974,85 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def session_stats(sf_dir: str, gap_minutes: int = 30):
+    """Per-session rollups on top of gap-based sessionization: one
+    co-shuffle of the pruned (event_id, ts, user_id) columns, then a
+    single vectorized sort + run-length pass per user resolves session
+    cuts AND their aggregates (count, span) — sessions never exist as
+    intermediate rows."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        n = len(ts)
+        new = np.r_[True, np.diff(ts) > gap_us]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, n])
+        ends = np.r_[starts[1:], n] - 1
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(starts), g["user_id"][0].as_py(), np.int64)
+                ),
+                "session_id": pa.array(np.arange(1, len(starts) + 1, dtype=np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "start_ts": pa.array(ts[starts].view("datetime64[us]")),
+                "end_ts": pa.array(ts[ends].view("datetime64[us]")),
+                "duration_us": pa.array(ts[ends] - ts[starts]),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def length_percentile_filter(sf_dir: str, lo_p: int = 5, hi_p: int = 95):
+    """Length-outlier filtering (the classic webtext drop rule): keep
+    docs whose n_chars lies within the corpus's exact [p05, p95].
+    Two streaming passes over a 2-column projection: pass 1 builds the
+    length HISTOGRAM (per-batch value-count partials, a groupby over
+    distinct lengths only), thresholds come from a driver-side cumsum
+    over that tiny table; pass 2 filters with the broadcast scalars.
+    Same rank rule as length_quantiles (value at row ceil(p*n/100))."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["n_chars"]).group_by("n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "c"])
+
+    hist = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy(np.int64)
+    cum = np.cumsum(hist["c"].to_numpy(np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())})
+    lo = int(v[np.searchsorted(cum, (lo_p * n + 99) // 100)])
+    hi = int(v[np.searchsorted(cum, (hi_p * n + 99) // 100)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = batch["n_chars"]
+        return batch.filter(
+            pc.and_(
+                pc.greater_equal(c, pa.scalar(lo, pa.int64())),
+                pc.less_equal(c, pa.scalar(hi, pa.int64())),
+            )
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def pii_redact(sf_dir: str):
     """PII scrub (C4/CCNet-style): plant a deterministic contact block
     per document (the corpus itself carries no PII), then mask emails /
@@ -2194,6 +2273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "seq_pack": seq_pack,
         "sessionize": sessionize,
+        "session_stats": session_stats,
+        "length_percentile_filter": length_percentile_filter,
         "funnel_users": funnel_users,
         "per_domain_topk": per_domain_topk,
         "train_eval_split": train_eval_split,
@@ -2956,6 +3037,42 @@ def oracle_sql() -> dict[str, str]:
                        AS prev_ts
               FROM events
             )
+        """,
+        "session_stats": """
+            WITH s AS (
+              SELECT event_id, user_id, ts,
+                     sum(CASE WHEN prev_ts IS NULL
+                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                              THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )::BIGINT AS session_id
+              FROM (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_ts
+                FROM events
+              )
+            )
+            SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        # exact [p05, p95] outlier filter: same ceil(p*n/100) rank rule
+        # as length_quantiles
+        "length_percentile_filter": """
+            WITH o AS (
+              SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+                     count(*) OVER () AS n
+              FROM documents
+            ), thr AS (
+              SELECT max(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END) AS lo,
+                     max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS hi
+              FROM o
+            )
+            SELECT doc_id, n_chars FROM documents, thr
+            WHERE n_chars BETWEEN thr.lo AND thr.hi
         """,
         "seq_pack": rf"""
             WITH t AS (
