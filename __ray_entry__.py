@@ -2222,6 +2222,64 @@ def cdc_time_travel(sf_dir: str):
     )
 
 
+def cdc_cycle_metrics(sf_dir: str):
+    """Per-cycle observability (F4) under the value-hash gate: replay
+    the events feed in 8 single-segment cycles with the adaptive
+    pre-combine DISABLED (``precombineDupThreshold`` > 1 makes the raw
+    per-op counters exact), then read each committed manifest's metrics.
+    changes_in / upserts / deletes / watermark per cycle must equal the
+    SQL oracle's segment cuts by row_number — proving the engine's
+    telemetry (not just its data) is correct."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_cycle_metrics_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8,
+                         "precombineDupThreshold": 2.0},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        log = ManifestLog(tgt)
+        rows = []
+        for i, v in enumerate(log.versions()):
+            m = log.read(v)
+            if "changes_in" not in m.metrics:
+                continue  # prepared/maintenance manifests carry no cycle counters
+            rows.append(
+                {
+                    "cycle": len(rows) + 1,
+                    "watermark": int(m.watermark),
+                    "changes_in": int(m.metrics["changes_in"]),
+                    "upserts": int(m.metrics["upserts"]),
+                    "deletes": int(m.metrics["deletes"]),
+                }
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pa.table(
+        {
+            "cycle": pa.array([r["cycle"] for r in rows], pa.int64()),
+            "watermark": pa.array([r["watermark"] for r in rows], pa.int64()),
+            "changes_in": pa.array([r["changes_in"] for r in rows], pa.int64()),
+            "upserts": pa.array([r["upserts"] for r in rows], pa.int64()),
+            "deletes": pa.array([r["deletes"] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -2245,6 +2303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_net_changes": cdc_net_changes,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_cycle_metrics": cdc_cycle_metrics,
         "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
@@ -2498,6 +2557,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # per-cycle engine telemetry vs deterministic segment cuts
+        # (single-segment cycles; pre-combine disabled so raw counters
+        # are exact).  Segment layout covers ALL rows, but version 0
+        # equals the bootstrap watermark, so by the strictly-greater
+        # tailer contract (CHANGETABLE(…, @since) semantics) event 0 is
+        # never polled and cycle 1's counters exclude it.
+        "cdc_cycle_metrics": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            )
+            SELECT ((rn - 1) // ((n + 7) // 8) + 1)::BIGINT AS cycle,
+                   max(event_id)::BIGINT AS watermark,
+                   count(*) FILTER (WHERE event_id > 0)::BIGINT AS changes_in,
+                   sum(CASE WHEN event_type <> 'error' AND event_id > 0
+                            THEN 1 ELSE 0 END)::BIGINT AS upserts,
+                   sum(CASE WHEN event_type = 'error' AND event_id > 0
+                            THEN 1 ELSE 0 END)::BIGINT AS deletes
+            FROM o GROUP BY 1
         """,
         # the partition-pruned + bloom point-lookup read path: plain LWW
         # restricted to the fixed key set (deleted/absent keys -> no row)

@@ -125,6 +125,11 @@ class SinkSettings:
     #: pyarrow 16 cannot write parquet-native bloom filters, so the engine
     #: writes `<file>.bloom` sidecars and prunes in lookup_keys)
     bloom_filter_columns: tuple[str, ...] = ()
+    #: adaptive pre-combine trigger: LWW-collapse a push batch before
+    #: routing when its duplicate-key rate exceeds this fraction (hot-key
+    #: storm defusal).  > 1.0 disables the combiner (raw per-op counters
+    #: become exact), 0.0 combines every batch.
+    precombine_dup_threshold: float = 0.25
     #: confine schema migration to stream bootstrap; later batch-schema
     #: drift FAILS the cycle instead of migrating inline (reference
     #: isUnifiedSchema, docs/crd.md:59-61 — "reduce pressure on the

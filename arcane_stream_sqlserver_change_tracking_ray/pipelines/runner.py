@@ -243,6 +243,7 @@ class StreamRunner:
                 bloom_columns=tuple(sink.bloom_filter_columns),
                 hash_algo=manifest.key_hash_algo,
                 max_rows_per_file=sink.max_rows_per_file,
+                precombine_threshold=sink.precombine_dup_threshold,
             )
             self._direct_timings = {"push_s": round(_time.perf_counter() - t0, 4), "flush_s": 0.0}
             return stats
@@ -272,6 +273,7 @@ class StreamRunner:
                 sorted_by=tuple(sink.sorted_by),
                 batch_size=self.ctx.source.fetch_size,
                 key_col=self._transform.key_col,
+                precombine_threshold=sink.precombine_dup_threshold,
             )
         return apply_change_batch(
             ds,
@@ -289,6 +291,7 @@ class StreamRunner:
             fsync=sink.durable_writes,
             bloom_columns=tuple(sink.bloom_filter_columns),
             hash_algo=manifest.key_hash_algo,
+            precombine_threshold=sink.precombine_dup_threshold,
         )
 
     # -------------------------------------------------------------- bootstrap

@@ -390,15 +390,19 @@ class PrecombineAndRoute:
     """
 
     def __init__(self, num_partitions: int, key_col: str = MERGE_KEY_COL,
-                 hash_algo: str = "pandas"):
+                 hash_algo: str = "pandas",
+                 precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD):
         self.num_partitions = num_partitions
         self.key_col = key_col
         self.hash_algo = hash_algo
+        self.precombine_threshold = precombine_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(PID_COL, pa.array([], pa.int64()))
-        batch, h = precombine_and_hash(batch, self.key_col, self.hash_algo)
+        batch, h = precombine_and_hash(
+            batch, self.key_col, self.hash_algo, self.precombine_threshold
+        )
         pid = (h % np.uint64(self.num_partitions)).astype(np.int64)
         return batch.append_column(PID_COL, pa.array(pid, type=pa.int64()))
 
@@ -555,12 +559,13 @@ def apply_change_batch(
     fsync: bool = True,
     bloom_columns: tuple[str, ...] = (),
     hash_algo: str = "pandas",
+    precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
     table (one row per touched partition)."""
     routed = changes_ds.map_batches(
-        PrecombineAndRoute(num_partitions, key_col, hash_algo),
+        PrecombineAndRoute(num_partitions, key_col, hash_algo, precombine_threshold),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -683,6 +688,7 @@ def apply_change_batch_direct(
     bloom_columns: tuple[str, ...] = (),
     hash_algo: str = "pandas",
     max_rows_per_file: int = 1_000_000,
+    precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
 ) -> list[dict]:
     """Merge-on-read WITHOUT an exchange: every push task writes its own
     pid-sorted delta parquet, row groups aligned to partition boundaries,
@@ -713,7 +719,8 @@ def apply_change_batch_direct(
         if batch.num_rows == 0:
             return _DIRECT_STATS_SCHEMA.empty_table()
         changes_in_total = batch.num_rows
-        batch, h = precombine_and_hash(batch, key_col, hash_algo)
+        batch, h = precombine_and_hash(batch, key_col, hash_algo, precombine_threshold)
+        combined_away_total = changes_in_total - batch.num_rows
         pid = (h % np.uint64(P)).astype(np.int64)
         order = np.argsort(pid, kind="stable")
         b = batch.take(pa.array(order))  # ONE payload gather
@@ -746,7 +753,10 @@ def apply_change_batch_direct(
                         "upserts": sl.num_rows - deletes,
                         "deletes": deletes,
                         "changes_in": sl.num_rows,
-                        "combined_away": 0,
+                        # task-level combine remainder is attributed to the
+                        # first pid row so the cycle's 'every arriving row
+                        # is accounted' invariant holds under pre-combine
+                        "combined_away": combined_away_total if s == 0 else 0,
                         "bytes": 0,  # filled from row-group metadata below
                         "files_json": json.dumps([f"{rel}#rg={first_rg}-{rg - 1}"]),
                         "mode": "mor",
@@ -998,6 +1008,7 @@ class ActorMergePool:
         sorted_by: tuple[str, ...] = (),
         batch_size: int = 131072,
         key_col: str = MERGE_KEY_COL,
+        precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
     ) -> list[dict]:
         import ray
 
@@ -1014,7 +1025,7 @@ class ActorMergePool:
             if batch.num_rows == 0:
                 return pa.table({"rows_pushed": [0]})
             # hash once; combine only when the dup rate warrants it (M2)
-            batch, h = precombine_and_hash(batch, key_col, hash_algo)
+            batch, h = precombine_and_hash(batch, key_col, hash_algo, precombine_threshold)
             pid = (h % np.uint64(P)).astype(np.int64)
             order = np.argsort(pid, kind="stable")
             b = batch.take(pa.array(order))  # ONE payload gather

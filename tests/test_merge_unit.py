@@ -74,3 +74,47 @@ def test_precombine_and_route():
     out = PrecombineAndRoute(4)(t)
     assert out.num_rows == 2  # within-batch LWW collapsed key 'a'
     assert PID_COL in out.column_names
+
+
+def test_direct_mode_accounts_precombined_rows(tmp_path):
+    """The cycle invariant 'every arriving row is accounted'
+    (changes_in == rows arriving) must hold in direct MoR mode even when
+    the adaptive pre-combine collapses duplicates before routing
+    (regression: direct stats once reported combined_away=0 with
+    post-combine changes_in, undercounting the cycle)."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        apply_change_batch_direct,
+        fold_stats_into_manifest,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest
+    from arcane_stream_sqlserver_change_tracking_ray.types import (
+        MERGE_KEY_COL,
+        OP_COL,
+        VERSION_COL,
+    )
+
+    n, keys = 400, 20  # heavy duplication -> combiner collapses a lot
+    t = pa.table(
+        {
+            MERGE_KEY_COL: pa.array([str(i % keys) for i in range(n)]),
+            VERSION_COL: pa.array(np.arange(n, dtype=np.int64)),
+            OP_COL: pa.array(["U"] * n),
+            "v": pa.array(np.arange(n, dtype=np.float64)),
+        }
+    )
+    stats = apply_change_batch_direct(
+        ray.data.from_arrow(t).repartition(2),
+        target_root=str(tmp_path),
+        cycle_id="c1",
+        schema=t.schema,
+        num_partitions=4,
+        hash_algo="polars",
+        precombine_threshold=0.0,  # force the combiner on
+    )
+    m = Manifest(version=1, watermark=0, num_partitions=4)
+    metrics = fold_stats_into_manifest(m, stats, "c1")
+    assert metrics["precombined_rows"] > 0
+    assert metrics["changes_in"] == n
+    assert metrics["upserts"] == metrics["changes_in"] - metrics["precombined_rows"]
