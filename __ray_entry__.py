@@ -2007,9 +2007,14 @@ def _events_feed(sf_dir: str) -> pa.Table:
     )
 
 
-def _write_events_segments(feed: pa.Table, ct: str, n_segments: int = 8) -> int:
+def _write_events_segments(
+    feed: pa.Table, ct: str, n_segments: int = 8, shuffle_within: bool = False
+) -> int:
     """Write the feed as contiguous CT-log segments; returns the segment
-    row size (``ceil(n / n_segments)``)."""
+    row size (``ceil(n / n_segments)``).  ``shuffle_within`` permutes
+    each segment's ROWS (deterministically) while keeping its version
+    RANGE intact — the order SQL Server change tracking actually
+    guarantees (a version-range query, not a sorted stream)."""
     import math
 
     import pyarrow.parquet as pq
@@ -2019,13 +2024,52 @@ def _write_events_segments(feed: pa.Table, ct: str, n_segments: int = 8) -> int:
     os.makedirs(ct, exist_ok=True)
     n = feed.num_rows
     chunk = max(math.ceil(n / n_segments), 1)
+    rng = np.random.default_rng(42)
     prev_hi = 0
     for off in range(0, n, chunk):
         sl = feed.slice(off, chunk)
         hi = int(pc.max(sl[VERSION_COL]).as_py())
+        if shuffle_within:
+            sl = sl.take(pa.array(rng.permutation(sl.num_rows)))
         pq.write_table(sl, segment_path(ct, prev_hi, hi))
         prev_hi = hi
     return chunk
+
+
+def cdc_unordered_feed(sf_dir: str):
+    """ORDER-INDEPENDENCE of the whole engine under the hash gate: the
+    same events feed replayed with every segment's rows deterministically
+    SHUFFLED (SQL Server CT returns a version-range result set, not a
+    sorted stream) must converge to the identical LWW state — exercising
+    that pre-combine, routing, delta append order and the merge-on-read
+    resolve all order strictly by version, never by arrival."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+
+    feed = _events_feed(sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_unordered_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        _write_events_segments(feed, ct, shuffle_within=True)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
 
 
 def cdc_backfill_then_stream(sf_dir: str):
@@ -2304,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_net_changes": cdc_net_changes,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_cycle_metrics": cdc_cycle_metrics,
+        "cdc_unordered_feed": cdc_unordered_feed,
         "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
@@ -2557,6 +2602,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # order independence: the shuffled-segment replay converges to
+        # the identical LWW state (version decides, never arrival order)
+        "cdc_unordered_feed": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # per-cycle engine telemetry vs deterministic segment cuts
         # (single-segment cycles; pre-combine disabled so raw counters
