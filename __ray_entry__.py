@@ -2038,6 +2038,26 @@ def _write_events_segments(
     return chunk
 
 
+def cdc_composite_key(sf_dir: str):
+    """Composite merge-key replay (T3 in-engine, under the hash gate):
+    the same feed keyed by (user_id, event_type) — merge-key synthesis
+    concatenates the parts, routing hashes the synthesized key, and the
+    converged state is LWW per composite key.  The oracle partitions by
+    both columns; a hash match proves key synthesis, routing and the
+    read path all agree on the composite identity."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
+
+    root = tempfile.mkdtemp(prefix="cdc_composite_")
+    try:
+        tgt, _ = _replay_events_to_target(
+            sf_dir, root, extra={"source": {"key_columns": ["user_id", "event_type"]}}
+        )
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(["user_id", VERSION_COL, "ts", "event_type", "value"])
+
+
 def cdc_maintenance_fold(sf_dir: str):
     """K4 (OPTIMIZE + expire) under the hash gate: replay the feed, then
     force a FULL maintenance pass — every partition's delta chain folds
@@ -2386,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_cycle_metrics": cdc_cycle_metrics,
         "cdc_unordered_feed": cdc_unordered_feed,
         "cdc_maintenance_fold": cdc_maintenance_fold,
+        "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
         "field_filter_include": field_filter_include,
@@ -2639,6 +2660,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # composite merge key: LWW per (user_id, event_type); the
+        # all-'error' composite keys are pure-delete and vanish
+        "cdc_composite_key": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                               ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # OPTIMIZE fold + snapshot expiry must not change the visible
         # state: same LWW oracle as the plain replay
