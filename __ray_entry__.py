@@ -1998,8 +1998,13 @@ def _events_feed(sf_dir: str) -> pa.Table:
     op = 'D' for event_type 'error' else 'U', sorted by version."""
     import pyarrow.parquet as pq
 
-    events = pq.read_table(f"{sf_dir}/events.parquet").sort_by(
-        [("event_id", "ascending")]
+    # strip the pandas schema metadata: it survives into the CT-log
+    # segments and an unhashable schema (metadata dict) defeats Ray
+    # Data's schema dedup in every replay read ("Failed to hash" spam)
+    events = (
+        pq.read_table(f"{sf_dir}/events.parquet")
+        .replace_schema_metadata(None)
+        .sort_by([("event_id", "ascending")])
     )
     op = pc.if_else(
         pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
