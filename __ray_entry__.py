@@ -980,17 +980,14 @@ def session_stats(sf_dir: str, gap_minutes: int = 30):
     single vectorized sort + run-length pass per user resolves session
     cuts AND their aggregates (count, span) — sessions never exist as
     intermediate rows."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import session_cuts
+
     gap_us = gap_minutes * 60 * 1_000_000
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def per_user(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        g, ts, new = session_cuts(group, gap_us)
         n = len(ts)
-        new = np.r_[True, np.diff(ts) > gap_us]
         starts = np.flatnonzero(new)
         counts = np.diff(np.r_[starts, n])
         ends = np.r_[starts[1:], n] - 1
@@ -1944,22 +1941,33 @@ def cdc_engine_events_replay(sf_dir: str):
     )
 
 
-def _replay_events_to_target(sf_dir: str, root: str, extra: dict | None = None):
+def _replay_events_to_target(
+    sf_dir: str,
+    root: str,
+    extra: dict | None = None,
+    shuffle_within: bool = False,
+    single_segment_cycles: bool = False,
+):
     """Replay the events table as a CT feed through the real engine into
     ``root/target``; returns ``(target_root, ctx)`` (caller owns cleanup).
-    ``extra`` merges additional spec sections (camelCase keys ok)."""
+    ``extra`` merges additional spec sections (camelCase keys ok);
+    ``shuffle_within`` permutes rows inside each segment;
+    ``single_segment_cycles`` sets rows_per_group to the segment size so
+    every poll cycle consumes exactly one segment (deterministic cuts)."""
     from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
 
     feed = _events_feed(sf_dir)
     ct, tgt = f"{root}/ctlog", f"{root}/target"
-    _write_events_segments(feed, ct)
+    chunk = _write_events_segments(feed, ct, shuffle_within=shuffle_within)
     prepare_watermark(tgt, version=0, num_partitions=8)
     spec = {
         "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
         "sink": {"target_root": tgt, "num_partitions": 8},
-        "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+        "throughput": {
+            "rows_per_group": chunk if single_segment_cycles else max(feed.num_rows // 3, 1)
+        },
     }
     for section, vals in (extra or {}).items():
         spec.setdefault(section, {}).update(vals)
@@ -1984,7 +1992,9 @@ def cdc_point_lookup(sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="cdc_lookup_")
     try:
-        tgt, _ = _replay_events_to_target(sf_dir, root)
+        tgt, _ = _replay_events_to_target(
+            sf_dir, root, extra={"sink": {"bloomFilterColumns": ["arcane_merge_key"]}}
+        )
         out = lookup_keys(tgt, [str(k) for k in _LOOKUP_KEYS])
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2104,27 +2114,11 @@ def cdc_unordered_feed(sf_dir: str):
     sorted stream) must converge to the identical LWW state — exercising
     that pre-combine, routing, delta append order and the merge-on-read
     resolve all order strictly by version, never by arrival."""
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
 
-    feed = _events_feed(sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_unordered_")
     try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        _write_events_segments(feed, ct, shuffle_within=True)
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": tgt, "num_partitions": 8},
-                "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
-            }
-        )
-        StreamRunner(ctx).run()
+        tgt, _ = _replay_events_to_target(sf_dir, root, shuffle_within=True)
         out = read_target_table(tgt)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -2335,31 +2329,19 @@ def cdc_cycle_metrics(sf_dir: str):
     changes_in / upserts / deletes / watermark per cycle must equal the
     SQL oracle's segment cuts by row_number — proving the engine's
     telemetry (not just its data) is correct."""
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        ManifestLog,
-        prepare_watermark,
-    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
 
-    feed = _events_feed(sf_dir)
     root = tempfile.mkdtemp(prefix="cdc_cycle_metrics_")
     try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        chunk = _write_events_segments(feed, ct)
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": tgt, "num_partitions": 8,
-                         "precombineDupThreshold": 2.0},
-                "throughput": {"rows_per_group": chunk},
-            }
+        tgt, _ = _replay_events_to_target(
+            sf_dir,
+            root,
+            extra={"sink": {"precombineDupThreshold": 2.0}},
+            single_segment_cycles=True,
         )
-        StreamRunner(ctx).run()
         log = ManifestLog(tgt)
         rows = []
-        for i, v in enumerate(log.versions()):
+        for v in log.versions():
             m = log.read(v)
             if "changes_in" not in m.metrics:
                 continue  # prepared/maintenance manifests carry no cycle counters

@@ -955,7 +955,16 @@ def simhash_dedup_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3, k_s
     Banding: split the 64-bit signature into 4 16-bit chunks; any pair
     within hamming 3 shares at least one chunk (pigeonhole), so we
     bucket-group on (chunk_id, chunk_value) and verify hamming inside
-    buckets — ids + signatures are the only shuffled payload."""
+    buckets — ids + signatures are the only shuffled payload.
+
+    Exactness precondition: ``max_bucket`` caps a chunk bucket's pair
+    emission (logged truncation, the no-silent-caps rule).  The result
+    is the EXACT hamming<=h pair set only while every chunk bucket
+    holds <= max_bucket docs — beware degenerate corpora where many
+    docs share a signature (e.g. >max_bucket docs with < k_shingle
+    words all hash to signature 0).  The driver corpora are 500-5000
+    docs, far under the cap; raise ``max_bucket`` if certifying larger
+    corpora against the all-pairs oracle."""
     CHUNKS = 4
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -611,18 +611,27 @@ def assign_bins_in_bucket(
 # ---------------------------------------------------------------------------
 # sessionization (gap-based session windows)
 # ---------------------------------------------------------------------------
-def sessionize_user(group: pa.Table, gap_us: int) -> pa.Table:
-    """Assign per-user session ids inside one user's co-located event
-    group: sort by (ts, event_id), start a new session when the gap to
-    the previous event exceeds ``gap_us`` microseconds.  Vectorized
-    diff + cumsum; session ids start at 1 per user (matching the SQL
-    window-cumsum oracle exactly)."""
+def session_cuts(group: pa.Table, gap_us: int):
+    """THE session-cut rule both sessionization operators and both SQL
+    oracles must agree on: sort one user's events by (ts, event_id) and
+    start a new session when the gap to the previous event EXCEEDS
+    ``gap_us`` (strictly greater — matches the oracle's ``> 1800000000``).
+    Returns ``(sorted_group, ts_int64_us, new_session_mask)``."""
     order = pc.sort_indices(
         group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
     )
     g = group.take(order)
     ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
     new = np.r_[True, np.diff(ts) > gap_us]
+    return g, ts, new
+
+
+def sessionize_user(group: pa.Table, gap_us: int) -> pa.Table:
+    """Assign per-user session ids inside one user's co-located event
+    group (vectorized cumsum over the shared ``session_cuts`` rule;
+    session ids start at 1 per user, matching the SQL window-cumsum
+    oracle exactly)."""
+    g, _, new = session_cuts(group, gap_us)
     return pa.table(
         {
             "event_id": g["event_id"],

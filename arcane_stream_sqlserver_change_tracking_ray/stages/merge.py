@@ -736,7 +736,7 @@ def apply_change_batch_direct(
         writer = pq.ParquetWriter(path, b.schema, compression=compression)
         try:
             rg = 0
-            for s, e in zip(bounds[:-1], bounds[1:]):
+            for slice_i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
                 sl = b.slice(s, e - s)
                 if sorted_by:
                     sl = sl.sort_by([(c, "ascending") for c in sorted_by])
@@ -756,7 +756,7 @@ def apply_change_batch_direct(
                         # task-level combine remainder is attributed to the
                         # first pid row so the cycle's 'every arriving row
                         # is accounted' invariant holds under pre-combine
-                        "combined_away": combined_away_total if s == 0 else 0,
+                        "combined_away": combined_away_total if slice_i == 0 else 0,
                         "bytes": 0,  # filled from row-group metadata below
                         "files_json": json.dumps([f"{rel}#rg={first_rg}-{rg - 1}"]),
                         "mode": "mor",
