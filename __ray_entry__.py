@@ -2321,6 +2321,36 @@ def cdc_time_travel(sf_dir: str):
     )
 
 
+def cdc_change_feed(sf_dir: str):
+    """Hash-checked CHANGE-DATA-FEED read (the sink-side analog of the
+    ``CHANGETABLE(CHANGES …)`` net feed the reference consumes): replay
+    the events feed in 8 single-segment cycles, then ask the engine for
+    the NET row-level changes committed between the cycle-3 and cycle-6
+    snapshots.  The reader consumes ONLY the delta files appended in the
+    range (cost ∝ changes, not table size) and probes the FROM snapshot
+    just for the touched keys (bloom-assisted point lookups).  The SQL
+    oracle reproduces the two cuts by row_number, takes LWW winners
+    inside the range, and classifies insert/update/delete against the
+    cycle-3 alive set — keys born and deleted inside the range net out."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        read_change_feed_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
+
+    root = tempfile.mkdtemp(prefix="cdc_change_feed_")
+    try:
+        tgt, _ = _replay_events_to_target(sf_dir, root, single_segment_cycles=True)
+        versions = ManifestLog(tgt).versions()
+        out = read_change_feed_table(
+            tgt, from_version=versions[3], to_version=versions[6]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props", "change_type"]
+    )
+
+
 def cdc_cycle_metrics(sf_dir: str):
     """Per-cycle observability (F4) under the value-hash gate: replay
     the events feed in 8 single-segment cycles with the adaptive
@@ -2386,6 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_stream_replay": cdc_stream_replay,
         "cdc_engine_events_replay": cdc_engine_events_replay,
         "cdc_time_travel": cdc_time_travel,
+        "cdc_change_feed": cdc_change_feed,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_net_changes": cdc_net_changes,
@@ -2803,6 +2834,39 @@ def oracle_sql() -> dict[str, str]:
                                                  ORDER BY event_id DESC) urn
                   FROM o, cut WHERE o.rn <= cut.c)
             WHERE urn = 1 AND event_type <> 'error'
+        """,
+        # net change feed between the cycle-3 and cycle-6 cuts: LWW
+        # winners INSIDE the range, classified against the cycle-3 alive
+        # set; winners that are deletes of never-alive keys net out
+        "cdc_change_feed": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cuts AS (
+              SELECT max(3 * ((n + 7) // 8)) AS a,
+                     max(6 * ((n + 7) // 8)) AS b
+              FROM o
+            ), w AS (
+              SELECT * FROM (
+                SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY event_id DESC) urn
+                FROM o, cuts WHERE o.rn > cuts.a AND o.rn <= cuts.b)
+              WHERE urn = 1
+            ), alive AS (
+              SELECT user_id FROM (
+                SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY event_id DESC) urn
+                FROM o, cuts WHERE o.rn <= cuts.a)
+              WHERE urn = 1 AND event_type <> 'error'
+            )
+            SELECT w.user_id, w.event_id AS sys_change_version, w.ts,
+                   w.event_type, w.value, w.props,
+                   CASE WHEN w.event_type = 'error' THEN 'delete'
+                        WHEN alive.user_id IS NOT NULL THEN 'update'
+                        ELSE 'insert' END AS change_type
+            FROM w LEFT JOIN alive ON w.user_id = alive.user_id
+            WHERE NOT (w.event_type = 'error' AND alive.user_id IS NULL)
         """,
         # bootstrap -> stream: plain LWW over ALL events, except rows
         # untouched after the snapshot keep the backfill stamp (the

@@ -377,6 +377,76 @@ def resolve_partition_table(
     return drop_tombstones(lww_table(combined))
 
 
+CHANGE_TYPE_COL = "change_type"
+
+
+def change_feed_partition(
+    target_root: str,
+    appended_entries: list[str],
+    base_at_from: list[str],
+    deltas_at_from: list[str],
+    schema: pa.Schema,
+    drop_meta: bool = True,
+    key_col: str = MERGE_KEY_COL,
+) -> pa.Table:
+    """NET row-level changes of ONE partition between two snapshots —
+    the change-data-feed resolve (SQL Server ``CHANGETABLE(CHANGES t,
+    @from)`` net semantics, the very feed the reference consumes:
+    ``docs/crd.md`` change-tracking contract; Delta-Lake CDF analog).
+
+    Reads ONLY the delta entries appended in ``(from, to]`` (cost ∝
+    changes, never table size), takes the LWW winner per key among
+    them, then probes the FROM snapshot for just those keys (key_filter
+    + bloom sidecars — the same partition-pruned point-lookup path as
+    ``lookup_keys``) to classify:
+
+    - winner is a tombstone, key alive at FROM    -> ``delete``
+    - winner is a tombstone, key absent at FROM   -> net no-op (dropped)
+    - winner is an upsert, key alive at FROM      -> ``update``
+    - winner is an upsert, key absent at FROM     -> ``insert``
+
+    Emits the winner's payload row (for deletes: the tombstone's row —
+    its ``sys_change_version`` is the deleting change's version) plus a
+    ``change_type`` column."""
+    wanted = set(schema.names)
+    tables = [
+        cast_to_schema(read_entry_table(target_root, e, wanted), schema)
+        for e in appended_entries
+    ]
+    tables = [t for t in tables if t.num_rows]
+    out_fields = [f for f in schema] + [pa.field(CHANGE_TYPE_COL, pa.string())]
+    if drop_meta:
+        out_fields = [f for f in out_fields if f.name not in (OP_COL, MERGE_KEY_COL)]
+    empty = pa.schema(out_fields).empty_table()
+    if not tables:
+        return empty
+    changes = lww_table(pa.concat_tables(tables), key_col=key_col)
+    keys = changes[key_col].combine_chunks()
+    prior = resolve_partition_table(
+        target_root,
+        base_at_from,
+        deltas_at_from,
+        schema,
+        key_filter=keys,
+        key_col=key_col,
+        bloom_column=key_col,
+    )
+    existed = pc.is_in(changes[key_col], value_set=prior[key_col].combine_chunks())
+    is_del = pc.equal(pc.coalesce(changes[OP_COL], pa.scalar("U")), OP_DELETE)
+    kind = pc.if_else(
+        is_del,
+        pa.scalar("delete"),
+        pc.if_else(existed, pa.scalar("update"), pa.scalar("insert")),
+    )
+    out = changes.append_column(CHANGE_TYPE_COL, kind)
+    # a key created AND deleted inside the range never existed in either
+    # snapshot: net no-op, exactly like CHANGETABLE's net mode
+    out = out.filter(pc.or_(pc.invert(is_del), existed))
+    if drop_meta:
+        out = out.drop_columns([c for c in (OP_COL, MERGE_KEY_COL) if c in out.column_names])
+    return out.select([f.name for f in out_fields])
+
+
 # ---------------------------------------------------------------------------
 # map_batches stage: pre-combine + route (runs before the shuffle)
 # ---------------------------------------------------------------------------

@@ -245,6 +245,48 @@ class ManifestLog:
             os.close(dirfd)
         return manifest
 
+    def appended_deltas(
+        self, from_version: int, to_version: int
+    ) -> dict[int, list[str]]:
+        """Per-pid delta entries APPENDED by commits in
+        ``(from_version, to_version]`` — the physical change history the
+        change-data-feed reader consumes (analog of SQL Server
+        ``CHANGETABLE(CHANGES t, @from)`` / Delta-Lake CDF).
+
+        Walks each committed manifest in the range and diffs its delta
+        lists against the previous version's, preserving append (==
+        commit == LWW) order.  A maintenance OPTIMIZE inside the range
+        only *removes* entries (folds them into base files), so it never
+        contributes; entries appended before ``from_version`` and folded
+        inside the range are correctly excluded.
+
+        Raises ``ValueError`` when a commit in the range changed data
+        without appending deltas (a copy-on-write merge or a backfill
+        Overwrite): those snapshots carry no row-level change history,
+        exactly like a table rewritten outside CDC."""
+        versions = [v for v in self.versions() if from_version < v <= to_version]
+        if from_version not in self.versions():
+            raise ValueError(f"unknown from_version {from_version}")
+        prev = self.read(from_version)
+        out: dict[int, list[str]] = {}
+        for v in versions:
+            cur = self.read(v)
+            appended_any = False
+            for pid, entries in cur.deltas.items():
+                seen = set(prev.deltas.get(pid, []))
+                new = [e for e in entries if e not in seen]
+                if new:
+                    appended_any = True
+                    out.setdefault(pid, []).extend(new)
+            if not appended_any and int(cur.metrics.get("changes_in", 0) or 0) > 0:
+                raise ValueError(
+                    f"manifest v{v} applied changes without delta history "
+                    "(copy-on-write merge or backfill overwrite); change feed "
+                    "requires the merge-on-read strategy"
+                )
+            prev = cur
+        return out
+
     # ------------------------------------------------------------- cleanup
     def sweep_uncommitted(self) -> list[str]:
         """Startup sweep (reference drops leftover staging tables by prefix,

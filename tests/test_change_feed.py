@@ -1,0 +1,186 @@
+"""Change-data-feed reads (net row-level changes between two snapshots).
+
+The sink-side analog of the very feed the reference consumes upstream:
+SQL Server ``CHANGETABLE(CHANGES t, @from)`` with net semantics — one
+row per key changed in ``(from, to]``, classified insert / update /
+delete, keys created-and-deleted inside the range netting out.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.gen import (
+    segment_path,
+    small_spec,
+    write_ctlog,
+)
+from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+    StreamRunner,
+    read_change_feed,
+    read_change_feed_table,
+    read_target_table,
+)
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    ManifestLog,
+    prepare_watermark,
+)
+
+
+def _seg(ct, lo, rows):
+    """Write one CT segment with rows [(url, version, op, value), ...]."""
+    os.makedirs(ct, exist_ok=True)
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "sys_change_version": pa.array([r[1] for r in rows], pa.int64()),
+            "sys_change_operation": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, segment_path(ct, lo, max(r[1] for r in rows)))
+
+
+def _ctx(ct, tgt, rows):
+    return StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4},
+            "throughput": {"rows_per_group": rows},
+            "maintenance": {"enabled": False},
+        }
+    )
+
+
+def test_change_feed_classifies(tmp_lake):
+    """Hand-planted insert / update / delete / net-no-op / untouched."""
+    ct, tgt, _ = tmp_lake
+    # cycle 1: a,b,c,d born (v1-4)
+    _seg(ct, 0, [("a", 1, "U", 10), ("b", 2, "U", 20), ("c", 3, "U", 30), ("d", 4, "U", 40)])
+    # cycle 2: a updated, b deleted, e inserted, f inserted
+    _seg(ct, 4, [("a", 5, "U", 11), ("b", 6, "D", 0), ("e", 7, "U", 50), ("f", 8, "U", 60)])
+    # cycle 3: f deleted (born + dead inside the range -> net no-op)
+    _seg(ct, 8, [("f", 9, "D", 0)])
+    prepare_watermark(tgt, 0, num_partitions=4)
+    StreamRunner(_ctx(ct, tgt, rows=4)).run()
+    versions = ManifestLog(tgt).versions()
+    assert len(versions) == 4  # v0 + 3 cycles
+
+    feed = read_change_feed_table(tgt, from_version=versions[1])
+    got = {
+        r["url"]: (r["change_type"], r["sys_change_version"], r["value"])
+        for r in feed.to_pylist()
+    }
+    assert got == {
+        "a": ("update", 5, 11),
+        "b": ("delete", 6, 0),  # version = the deleting change's version
+        "e": ("insert", 7, 50),
+    }  # c, d untouched; f netted out
+
+    # bounded upper version: only cycle 2's changes, f still visible as insert
+    feed2 = read_change_feed_table(tgt, from_version=versions[1], to_version=versions[2])
+    got2 = {r["url"]: r["change_type"] for r in feed2.to_pylist()}
+    assert got2 == {"a": "update", "b": "delete", "e": "insert", "f": "insert"}
+
+    # Dataset variant agrees with the driver-side table
+    ds = read_change_feed(tgt, from_version=versions[1])
+    assert sorted(ds.take_all(), key=lambda r: r["url"]) == sorted(
+        feed.to_pylist(), key=lambda r: r["url"]
+    )
+
+    # empty range -> empty feed with the right schema
+    empty = read_change_feed_table(tgt, from_version=versions[-1])
+    assert empty.num_rows == 0 and "change_type" in empty.column_names
+
+
+def test_change_feed_matches_snapshot_diff(tmp_lake):
+    """On a generated multi-cycle stream, the delta-sourced feed must
+    equal the brute-force diff of the two full snapshots."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, 0, num_partitions=8)
+    StreamRunner(_ctx(ct, tgt, rows=300)).run()
+    versions = ManifestLog(tgt).versions()
+    assert len(versions) >= 4
+    v_from, v_to = versions[1], versions[-1]
+
+    feed = read_change_feed_table(tgt, from_version=v_from, to_version=v_to)
+    got = {r["url"]: r["change_type"] for r in feed.to_pylist()}
+
+    def snap(v):
+        t = read_target_table(tgt, drop_meta=False, version=v)
+        return {
+            r["url"]: r["sys_change_version"] for r in t.to_pylist()
+        }
+
+    a, b = snap(v_from), snap(v_to)
+    exp = {}
+    for k in b:
+        if k not in a:
+            exp[k] = "insert"
+        elif b[k] != a[k]:
+            exp[k] = "update"
+    wm_from = ManifestLog(tgt).read(v_from).watermark
+    # deletes: alive at FROM, gone at TO
+    for k in a:
+        if k not in b:
+            exp[k] = "delete"
+    assert got == exp
+    assert feed.num_rows > 0
+    # every change's version postdates the FROM watermark
+    assert all(v > wm_from for v in feed["sys_change_version"].to_pylist())
+
+
+def test_change_feed_rejects_cow_history(tmp_lake):
+    """Copy-on-write snapshots carry no row-level change history — the
+    reader must refuse rather than fabricate a diff."""
+    ct, tgt, _ = tmp_lake
+    _seg(ct, 0, [("a", 1, "U", 1), ("b", 2, "U", 2)])
+    _seg(ct, 2, [("a", 3, "U", 9)])
+    prepare_watermark(tgt, 0, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4, "mergeMode": "cow"},
+            "throughput": {"rows_per_group": 2},
+            "maintenance": {"enabled": False},
+        }
+    )
+    StreamRunner(ctx).run()
+    versions = ManifestLog(tgt).versions()
+    with pytest.raises(ValueError, match="delta history"):
+        read_change_feed_table(tgt, from_version=versions[1])
+
+
+def test_change_feed_survives_optimize(tmp_lake):
+    """An OPTIMIZE fold inside the range removes delta files from the
+    LATEST manifest but not from history — the feed still resolves from
+    the per-cycle manifests (expire_versions is what limits lookback)."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        run_maintenance,
+    )
+
+    ct, tgt, _ = tmp_lake
+    _seg(ct, 0, [("a", 1, "U", 10), ("b", 2, "U", 20)])
+    _seg(ct, 2, [("a", 3, "U", 11), ("c", 4, "U", 30)])
+    prepare_watermark(tgt, 0, num_partitions=4)
+    StreamRunner(_ctx(ct, tgt, rows=2)).run()
+    versions = ManifestLog(tgt).versions()
+    run_maintenance(
+        ManifestLog(tgt),
+        StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+                "sink": {"target_root": tgt, "num_partitions": 4},
+                "maintenance": {"maxDeltasPerPartition": 0},
+            }
+        ),
+    )
+    latest = ManifestLog(tgt).latest()
+    assert not any(latest.deltas.values())  # folded
+    feed = read_change_feed_table(tgt, from_version=versions[1], to_version=versions[2])
+    got = {r["url"]: r["change_type"] for r in feed.to_pylist()}
+    assert got == {"a": "update", "c": "insert"}
