@@ -2351,6 +2351,78 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+def cdc_incremental_matview(sf_dir: str):
+    """Hash-checked INCREMENTAL VIEW MAINTENANCE — the canonical CDC
+    consumer: a per-event_type (n, sum(value_cents)) materialized view
+    built at the cycle-3 snapshot is advanced to cycle 6 using ONLY the
+    change feed with pre-images (insert applies, delete retracts the
+    pre-image, update retracts the pre-image and applies the post-image
+    — rows MOVE between groups when event_type changes).  The oracle
+    recomputes the aggregate directly at the cycle-6 cut; a hash match
+    proves feed-driven maintenance converges to full recompute without
+    rescanning the table.  Money stays in integer cents on both sides
+    (bit-exact sums)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        read_change_feed_table,
+        read_target,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
+
+    def contrib(types, dn, value_col, sign):
+        cents = pc.cast(pc.round(pc.multiply(value_col, 100.0), 0), pa.int64())
+        return pa.table(
+            {
+                "event_type": types,
+                "dn": pa.array(np.full(len(types), dn, np.int64)),
+                "dv": pc.multiply(cents, pa.scalar(sign, pa.int64())),
+            }
+        )
+
+    root = tempfile.mkdtemp(prefix="cdc_ivm_")
+    try:
+        tgt, _ = _replay_events_to_target(sf_dir, root, single_segment_cycles=True)
+        versions = ManifestLog(tgt).versions()
+        v_a, v_b = versions[3], versions[6]
+        # matview @ cycle 3: per-batch partial aggregates (distributed),
+        # folded from tiny (event_type, dn, dv) tables on the driver
+        base = read_target(tgt, version=v_a, columns=["event_type", "value"])
+        parts = base.map_batches(
+            lambda b: contrib(b["event_type"], 1, b["value"], 1)
+            .group_by("event_type")
+            .aggregate([("dn", "sum"), ("dv", "sum")])
+            .rename_columns(["event_type", "dn", "dv"]),
+            batch_format="pyarrow",
+        ).take_all()
+        mv = pa.Table.from_pylist(parts, schema=pa.schema(
+            [("event_type", pa.string()), ("dn", pa.int64()), ("dv", pa.int64())]
+        ))
+        # advance with the pre-imaged net change feed (size ∝ changes)
+        feed = read_change_feed_table(
+            tgt, v_a, v_b, pre_image_columns=("event_type", "value")
+        )
+        post = feed.filter(
+            pc.is_in(feed["change_type"], value_set=pa.array(["insert", "update"]))
+        )
+        pre = feed.filter(
+            pc.is_in(feed["change_type"], value_set=pa.array(["update", "delete"]))
+        )
+        folded = (
+            pa.concat_tables(
+                [
+                    mv,
+                    contrib(post["event_type"].combine_chunks(), 1, post["value"], 1),
+                    contrib(pre["pre_event_type"].combine_chunks(), -1, pre["pre_value"], -1),
+                ]
+            )
+            .group_by("event_type")
+            .aggregate([("dn", "sum"), ("dv", "sum")])
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    folded = folded.rename_columns(["event_type", "n", "value_u"])
+    return folded.filter(pc.greater(folded["n"], 0))
+
+
 def cdc_cycle_metrics(sf_dir: str):
     """Per-cycle observability (F4) under the value-hash gate: replay
     the events feed in 8 single-segment cycles with the adaptive
@@ -2417,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_engine_events_replay": cdc_engine_events_replay,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
+        "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
         "cdc_net_changes": cdc_net_changes,
@@ -2867,6 +2940,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'insert' END AS change_type
             FROM w LEFT JOIN alive ON w.user_id = alive.user_id
             WHERE NOT (w.event_type = 'error' AND alive.user_id IS NULL)
+        """,
+        # incremental view maintenance: the maintained matview must
+        # equal a straight group-by over the cycle-6 LWW alive set
+        "cdc_incremental_matview": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cut AS (
+              SELECT max(6 * ((n + 7) // 8)) AS c FROM o
+            ), w AS (
+              SELECT * FROM (
+                SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY event_id DESC) urn
+                FROM o, cut WHERE o.rn <= cut.c)
+              WHERE urn = 1 AND event_type <> 'error'
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_u
+            FROM w GROUP BY event_type
         """,
         # bootstrap -> stream: plain LWW over ALL events, except rows
         # untouched after the snapshot keep the backfill stamp (the

@@ -907,6 +907,7 @@ def read_change_feed(
     from_version: int,
     to_version: int | None = None,
     drop_meta: bool = True,
+    pre_image_columns: tuple[str, ...] = (),
 ):
     """Change-data-feed read: a Dataset of the NET row-level changes
     committed in ``(from_version, to_version]`` — what a downstream
@@ -919,12 +920,14 @@ def read_change_feed(
     entries appended in the range (``#rg=`` row-group slices — cost ∝
     changes, not table size) and probes the FROM snapshot for just the
     touched keys (partition-pruned, bloom-assisted).  Untouched
-    partitions are never read."""
+    partitions are never read.  *pre_image_columns* adds ``pre_<col>``
+    FROM-snapshot values (null for inserts) for retraction-based
+    incremental consumers."""
     import ray.data
 
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
-        CHANGE_TYPE_COL,
         change_feed_partition,
+        change_feed_schema_fields,
     )
 
     log = ManifestLog(target_root)
@@ -932,9 +935,7 @@ def read_change_feed(
     m_from = log.read(from_version)
     appended = log.appended_deltas(from_version, m_to.version)
     schema = m_to.schema
-    out_fields = [f for f in schema] + [pa.field(CHANGE_TYPE_COL, pa.string())]
-    if drop_meta:
-        out_fields = [f for f in out_fields if f.name not in (OP_COL, MERGE_KEY_COL)]
+    out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     pids = sorted(p for p, v in appended.items() if v)
     if not pids:
         return ray.data.from_arrow(pa.schema(out_fields).empty_table())
@@ -951,6 +952,7 @@ def read_change_feed(
                     deltas_a.get(pid, []),
                     schema,
                     drop_meta=drop_meta,
+                    pre_image_columns=pre_image_columns,
                 )
             )
         return pa.concat_tables(out) if out else pa.schema(out_fields).empty_table()
@@ -966,10 +968,12 @@ def read_change_feed_table(
     from_version: int,
     to_version: int | None = None,
     drop_meta: bool = True,
+    pre_image_columns: tuple[str, ...] = (),
 ) -> pa.Table:
     """Driver-side materialized change feed (tests / small results)."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
         change_feed_partition,
+        change_feed_schema_fields,
     )
 
     log = ManifestLog(target_root)
@@ -984,18 +988,16 @@ def read_change_feed_table(
             m_from.deltas.get(pid, []),
             m_to.schema,
             drop_meta=drop_meta,
+            pre_image_columns=pre_image_columns,
         )
         for pid in sorted(appended)
     ]
     tables = [t for t in tables if t.num_rows]
     if tables:
         return pa.concat_tables(tables)
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import CHANGE_TYPE_COL
-
-    fields = [f for f in m_to.schema] + [pa.field(CHANGE_TYPE_COL, pa.string())]
-    if drop_meta:
-        fields = [f for f in fields if f.name not in (OP_COL, MERGE_KEY_COL)]
-    return pa.schema(fields).empty_table()
+    return pa.schema(
+        change_feed_schema_fields(m_to.schema, drop_meta, pre_image_columns)
+    ).empty_table()
 
 
 def lookup_keys(

@@ -380,6 +380,18 @@ def resolve_partition_table(
 CHANGE_TYPE_COL = "change_type"
 
 
+def change_feed_schema_fields(
+    schema: pa.Schema, drop_meta: bool, pre_image_columns: tuple[str, ...] = ()
+) -> list[pa.Field]:
+    """Output fields of a change-feed read (shared by the per-partition
+    resolver and the Dataset wrapper so empty results keep the schema)."""
+    fields = [f for f in schema] + [pa.field(CHANGE_TYPE_COL, pa.string())]
+    fields += [pa.field(f"pre_{c}", schema.field(c).type) for c in pre_image_columns]
+    if drop_meta:
+        fields = [f for f in fields if f.name not in (OP_COL, MERGE_KEY_COL)]
+    return fields
+
+
 def change_feed_partition(
     target_root: str,
     appended_entries: list[str],
@@ -388,6 +400,7 @@ def change_feed_partition(
     schema: pa.Schema,
     drop_meta: bool = True,
     key_col: str = MERGE_KEY_COL,
+    pre_image_columns: tuple[str, ...] = (),
 ) -> pa.Table:
     """NET row-level changes of ONE partition between two snapshots —
     the change-data-feed resolve (SQL Server ``CHANGETABLE(CHANGES t,
@@ -407,16 +420,20 @@ def change_feed_partition(
 
     Emits the winner's payload row (for deletes: the tombstone's row —
     its ``sys_change_version`` is the deleting change's version) plus a
-    ``change_type`` column."""
+    ``change_type`` column.  *pre_image_columns* additionally attaches
+    the FROM-snapshot value of those columns as ``pre_<name>`` (null for
+    inserts) — what an incremental consumer needs to RETRACT the old
+    contribution of an updated/deleted row (materialized-view
+    maintenance; Delta CDF ``update_preimage`` analog).  The pre-images
+    come from the prior-snapshot probe already performed for
+    classification, so they cost no extra reads."""
     wanted = set(schema.names)
     tables = [
         cast_to_schema(read_entry_table(target_root, e, wanted), schema)
         for e in appended_entries
     ]
     tables = [t for t in tables if t.num_rows]
-    out_fields = [f for f in schema] + [pa.field(CHANGE_TYPE_COL, pa.string())]
-    if drop_meta:
-        out_fields = [f for f in out_fields if f.name not in (OP_COL, MERGE_KEY_COL)]
+    out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     empty = pa.schema(out_fields).empty_table()
     if not tables:
         return empty
@@ -431,7 +448,8 @@ def change_feed_partition(
         key_col=key_col,
         bloom_column=key_col,
     )
-    existed = pc.is_in(changes[key_col], value_set=prior[key_col].combine_chunks())
+    prior_keys = prior[key_col].combine_chunks()
+    existed = pc.is_in(changes[key_col], value_set=prior_keys)
     is_del = pc.equal(pc.coalesce(changes[OP_COL], pa.scalar("U")), OP_DELETE)
     kind = pc.if_else(
         is_del,
@@ -439,6 +457,10 @@ def change_feed_partition(
         pc.if_else(existed, pa.scalar("update"), pa.scalar("insert")),
     )
     out = changes.append_column(CHANGE_TYPE_COL, kind)
+    if pre_image_columns:
+        idx = pc.index_in(changes[key_col], value_set=prior_keys)
+        for c in pre_image_columns:  # null index -> null pre-image (inserts)
+            out = out.append_column(f"pre_{c}", prior[c].combine_chunks().take(idx))
     # a key created AND deleted inside the range never existed in either
     # snapshot: net no-op, exactly like CHANGETABLE's net mode
     out = out.filter(pc.or_(pc.invert(is_del), existed))

@@ -95,6 +95,17 @@ def test_change_feed_classifies(tmp_lake):
     empty = read_change_feed_table(tgt, from_version=versions[-1])
     assert empty.num_rows == 0 and "change_type" in empty.column_names
 
+    # pre-images: FROM-snapshot values for update/delete, null for insert
+    pre = read_change_feed_table(
+        tgt, from_version=versions[1], pre_image_columns=("value",)
+    )
+    got_pre = {r["url"]: r["pre_value"] for r in pre.to_pylist()}
+    assert got_pre == {"a": 10, "b": 20, "e": None}
+    empty_pre = read_change_feed_table(
+        tgt, from_version=versions[-1], pre_image_columns=("value",)
+    )
+    assert "pre_value" in empty_pre.column_names and empty_pre.num_rows == 0
+
 
 def test_change_feed_matches_snapshot_diff(tmp_lake):
     """On a generated multi-cycle stream, the delta-sourced feed must
@@ -132,6 +143,35 @@ def test_change_feed_matches_snapshot_diff(tmp_lake):
     assert feed.num_rows > 0
     # every change's version postdates the FROM watermark
     assert all(v > wm_from for v in feed["sys_change_version"].to_pylist())
+
+
+def test_change_feed_incremental_matview(tmp_lake):
+    """The CDC-consumer contract: matview@FROM + apply/retract from the
+    pre-imaged feed == full recompute@TO (per-lang row counts)."""
+    import collections
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, 0, num_partitions=8)
+    StreamRunner(_ctx(ct, tgt, rows=300)).run()
+    versions = ManifestLog(tgt).versions()
+    v_from, v_to = versions[1], versions[-1]
+    mv = collections.Counter(
+        read_target_table(tgt, version=v_from)["lang"].to_pylist()
+    )
+    feed = read_change_feed_table(
+        tgt, v_from, v_to, pre_image_columns=("lang",)
+    )
+    assert feed.num_rows > 0
+    for r in feed.to_pylist():
+        if r["change_type"] in ("insert", "update"):
+            mv[r["lang"]] += 1
+        if r["change_type"] in ("update", "delete"):
+            mv[r["pre_lang"]] -= 1  # deletes null payload; pre-image carries it
+    want = collections.Counter(
+        read_target_table(tgt, version=v_to)["lang"].to_pylist()
+    )
+    assert {k: v for k, v in mv.items() if v} == dict(want)
 
 
 def test_change_feed_rejects_cow_history(tmp_lake):
