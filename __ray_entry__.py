@@ -2351,6 +2351,38 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+def cdc_change_feed_all(sf_dir: str):
+    """Hash-checked ALL-CHANGES feed (``cdc.fn_cdc_get_all_changes``
+    analog): every persisted change row committed between the cycle-3
+    and cycle-6 snapshots, with its logged operation — per-change
+    history, not per-key winners.  The adaptive pre-combine is disabled
+    (``precombineDupThreshold`` > 1, the same knob the exact cycle
+    counters use) so the persisted history is raw per-event; the oracle
+    is simply the feed rows between the two row_number cuts."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        read_change_feed_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
+
+    root = tempfile.mkdtemp(prefix="cdc_cdf_all_")
+    try:
+        tgt, _ = _replay_events_to_target(
+            sf_dir,
+            root,
+            extra={"sink": {"precombineDupThreshold": 2.0}},
+            single_segment_cycles=True,
+        )
+        versions = ManifestLog(tgt).versions()
+        out = read_change_feed_table(
+            tgt, from_version=versions[3], to_version=versions[6], net=False
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props", "change_type"]
+    )
+
+
 def cdc_incremental_matview(sf_dir: str):
     """Hash-checked INCREMENTAL VIEW MAINTENANCE — the canonical CDC
     consumer: a per-event_type (n, sum(value_cents)) materialized view
@@ -2489,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_engine_events_replay": cdc_engine_events_replay,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
+        "cdc_change_feed_all": cdc_change_feed_all,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -2940,6 +2973,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'insert' END AS change_type
             FROM w LEFT JOIN alive ON w.user_id = alive.user_id
             WHERE NOT (w.event_type = 'error' AND alive.user_id IS NULL)
+        """,
+        # all-changes history: every feed row between the two cuts with
+        # its logged op (U->update, D->delete; the feed logs no inserts)
+        "cdc_change_feed_all": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cuts AS (
+              SELECT max(3 * ((n + 7) // 8)) AS a,
+                     max(6 * ((n + 7) // 8)) AS b
+              FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'update' END AS change_type
+            FROM o, cuts WHERE o.rn > cuts.a AND o.rn <= cuts.b
         """,
         # incremental view maintenance: the maintained matview must
         # equal a straight group-by over the cycle-6 LWW alive set

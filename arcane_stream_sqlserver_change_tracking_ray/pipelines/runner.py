@@ -908,6 +908,7 @@ def read_change_feed(
     to_version: int | None = None,
     drop_meta: bool = True,
     pre_image_columns: tuple[str, ...] = (),
+    net: bool = True,
 ):
     """Change-data-feed read: a Dataset of the NET row-level changes
     committed in ``(from_version, to_version]`` — what a downstream
@@ -922,14 +923,19 @@ def read_change_feed(
     touched keys (partition-pruned, bloom-assisted).  Untouched
     partitions are never read.  *pre_image_columns* adds ``pre_<col>``
     FROM-snapshot values (null for inserts) for retraction-based
-    incremental consumers."""
+    incremental consumers.  ``net=False`` returns ALL persisted change
+    rows in the range instead of per-key winners
+    (``cdc.fn_cdc_get_all_changes`` analog; no snapshot probe at all)."""
     import ray.data
 
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        change_feed_all_partition,
         change_feed_partition,
         change_feed_schema_fields,
     )
 
+    if not net and pre_image_columns:
+        raise ValueError("pre_image_columns requires net=True (per-key winners)")
     log = ManifestLog(target_root)
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
     m_from = log.read(from_version)
@@ -944,17 +950,24 @@ def read_change_feed(
     def feed(batch: pa.Table) -> pa.Table:
         out = []
         for pid in batch["pid"].to_pylist():
-            out.append(
-                change_feed_partition(
-                    target_root,
-                    appended[pid],
-                    base_a.get(pid, []),
-                    deltas_a.get(pid, []),
-                    schema,
-                    drop_meta=drop_meta,
-                    pre_image_columns=pre_image_columns,
+            if net:
+                out.append(
+                    change_feed_partition(
+                        target_root,
+                        appended[pid],
+                        base_a.get(pid, []),
+                        deltas_a.get(pid, []),
+                        schema,
+                        drop_meta=drop_meta,
+                        pre_image_columns=pre_image_columns,
+                    )
                 )
-            )
+            else:
+                out.append(
+                    change_feed_all_partition(
+                        target_root, appended[pid], schema, drop_meta=drop_meta
+                    )
+                )
         return pa.concat_tables(out) if out else pa.schema(out_fields).empty_table()
 
     return (
@@ -969,13 +982,17 @@ def read_change_feed_table(
     to_version: int | None = None,
     drop_meta: bool = True,
     pre_image_columns: tuple[str, ...] = (),
+    net: bool = True,
 ) -> pa.Table:
     """Driver-side materialized change feed (tests / small results)."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        change_feed_all_partition,
         change_feed_partition,
         change_feed_schema_fields,
     )
 
+    if not net and pre_image_columns:
+        raise ValueError("pre_image_columns requires net=True (per-key winners)")
     log = ManifestLog(target_root)
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
     m_from = log.read(from_version)
@@ -989,6 +1006,10 @@ def read_change_feed_table(
             m_to.schema,
             drop_meta=drop_meta,
             pre_image_columns=pre_image_columns,
+        )
+        if net
+        else change_feed_all_partition(
+            target_root, appended[pid], m_to.schema, drop_meta=drop_meta
         )
         for pid in sorted(appended)
     ]

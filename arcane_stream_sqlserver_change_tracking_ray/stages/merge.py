@@ -469,6 +469,45 @@ def change_feed_partition(
     return out.select([f.name for f in out_fields])
 
 
+def change_feed_all_partition(
+    target_root: str,
+    appended_entries: list[str],
+    schema: pa.Schema,
+    drop_meta: bool = True,
+) -> pa.Table:
+    """ALL row-level changes of one partition appended in ``(from, to]``
+    — the per-change history as persisted (``cdc.fn_cdc_get_all_changes``
+    analog; :func:`change_feed_partition` above is the NET mode that
+    collapses to per-key winners).  ``change_type`` surfaces each row's
+    logged operation (I/U/D → insert/update/delete) — source-claimed,
+    not snapshot-relative.  Under the adaptive pre-combine the persisted
+    history is the per-push LWW survivors; replay with
+    ``precombine_dup_threshold > 1`` when raw per-event fidelity is
+    required (same knob the exact cycle counters need)."""
+    wanted = set(schema.names)
+    tables = [
+        cast_to_schema(read_entry_table(target_root, e, wanted), schema)
+        for e in appended_entries
+    ]
+    tables = [t for t in tables if t.num_rows]
+    out_fields = change_feed_schema_fields(schema, drop_meta)
+    if not tables:
+        return pa.schema(out_fields).empty_table()
+    rows = pa.concat_tables(tables)
+    op = pc.coalesce(rows[OP_COL], pa.scalar("U"))
+    kind = pc.if_else(
+        pc.equal(op, OP_DELETE),
+        pa.scalar("delete"),
+        pc.if_else(pc.equal(op, "I"), pa.scalar("insert"), pa.scalar("update")),
+    )
+    out = rows.append_column(CHANGE_TYPE_COL, kind)
+    if drop_meta:
+        out = out.drop_columns(
+            [c for c in (OP_COL, MERGE_KEY_COL) if c in out.column_names]
+        )
+    return out.select([f.name for f in out_fields])
+
+
 # ---------------------------------------------------------------------------
 # map_batches stage: pre-combine + route (runs before the shuffle)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,25 @@ def test_change_feed_classifies(tmp_lake):
     empty = read_change_feed_table(tgt, from_version=versions[-1])
     assert empty.num_rows == 0 and "change_type" in empty.column_names
 
+    # all-changes mode: every persisted change row in the range, the
+    # logged op surfaced as-is (f appears twice: its upsert AND delete)
+    allf = read_change_feed_table(tgt, from_version=versions[1], net=False)
+    got_all = sorted(
+        (r["url"], r["sys_change_version"], r["change_type"])
+        for r in allf.to_pylist()
+    )
+    assert got_all == [
+        ("a", 5, "update"),
+        ("b", 6, "delete"),
+        ("e", 7, "update"),
+        ("f", 8, "update"),
+        ("f", 9, "delete"),
+    ]
+    with pytest.raises(ValueError, match="net=True"):
+        read_change_feed_table(
+            tgt, from_version=versions[1], net=False, pre_image_columns=("value",)
+        )
+
     # pre-images: FROM-snapshot values for update/delete, null for insert
     pre = read_change_feed_table(
         tgt, from_version=versions[1], pre_image_columns=("value",)
