@@ -38,6 +38,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     TokenCountStage,
     _stopword_regex,
     contamination_counts,
+    escape_html_text,
     rolling_window_hashes,
 )
 from arcane_stream_sqlserver_change_tracking_ray.types import (
@@ -389,8 +390,6 @@ class _PageHtmlBuilder:
     an exact round trip (input_hint: byte-identical extracted text)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from arcane_stream_sqlserver_change_tracking_ray.functions.text import escape_html_text
-
         n = batch.num_rows
         esc = escape_html_text(batch["text"])
         doc_s = pc.cast(batch["doc_id"], pa.string())
@@ -2351,6 +2350,39 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+def cdc_snapshot_export(sf_dir: str):
+    """Hash-checked RESUMABLE SNAPSHOT EXPORT: replay the events feed
+    through the full engine, then ``export_snapshot`` — a consistent
+    AS-OF publish to plain pid-partitioned parquet that consumers read
+    WITHOUT the manifest/MoR machinery (Iceberg snapshot-export analog;
+    per-partition atomic tmp→rename writes, finished partitions skipped
+    on re-run).  The query reads the EXPORTED files back, so a hash
+    match certifies the export path end-to-end against plain LWW SQL."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        export_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_export_")
+    try:
+        tgt, _ = _replay_events_to_target(sf_dir, root)
+        out_dir = f"{root}/export"
+        export_snapshot(tgt, out_dir)
+        parts = [
+            pq.read_table(p)
+            for p in sorted(glob.glob(f"{out_dir}/pid=*/part-0.parquet"))
+        ]
+        out = pa.concat_tables([t for t in parts if t.num_rows])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 def cdc_change_feed_all(sf_dir: str):
     """Hash-checked ALL-CHANGES feed (``cdc.fn_cdc_get_all_changes``
     analog): every persisted change row committed between the cycle-3
@@ -2522,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
         "cdc_change_feed_all": cdc_change_feed_all,
+        "cdc_snapshot_export": cdc_snapshot_export,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -2918,6 +2951,13 @@ def oracle_sql() -> dict[str, str]:
         # manifest commits -> merge-on-read read) replaying the events
         # table as its change feed must converge to plain LWW SQL
         "cdc_engine_events_replay": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # the exported files must round-trip the same LWW state
+        "cdc_snapshot_export": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     _FNV64,
     _hash_utf8,
+    rolling_window_hashes,
     split_words,
     words_flat,
 )
@@ -110,8 +111,6 @@ def poly_word_hashes(flat: pa.Array) -> np.ndarray:
     SQL-oracle-expressible hash, same definition as
     ``text.rolling_window_hashes`` with a whole-string window).
     Empty words hash to 0."""
-    from .text import rolling_window_hashes
-
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     # one whole-string window per non-empty word

@@ -1067,6 +1067,91 @@ def lookup_keys(
     return pa.concat_tables(tables)
 
 
+def export_snapshot(
+    target_root: str,
+    out_dir: str,
+    version: int | None = None,
+    drop_meta: bool = True,
+    compression: str = "zstd",
+) -> dict:
+    """Publish a CONSISTENT snapshot of the target AS OF *version* to a
+    partitioned parquet directory (``pid=<n>/part-0.parquet``) that
+    plain consumers can read without the manifest/MoR machinery — the
+    Iceberg snapshot-export analog.
+
+    RESUMABLE by construction: each partition writes to a temp file and
+    ``os.replace``s it into place (atomic on POSIX), and partitions
+    whose output file already exists are SKIPPED — a failed/killed
+    export is simply re-run and only the missing partitions are
+    produced.  Zero-row partitions still write an (empty) file so a
+    resume can tell "done, empty" from "not done".  A ``_SUCCESS``
+    marker recording the exported manifest version is written last.
+
+    Runs as one Ray task per partition (the same per-pid resolve the
+    readers use — partition-pruned, no shuffle); returns
+    ``{"partitions": n, "skipped": k, "rows": total}``."""
+    import json
+    import os
+
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        resolve_partition_table,
+    )
+
+    log = ManifestLog(target_root)
+    m = log.read(version) if version is not None else log.require_watermark()
+    os.makedirs(out_dir, exist_ok=True)
+    pids = sorted(m.partition_pids())
+    schema = m.schema
+    out_names = [
+        n for n in schema.names
+        if not drop_meta or n not in (OP_COL, MERGE_KEY_COL)
+    ]
+    base, deltas = dict(m.partitions), dict(m.deltas)
+
+    def export_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        stats = []
+        for pid in batch["pid"].to_pylist():
+            part_dir = os.path.join(out_dir, f"pid={pid}")
+            final = os.path.join(part_dir, "part-0.parquet")
+            if os.path.exists(final):  # finished by a previous run
+                stats.append({"pid": pid, "rows": -1, "skipped": True})
+                continue
+            t = resolve_partition_table(
+                target_root, base.get(pid, []), deltas.get(pid, []), schema
+            ).select(out_names)
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            pq.write_table(t, tmp, compression=compression)
+            os.replace(tmp, final)  # atomic: readers never see a partial file
+            stats.append({"pid": pid, "rows": t.num_rows, "skipped": False})
+        return pa.Table.from_pylist(
+            stats,
+            schema=pa.schema(
+                [("pid", pa.int64()), ("rows", pa.int64()), ("skipped", pa.bool_())]
+            ),
+        )
+
+    if not pids:
+        results = []
+    else:
+        results = (
+            ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+            .map_batches(export_one, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+    with open(os.path.join(out_dir, "_SUCCESS"), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"manifest_version": m.version, "watermark": m.watermark}))
+    return {
+        "partitions": len(results),
+        "skipped": sum(1 for r in results if r["skipped"]),
+        "rows": sum(r["rows"] for r in results if not r["skipped"]),
+    }
+
+
 def get_watermark(target_root: str) -> int:
     """Testkit analog of the reference's ``getWatermark``."""
     return ManifestLog(target_root).require_watermark().watermark
@@ -1080,5 +1165,6 @@ __all__ = [
     "read_target_table",
     "read_change_feed",
     "read_change_feed_table",
+    "export_snapshot",
     "get_watermark",
 ]

@@ -34,6 +34,10 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
     cast_to_schema,
     column_summary,
 )
+from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+    resolve_partition_table,
+    write_partition_files,
+)
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest, ManifestLog
 
 
@@ -99,11 +103,6 @@ class CompactPartition:
         self.bloom_columns = bloom_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
-            resolve_partition_table,
-            write_partition_files,
-        )
-
         out_pids, out_files = [], []
         for pid in batch["pid"].to_pylist():
             merged = resolve_partition_table(
