@@ -193,6 +193,26 @@ def test_change_feed_incremental_matview(tmp_lake):
     assert {k: v for k, v in mv.items() if v} == dict(want)
 
 
+def test_change_feed_across_schema_migration(tmp_lake):
+    """A range spanning an additive migration: the feed carries the TO
+    schema; changes persisted before the column existed read back null."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec(add_column_at=500))
+    prepare_watermark(tgt, 0, num_partitions=8)
+    StreamRunner(_ctx(ct, tgt, rows=250)).run()
+    versions = ManifestLog(tgt).versions()
+    # all-changes mode: every persisted row in range appears, so both
+    # sides of the migration boundary are guaranteed represented
+    feed = read_change_feed_table(tgt, from_version=versions[1], net=False)
+    assert "title" in feed.column_names
+    rows = [r for r in feed.to_pylist() if r["change_type"] != "delete"]
+    pre = [r for r in rows if r["sys_change_version"] < 500]
+    post = [r for r in rows if r["sys_change_version"] >= 500]
+    assert pre and post  # the range really spans the migration
+    assert all(r["title"] is None for r in pre)
+    assert all(r["title"] is not None for r in post)
+
+
 def test_change_feed_rejects_cow_history(tmp_lake):
     """Copy-on-write snapshots carry no row-level change history — the
     reader must refuse rather than fabricate a diff."""
