@@ -439,11 +439,17 @@ def change_feed_partition(
         return empty
     changes = lww_table(pa.concat_tables(tables), key_col=key_col)
     keys = changes[key_col].combine_chunks()
+    # the FROM-snapshot probe needs only existence (key/version/op for
+    # the LWW resolve) plus any requested pre-image columns — never the
+    # full payload (html/text dominate a webtext row; reading them here
+    # would make feed cost grow with row width for no reason)
+    probe_need = {key_col, VERSION_COL, OP_COL} | set(pre_image_columns)
+    probe_schema = pa.schema([f for f in schema if f.name in probe_need])
     prior = resolve_partition_table(
         target_root,
         base_at_from,
         deltas_at_from,
-        schema,
+        probe_schema,
         key_filter=keys,
         key_col=key_col,
         bloom_column=key_col,
