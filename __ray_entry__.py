@@ -1805,11 +1805,21 @@ def ann_cosine_topk(sf_dir: str):
 
 
 def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed ANN variant (scale path; recall < 1 by design)."""
+    """LSH-bucketed ANN under the VALUE-HASH gate: ±1 (Rademacher)
+    hyperplanes from a splitmix-style integer hash over fixed-point
+    (1e-4) quantized embeddings make every bucket bit an exact integer
+    sign — the DuckDB oracle replays bucketing, radius-1 probing and the
+    cosine ranking bit-for-bit (gaussian planes + float dots cannot
+    guarantee the sign of a near-zero float sum across engines).  Scan
+    cost is still ~2^planes below brute force; the probed candidates'
+    scores use the same float64 path `ann_cosine_topk` already proved
+    engine-equal at 6-decimal rounding."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import lsh_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, _query_vectors(sf_dir), k=10, probe_radius=2)
+    return lsh_topk(
+        ds, _query_vectors(sf_dir), k=10, probe_radius=1, plane_kind="rademacher"
+    )
 
 
 def ann_ivf_topk(sf_dir: str):
@@ -1835,8 +1845,10 @@ def neardup_cosine_exact(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via LSH bucketing (rows-only; the
-    bucketed variant trades recall for a ~2^planes scan reduction)."""
+    """Embedding-cosine near-dup pairs via LSH bucketing, under the
+    VALUE-HASH gate: exact integer Rademacher bucketing (see
+    ``ann_lsh_topk``) + float64 in-bucket cosine — the oracle self-joins
+    on the same buckets and must produce the identical pair set."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
         embedding_neardup_pairs,
     )
@@ -1844,7 +1856,9 @@ def embedding_neardup(sf_dir: str):
     # the synthetic embeddings have no true near-dups (max pairwise cosine
     # ~0.51), so use a threshold that surfaces the closest pairs
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.4, planes=4)
+    return embedding_neardup_pairs(
+        ds, threshold=0.4, planes=4, plane_kind="rademacher"
+    )
 
 
 # ===========================================================================
@@ -2803,8 +2817,47 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _rademacher_values_sql(d: int, planes: int, seed: int = 42) -> str:
+    """The ±1 plane matrix as an SQL VALUES list — the LSH oracle shares
+    the plane CONSTANTS (like thresholds/query ids) but recomputes
+    quantization, bucket bits, probing and ranking independently."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        rademacher_planes,
+    )
+
+    pl = rademacher_planes(d, planes, seed)
+    return ",".join(
+        f"({i + 1},{p},{int(pl[i, p])})" for i in range(d) for p in range(planes)
+    )
+
+
+def _lsh_bucket_cte(d: int, planes: int) -> str:
+    """Shared oracle CTEs: fixed-point quantization (floor(x*1e4+0.5),
+    every step correctly-rounded IEEE so numpy and DuckDB agree), exact
+    integer dot signs per ±1 plane, bucket = sum(bit << p)."""
+    return f"""
+            pl(i, p, s) AS (VALUES {{values}}),
+            qd AS (
+              SELECT vec_id, g.i AS i,
+                     CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5)
+                          AS BIGINT) AS qv
+              FROM embeddings, generate_series(1, {d}) g(i)
+            ),
+            bits AS (
+              SELECT qd.vec_id, pl.p,
+                     CASE WHEN sum(qd.qv * pl.s) > 0 THEN 1 ELSE 0 END AS bit
+              FROM qd JOIN pl ON pl.i = qd.i GROUP BY qd.vec_id, pl.p
+            ),
+            bkt AS (
+              SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
+              FROM bits GROUP BY vec_id
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = _stopword_regex(STOPWORDS["en"])
+    lsh_cte = _lsh_bucket_cte(64, 8).format(values=_rademacher_values_sql(64, 8))
+    nd_cte = _lsh_bucket_cte(64, 4).format(values=_rademacher_values_sql(64, 4))
     return {
         "cdc_lww_upsert": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
@@ -3611,6 +3664,57 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
+        """,
+        # exact LSH ANN: integer Rademacher bucketing replayed in SQL,
+        # radius-1 probing via bit flips, same float64 cosine ranking as
+        # ann_cosine_topk (engine-equal at 6-decimal rounding)
+        "ann_lsh_topk": f"""
+            WITH {lsh_cte},
+            probes AS (
+              -- the engine filters once with the UNION of every query's
+              -- probe set (batch LSH), then scores all candidates
+              -- against all queries — the oracle does the same
+              SELECT bucket AS pb FROM bkt WHERE vec_id IN (0, 1)
+              UNION
+              SELECT xor(b.bucket, CAST(1::BIGINT << f.j AS BIGINT))
+              FROM bkt b, generate_series(0, 7) f(j) WHERE b.vec_id IN (0, 1)
+            ),
+            q AS (
+              SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ),
+            cand AS (
+              SELECT DISTINCT d.vec_id
+              FROM probes p JOIN bkt d ON d.bucket = p.pb
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) DESC,
+                                c.vec_id ASC
+                     ) rn
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              CROSS JOIN q
+            )
+            SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
+        """,
+        # exact LSH near-dup: same integer bucketing (4 planes), pairs
+        # only within a bucket, float64 cosine at the 0.4 threshold
+        "embedding_neardup": f"""
+            WITH {nd_cte}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(cast(ea.embedding AS double[]),
+                                                cast(eb.embedding AS double[])), 6)
+                     AS cosine
+            FROM bkt a
+            JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(cast(ea.embedding AS double[]),
+                                         cast(eb.embedding AS double[])) >= 0.4
         """,
         "multimodal_meta": "SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes FROM documents",
         # exact n-gram Jaccard: the SQL computes the same distinct word-

@@ -134,6 +134,42 @@ def hyperplanes(d: int, planes: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((d, planes)).astype(np.float32)
 
 
+QUANT_SCALE = 10_000  #: fixed-point scale for the exact (oracle-able) LSH
+
+
+def rademacher_planes(d: int, planes: int = 8, seed: int = 42) -> np.ndarray:
+    """±1 hyperplanes from a splitmix64-style integer hash — sign-random
+    projections (Achlioptas-sparse / Rademacher LSH) whose bucket bits
+    are EXACT integer arithmetic, so an SQL oracle reproduces them
+    bit-for-bit (gaussian planes + float dots cannot guarantee the sign
+    of a near-zero float sum across engines)."""
+    x = np.arange(d * planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+    return np.where((x & np.uint64(1)).astype(bool), 1, -1).astype(
+        np.int64
+    ).reshape(d, planes)
+
+
+def quantize_embeddings(x: np.ndarray, scale: int = QUANT_SCALE) -> np.ndarray:
+    """int64 fixed-point view: ``floor(x*scale + 0.5)`` — every step
+    (float32→float64 widening, one multiply, one add, floor) is
+    correctly rounded IEEE, so numpy and SQL engines agree exactly."""
+    return np.floor(x.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def bucket_of_int(x: np.ndarray, planes_pm1: np.ndarray) -> np.ndarray:
+    """Bucket ids from EXACT integer dot products with ±1 planes:
+    bit p = (q · s_p) > 0.  No float appears anywhere."""
+    bits = (quantize_embeddings(x) @ planes_pm1) > 0  # (n, planes) int64 math
+    weights = (1 << np.arange(planes_pm1.shape[1], dtype=np.int64))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.int64)
+
+
 def bucket_of(x: np.ndarray, planes_mat: np.ndarray) -> np.ndarray:
     bits = (x @ planes_mat) > 0  # (n, planes)
     weights = (1 << np.arange(planes_mat.shape[1], dtype=np.int64))[None, :]
@@ -148,11 +184,25 @@ class AssignBucket:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        x = _normalize(embedding_matrix(batch[self.emb_col]))
-        return batch.append_column("_bucket", pa.array(bucket_of(x, self.planes)))
+        x = embedding_matrix(batch[self.emb_col])
+        if self.planes.dtype == np.int64:  # ±1 planes: exact integer path
+            b = bucket_of_int(x, self.planes)
+        else:
+            b = bucket_of(_normalize(x), self.planes)
+        return batch.append_column("_bucket", pa.array(b))
 
 
-def bucketize_embeddings(ds, planes=8, seed=42, emb_col="embedding", dim=None):
+def make_planes(d: int, planes: int, seed: int, kind: str) -> np.ndarray:
+    if kind == "rademacher":
+        return rademacher_planes(d, planes, seed)
+    if kind == "gaussian":
+        return hyperplanes(d, planes, seed)
+    raise ValueError(f"unknown plane kind {kind!r}")
+
+
+def bucketize_embeddings(
+    ds, planes=8, seed=42, emb_col="embedding", dim=None, plane_kind="gaussian"
+):
     """Assign the deterministic LSH bucket id as a PERSISTENT ``_bucket``
     column.  At scale, run once and ``write_parquet`` the result (ideally
     partitioned by ``_bucket``): searches then reuse the stored index
@@ -162,7 +212,7 @@ def bucketize_embeddings(ds, planes=8, seed=42, emb_col="embedding", dim=None):
     import ray
 
     d = dim if dim is not None else embedding_dim(ds, emb_col)
-    pl_ref = ray.put(hyperplanes(d, planes, seed))
+    pl_ref = ray.put(make_planes(d, planes, seed, plane_kind))
 
     def assign(batch: pa.Table) -> pa.Table:
         return AssignBucket(pl_ref, emb_col=emb_col)(batch)
@@ -170,7 +220,7 @@ def bucketize_embeddings(ds, planes=8, seed=42, emb_col="embedding", dim=None):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding", planes=8, probe_radius=1, seed=42, dim=None):
+def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding", planes=8, probe_radius=1, seed=42, dim=None, plane_kind="gaussian"):
     """IVF/LSH-style ANN: scan only buckets within *probe_radius* bit
     flips of each query's bucket.  Recall < 1 by construction; the
     bucket filter runs as a vectorized predicate inside map_batches.
@@ -180,10 +230,13 @@ def lsh_topk(ds, queries: np.ndarray, k=10, id_col="vec_id", emb_col="embedding"
     the SAME planes/seed), assignment is skipped entirely."""
     import ray
 
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    d = dim or q.shape[1]
-    pl = hyperplanes(d, planes, seed)
-    qb = bucket_of(q, pl)
+    qraw = np.asarray(queries, dtype=np.float32)
+    d = dim or qraw.shape[1]
+    pl = make_planes(d, planes, seed, plane_kind)
+    if plane_kind == "rademacher":
+        qb = bucket_of_int(qraw, pl)
+    else:
+        qb = bucket_of(_normalize(qraw), pl)
     # candidate buckets per query: exact bucket + all within probe_radius flips
     probe: set[int] = set()
     for b in qb.tolist():
@@ -236,7 +289,7 @@ def embedding_dim(ds, emb_col: str = "embedding") -> int:
 
 def embedding_neardup_pairs(
     ds, threshold=0.95, id_col="vec_id", emb_col="embedding", planes=6, seed=42,
-    dim: int | None = None, max_bucket: int = 8192,
+    dim: int | None = None, max_bucket: int = 8192, plane_kind="gaussian",
 ):
     """All pairs (id_a < id_b) with cosine >= threshold.
 
@@ -248,10 +301,12 @@ def embedding_neardup_pairs(
     import ray
 
     d = dim if dim is not None else embedding_dim(ds, emb_col)
-    pl_ref = ray.put(hyperplanes(d, planes, seed))
+    pl_ref = ray.put(make_planes(d, planes, seed, plane_kind))
 
     def pairs(group: pa.Table) -> pa.Table:
-        x = _normalize(embedding_matrix(group[emb_col]))
+        # float64 like BruteForceTopK: normalize-then-dot in f64 matches
+        # SQL list_cosine_similarity at 6-decimal rounding
+        x = _normalize(embedding_matrix(group[emb_col]).astype(np.float64))
         ids = group[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         x, ids = x[order], ids[order]

@@ -304,6 +304,48 @@ def test_lsh_topk_prebucketed_equals_inline():
     pd.testing.assert_frame_equal(inline, pre)
 
 
+def test_rademacher_bucketing_exact_and_recall():
+    """The oracle-able LSH variant: ±1 planes over fixed-point quantized
+    embeddings — buckets must equal an independent integer recompute,
+    and recall stays comparable to the gaussian path."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        bucket_of_int,
+        quantize_embeddings,
+        rademacher_planes,
+    )
+
+    tbl, x = _embeddings_table()
+    pl = rademacher_planes(x.shape[1], 8, 42)
+    assert set(np.unique(pl)) == {-1, 1}
+    # independent recompute: per-row Python-int dot (no numpy overflow
+    # semantics), sign, bit-pack
+    q = quantize_embeddings(x)
+    expect = []
+    for row in q:
+        b = 0
+        for p in range(8):
+            dot = sum(int(v) * int(s) for v, s in zip(row, pl[:, p]))
+            if dot > 0:
+                b |= 1 << p
+        expect.append(b)
+    assert bucket_of_int(x, pl).tolist() == expect
+
+    queries = x[:3].astype(np.float64)
+    ds = ray.data.from_arrow(tbl)
+    brute = brute_force_topk(ds, queries, k=10).to_pandas()
+    lsh = lsh_topk(
+        ds, queries, k=10, planes=8, probe_radius=2, plane_kind="rademacher"
+    ).to_pandas()
+    recalls = []
+    for qi in range(3):
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        l = set(lsh[lsh.query_id == qi]["vec_id"])
+        recalls.append(len(b & l) / len(b))
+    assert min(recalls) >= 0.3
+
+
 def test_embedding_neardup_planted():
     """Planted near-identical vectors are found with exact cosines."""
     import ray.data
