@@ -938,8 +938,10 @@ def read_change_feed(
         raise ValueError("pre_image_columns requires net=True (per-key winners)")
     log = ManifestLog(target_root)
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
-    m_from = log.read(from_version)
+    # appended_deltas validates the lookback (expired from_version ->
+    # clean ValueError) before any manifest read can FileNotFoundError
     appended = log.appended_deltas(from_version, m_to.version)
+    m_from = log.read(from_version)
     schema = m_to.schema
     out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     pids = sorted(p for p, v in appended.items() if v)
@@ -995,8 +997,10 @@ def read_change_feed_table(
         raise ValueError("pre_image_columns requires net=True (per-key winners)")
     log = ManifestLog(target_root)
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
-    m_from = log.read(from_version)
+    # appended_deltas validates the lookback (expired from_version ->
+    # clean ValueError) before any manifest read can FileNotFoundError
     appended = log.appended_deltas(from_version, m_to.version)
+    m_from = log.read(from_version)
     tables = [
         change_feed_partition(
             target_root,

@@ -234,6 +234,27 @@ def test_change_feed_rejects_cow_history(tmp_lake):
         read_change_feed_table(tgt, from_version=versions[1])
 
 
+def test_change_feed_expired_lookback_refused(tmp_lake):
+    """Feeds can only look back over RETAINED versions: once
+    expire_versions drops the from_version manifest, the read fails
+    loudly instead of fabricating a partial diff."""
+    ct, tgt, _ = tmp_lake
+    _seg(ct, 0, [("a", 1, "U", 1), ("b", 2, "U", 2)])
+    _seg(ct, 2, [("a", 3, "U", 9), ("c", 4, "U", 4)])
+    _seg(ct, 4, [("b", 5, "U", 7)])
+    prepare_watermark(tgt, 0, num_partitions=4)
+    StreamRunner(_ctx(ct, tgt, rows=2)).run()
+    log = ManifestLog(tgt)
+    v1 = log.versions()[1]
+    log.expire_versions(keep=2)
+    assert v1 not in log.versions()
+    with pytest.raises(ValueError, match="unknown from_version"):
+        read_change_feed_table(tgt, from_version=v1)
+    # retained range still works
+    vs = log.versions()
+    assert read_change_feed_table(tgt, from_version=vs[0]).num_rows > 0
+
+
 def test_change_feed_survives_optimize(tmp_lake):
     """An OPTIMIZE fold inside the range removes delta files from the
     LATEST manifest but not from history — the feed still resolves from
