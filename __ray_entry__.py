@@ -1373,8 +1373,17 @@ def revenue_by_nation(sf_dir: str):
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0), 0), pa.int64())
-        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0), 0), pa.int64())
+        # half_towards_infinity matches DuckDB round() on exact .5 cents
+        price_c = pc.cast(
+            pc.round(pc.multiply(batch["l_extendedprice"], 100.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        disc_c = pc.cast(
+            pc.round(pc.multiply(batch["l_discount"], 100.0), 0,
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
         t = pa.table({"o_orderkey": batch["l_orderkey"], "rev_u": rev})
         g = t.group_by("o_orderkey").aggregate([("rev_u", "sum")])
@@ -1451,7 +1460,8 @@ def windowed_agg(sf_dir: str):
         # sum as integer 1e-4 units: float-sum low bits differ between
         # engines by summation order, and round() ulp behavior differs
         # between Arrow and DuckDB — integer units compare exactly
-        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0), pa.int64())
+        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0,
+                                round_mode="half_towards_infinity"), pa.int64())
         return pa.table(
             {
                 "event_type": batch["event_type"],
@@ -1498,7 +1508,8 @@ def hopping_window(sf_dir: str):
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0), pa.int64())
+        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0,
+                                round_mode="half_towards_infinity"), pa.int64())
         return pa.table(
             {
                 "event_type": batch["event_type"],
@@ -2447,7 +2458,15 @@ def cdc_incremental_matview(sf_dir: str):
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
 
     def contrib(types, dn, value_col, sign):
-        cents = pc.cast(pc.round(pc.multiply(value_col, 100.0), 0), pa.int64())
+        # half_towards_infinity == DuckDB round()'s half-away-from-zero;
+        # pc.round's default half-to-even would diverge on exact .5 cents
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(value_col, 100.0), 0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 "event_type": types,
@@ -3713,8 +3732,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             JOIN embeddings ea ON ea.vec_id = a.vec_id
             JOIN embeddings eb ON eb.vec_id = b.vec_id
-            WHERE list_cosine_similarity(cast(ea.embedding AS double[]),
-                                         cast(eb.embedding AS double[])) >= 0.4
+            WHERE round(list_cosine_similarity(cast(ea.embedding AS double[]),
+                                               cast(eb.embedding AS double[])), 6)
+                  >= 0.4
         """,
         "multimodal_meta": "SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes FROM documents",
         # exact n-gram Jaccard: the SQL computes the same distinct word-

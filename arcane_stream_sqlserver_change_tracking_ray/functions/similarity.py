@@ -143,10 +143,10 @@ def rademacher_planes(d: int, planes: int = 8, seed: int = 42) -> np.ndarray:
     are EXACT integer arithmetic, so an SQL oracle reproduces them
     bit-for-bit (gaussian planes + float dots cannot guarantee the sign
     of a near-zero float sum across engines)."""
-    x = np.arange(d * planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
     with np.errstate(over="ignore"):
+        x = np.arange(d * planes, dtype=np.uint64) + np.uint64(seed) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
         x ^= x >> np.uint64(30)
         x *= np.uint64(0xBF58476D1CE4E5B9)
         x ^= x >> np.uint64(27)
@@ -320,12 +320,17 @@ def embedding_neardup_pairs(
             x, ids = x[:max_bucket], ids[:max_bucket]
         s = x @ x.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        m = s[ia, ib] >= threshold
+        # threshold the ROUNDED cosine (the emitted value): unrounded
+        # float64 expressions associate differently across engines by
+        # ULPs, so an exact pair-set contract needs the compare to happen
+        # on the same 6-decimal value both sides emit
+        sr = np.round(s[ia, ib].astype(np.float64), 6)
+        m = sr >= threshold
         return pa.table(
             {
                 "id_a": pa.array(ids[ia[m]]),
                 "id_b": pa.array(ids[ib[m]]),
-                "cosine": pa.array(np.round(s[ia[m], ib[m]].astype(np.float64), 6)),
+                "cosine": pa.array(sr[m]),
             }
         )
 

@@ -902,6 +902,52 @@ def read_target_table(
     return out
 
 
+def _change_feed_plan(
+    target_root: str,
+    from_version: int,
+    to_version: int | None,
+    drop_meta: bool,
+    pre_image_columns: tuple[str, ...],
+    net: bool,
+):
+    """Shared prologue of the two feed readers: argument validation,
+    manifest resolution (lookback validated by ``appended_deltas``
+    BEFORE any manifest read can FileNotFoundError), output schema, and
+    a per-pid resolver closure dispatching net vs all-changes mode."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        change_feed_all_partition,
+        change_feed_partition,
+        change_feed_schema_fields,
+    )
+
+    if not net and pre_image_columns:
+        raise ValueError("pre_image_columns requires net=True (per-key winners)")
+    log = ManifestLog(target_root)
+    m_to = log.read(to_version) if to_version is not None else log.require_watermark()
+    appended = log.appended_deltas(from_version, m_to.version)
+    m_from = log.read(from_version)
+    schema = m_to.schema
+    out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
+    base_a, deltas_a = dict(m_from.partitions), dict(m_from.deltas)
+
+    def resolve_pid(pid: int) -> pa.Table:
+        if net:
+            return change_feed_partition(
+                target_root,
+                appended[pid],
+                base_a.get(pid, []),
+                deltas_a.get(pid, []),
+                schema,
+                drop_meta=drop_meta,
+                pre_image_columns=pre_image_columns,
+            )
+        return change_feed_all_partition(
+            target_root, appended[pid], schema, drop_meta=drop_meta
+        )
+
+    return appended, out_fields, resolve_pid
+
+
 def read_change_feed(
     target_root: str,
     from_version: int,
@@ -920,56 +966,24 @@ def read_change_feed(
     Scale shape: per touched partition, ONE task reads only the delta
     entries appended in the range (``#rg=`` row-group slices — cost ∝
     changes, not table size) and probes the FROM snapshot for just the
-    touched keys (partition-pruned, bloom-assisted).  Untouched
-    partitions are never read.  *pre_image_columns* adds ``pre_<col>``
-    FROM-snapshot values (null for inserts) for retraction-based
-    incremental consumers.  ``net=False`` returns ALL persisted change
-    rows in the range instead of per-key winners
-    (``cdc.fn_cdc_get_all_changes`` analog; no snapshot probe at all)."""
+    touched keys (partition-pruned, bloom-assisted, key/version/op +
+    pre-image columns only).  Untouched partitions are never read.
+    *pre_image_columns* adds ``pre_<col>`` FROM-snapshot values (null
+    for inserts) for retraction-based incremental consumers.
+    ``net=False`` returns ALL persisted change rows in the range instead
+    of per-key winners (``cdc.fn_cdc_get_all_changes`` analog; no
+    snapshot probe at all)."""
     import ray.data
 
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
-        change_feed_all_partition,
-        change_feed_partition,
-        change_feed_schema_fields,
+    appended, out_fields, resolve_pid = _change_feed_plan(
+        target_root, from_version, to_version, drop_meta, pre_image_columns, net
     )
-
-    if not net and pre_image_columns:
-        raise ValueError("pre_image_columns requires net=True (per-key winners)")
-    log = ManifestLog(target_root)
-    m_to = log.read(to_version) if to_version is not None else log.require_watermark()
-    # appended_deltas validates the lookback (expired from_version ->
-    # clean ValueError) before any manifest read can FileNotFoundError
-    appended = log.appended_deltas(from_version, m_to.version)
-    m_from = log.read(from_version)
-    schema = m_to.schema
-    out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     pids = sorted(p for p, v in appended.items() if v)
     if not pids:
         return ray.data.from_arrow(pa.schema(out_fields).empty_table())
-    base_a, deltas_a = dict(m_from.partitions), dict(m_from.deltas)
 
     def feed(batch: pa.Table) -> pa.Table:
-        out = []
-        for pid in batch["pid"].to_pylist():
-            if net:
-                out.append(
-                    change_feed_partition(
-                        target_root,
-                        appended[pid],
-                        base_a.get(pid, []),
-                        deltas_a.get(pid, []),
-                        schema,
-                        drop_meta=drop_meta,
-                        pre_image_columns=pre_image_columns,
-                    )
-                )
-            else:
-                out.append(
-                    change_feed_all_partition(
-                        target_root, appended[pid], schema, drop_meta=drop_meta
-                    )
-                )
+        out = [resolve_pid(pid) for pid in batch["pid"].to_pylist()]
         return pa.concat_tables(out) if out else pa.schema(out_fields).empty_table()
 
     return (
@@ -987,42 +1001,13 @@ def read_change_feed_table(
     net: bool = True,
 ) -> pa.Table:
     """Driver-side materialized change feed (tests / small results)."""
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
-        change_feed_all_partition,
-        change_feed_partition,
-        change_feed_schema_fields,
+    appended, out_fields, resolve_pid = _change_feed_plan(
+        target_root, from_version, to_version, drop_meta, pre_image_columns, net
     )
-
-    if not net and pre_image_columns:
-        raise ValueError("pre_image_columns requires net=True (per-key winners)")
-    log = ManifestLog(target_root)
-    m_to = log.read(to_version) if to_version is not None else log.require_watermark()
-    # appended_deltas validates the lookback (expired from_version ->
-    # clean ValueError) before any manifest read can FileNotFoundError
-    appended = log.appended_deltas(from_version, m_to.version)
-    m_from = log.read(from_version)
-    tables = [
-        change_feed_partition(
-            target_root,
-            appended[pid],
-            m_from.partitions.get(pid, []),
-            m_from.deltas.get(pid, []),
-            m_to.schema,
-            drop_meta=drop_meta,
-            pre_image_columns=pre_image_columns,
-        )
-        if net
-        else change_feed_all_partition(
-            target_root, appended[pid], m_to.schema, drop_meta=drop_meta
-        )
-        for pid in sorted(appended)
-    ]
-    tables = [t for t in tables if t.num_rows]
+    tables = [t for t in (resolve_pid(pid) for pid in sorted(appended)) if t.num_rows]
     if tables:
         return pa.concat_tables(tables)
-    return pa.schema(
-        change_feed_schema_fields(m_to.schema, drop_meta, pre_image_columns)
-    ).empty_table()
+    return pa.schema(out_fields).empty_table()
 
 
 def lookup_keys(
@@ -1106,6 +1091,25 @@ def export_snapshot(
     log = ManifestLog(target_root)
     m = log.read(version) if version is not None else log.require_watermark()
     os.makedirs(out_dir, exist_ok=True)
+    # pin the export's manifest version BEFORE any partition writes: a
+    # resume may only skip files produced for the SAME snapshot —
+    # otherwise a crash + new stream commits + re-export would stitch a
+    # mixed-version "consistent" snapshot
+    marker = os.path.join(out_dir, "_EXPORT")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            pinned = json.load(f)["manifest_version"]
+        if pinned != m.version:
+            raise ValueError(
+                f"output dir is a partial export of manifest v{pinned}; "
+                f"resume it with version={pinned} or export v{m.version} "
+                "to a fresh directory"
+            )
+    else:
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"manifest_version": m.version}, f)
+        os.replace(tmp, marker)
     pids = sorted(m.partition_pids())
     schema = m.schema
     out_names = [

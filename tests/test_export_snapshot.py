@@ -67,6 +67,25 @@ def test_export_matches_oracle_and_is_resumable(tmp_lake, tmp_path):
     assert_tables_equal(_read_export(out).sort_by("url").select(exp.column_names), exp)
 
 
+def test_export_resume_pins_manifest_version(tmp_lake, tmp_path):
+    """A partial export is pinned to the manifest version it started
+    with: resuming at a DIFFERENT version must refuse rather than stitch
+    a mixed-version snapshot."""
+    import pytest
+
+    ct, tgt, _ = tmp_lake
+    _run_stream(ct, tgt)
+    log = ManifestLog(tgt)
+    mid, latest = log.versions()[1], log.versions()[-1]
+    out = str(tmp_path / "export_pin")
+    export_snapshot(tgt, out, version=mid)
+    # same-version re-export: pure resume, everything skipped
+    res = export_snapshot(tgt, out, version=mid)
+    assert res["skipped"] == res["partitions"]
+    with pytest.raises(ValueError, match=f"partial export of manifest v{mid}"):
+        export_snapshot(tgt, out)  # latest != mid
+
+
 def test_export_as_of_version(tmp_lake, tmp_path):
     """Exporting AS OF an old manifest publishes exactly that prefix."""
     ct, tgt, _ = tmp_lake
