@@ -393,7 +393,10 @@ def run_scaling() -> None:
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "scaling.json"), "w", encoding="utf-8") as f:
+    # GRAFT_SCALING_OUT names the record file (default the headline
+    # scaling.json) so opportunistic passes don't clobber the best pass
+    out_name = os.environ.get("GRAFT_SCALING_OUT", "scaling.json")
+    with open(os.path.join(bench_dir, out_name), "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc))
 
