@@ -2375,6 +2375,64 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+def cdc_replica_sync(sf_dir: str):
+    """Hash-checked DOWNSTREAM REPLICATION: the events feed replays into
+    a PRIMARY lake table in single-segment cycles; a REPLICA (different
+    partition count — replication is logical) is synced by the CDF→CT-log
+    bridge TWICE, once mid-stream and once at the end, each hop shipping
+    only the net changes since the previous bridge.  The replica runs
+    the unmodified engine over the bridged segments; its final table
+    must equal plain LWW SQL over all events — proving the feed is a
+    complete, composable change source one hop downstream (the
+    reference's own topology: CHANGETABLE → engine → lake, repeated)."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.replicate import (
+        bridge_changes,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_replica_")
+    try:
+        feed = _events_feed(sf_dir)
+        src_ct, src = f"{root}/src_ct", f"{root}/src"
+        rep_ct, rep = f"{root}/rep_ct", f"{root}/rep"
+        chunk = _write_events_segments(feed, src_ct)
+        prepare_watermark(src, version=0, num_partitions=8)
+        prepare_watermark(rep, version=0, num_partitions=4)
+        src_ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": src_ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": src, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        rep_ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": rep_ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": rep, "num_partitions": 4},
+                "throughput": {"rows_per_group": feed.num_rows},
+            }
+        )
+        StreamRunner(src_ctx).run(max_cycles=4)  # first half of the stream
+        bridge_changes(src, rep_ct)
+        StreamRunner(rep_ctx).run()
+        StreamRunner(src_ctx).run()  # the rest
+        bridge_changes(src, rep_ct)
+        StreamRunner(rep_ctx).run()
+        out = read_target_table(rep)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 def cdc_snapshot_export(sf_dir: str):
     """Hash-checked RESUMABLE SNAPSHOT EXPORT: replay the events feed
     through the full engine, then ``export_snapshot`` — a consistent
@@ -2588,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed": cdc_change_feed,
         "cdc_change_feed_all": cdc_change_feed_all,
         "cdc_snapshot_export": cdc_snapshot_export,
+        "cdc_replica_sync": cdc_replica_sync,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -3023,6 +3082,13 @@ def oracle_sql() -> dict[str, str]:
         # manifest commits -> merge-on-read read) replaying the events
         # table as its change feed must converge to plain LWW SQL
         "cdc_engine_events_replay": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # the twice-bridged replica must equal plain LWW over all events
+        "cdc_replica_sync": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
