@@ -2509,29 +2509,15 @@ def cdc_incremental_matview(sf_dir: str):
     proves feed-driven maintenance converges to full recompute without
     rescanning the table.  Money stays in integer cents on both sides
     (bit-exact sums)."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.incremental import (
+        advance_matview,
+        grouped_agg_contribs,
+    )
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
         read_change_feed_table,
         read_target,
     )
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    def contrib(types, dn, value_col, sign):
-        # half_towards_infinity == DuckDB round()'s half-away-from-zero;
-        # pc.round's default half-to-even would diverge on exact .5 cents
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(value_col, 100.0), 0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        return pa.table(
-            {
-                "event_type": types,
-                "dn": pa.array(np.full(len(types), dn, np.int64)),
-                "dv": pc.multiply(cents, pa.scalar(sign, pa.int64())),
-            }
-        )
 
     root = tempfile.mkdtemp(prefix="cdc_ivm_")
     try:
@@ -2539,43 +2525,23 @@ def cdc_incremental_matview(sf_dir: str):
         versions = ManifestLog(tgt).versions()
         v_a, v_b = versions[3], versions[6]
         # matview @ cycle 3: per-batch partial aggregates (distributed),
-        # folded from tiny (event_type, dn, dv) tables on the driver
+        # folded from tiny (group, dn, dv) tables on the driver
         base = read_target(tgt, version=v_a, columns=["event_type", "value"])
         parts = base.map_batches(
-            lambda b: contrib(b["event_type"], 1, b["value"], 1)
-            .group_by("event_type")
-            .aggregate([("dn", "sum"), ("dv", "sum")])
-            .rename_columns(["event_type", "dn", "dv"]),
+            lambda b: grouped_agg_contribs(b, "event_type", "value"),
             batch_format="pyarrow",
         ).take_all()
         mv = pa.Table.from_pylist(parts, schema=pa.schema(
-            [("event_type", pa.string()), ("dn", pa.int64()), ("dv", pa.int64())]
+            [("group", pa.string()), ("dn", pa.int64()), ("dv", pa.int64())]
         ))
         # advance with the pre-imaged net change feed (size ∝ changes)
         feed = read_change_feed_table(
             tgt, v_a, v_b, pre_image_columns=("event_type", "value")
         )
-        post = feed.filter(
-            pc.is_in(feed["change_type"], value_set=pa.array(["insert", "update"]))
-        )
-        pre = feed.filter(
-            pc.is_in(feed["change_type"], value_set=pa.array(["update", "delete"]))
-        )
-        folded = (
-            pa.concat_tables(
-                [
-                    mv,
-                    contrib(post["event_type"].combine_chunks(), 1, post["value"], 1),
-                    contrib(pre["pre_event_type"].combine_chunks(), -1, pre["pre_value"], -1),
-                ]
-            )
-            .group_by("event_type")
-            .aggregate([("dn", "sum"), ("dv", "sum")])
-        )
+        folded = advance_matview(mv, feed, "event_type", "value")
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    folded = folded.rename_columns(["event_type", "n", "value_u"])
-    return folded.filter(pc.greater(folded["n"], 0))
+    return folded.rename_columns(["event_type", "n", "value_u"])
 
 
 def cdc_cycle_metrics(sf_dir: str):

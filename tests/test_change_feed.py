@@ -234,6 +234,42 @@ def test_change_feed_rejects_cow_history(tmp_lake):
         read_change_feed_table(tgt, from_version=versions[1])
 
 
+def test_advance_matview_unit():
+    """Library IVM operator: planted feed with a group MOVE, a delete,
+    an insert, and a value change — exact (n, cents) outcome."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.incremental import (
+        advance_matview,
+    )
+
+    mv = pa.table(  # base view: x has 2 rows / 300c, y has 1 row / 50c
+        {
+            "group": pa.array(["x", "y"]),
+            "dn": pa.array([2, 1], pa.int64()),
+            "dv": pa.array([30000, 5000], pa.int64()),
+        }
+    )
+    feed = pa.table(
+        {
+            "change_type": pa.array(["update", "delete", "insert", "update"]),
+            "grp": pa.array(["y", None, "z", "x"]),  # row 1 MOVES x -> y
+            "val": pa.array([100.0, None, 7.5, 2.25], pa.float64()),
+            "pre_grp": pa.array(["x", "y", None, "x"]),
+            "pre_val": pa.array([100.0, 50.0, None, 1.0], pa.float64()),
+        }
+    )
+    out = advance_matview(mv, feed, "grp", "val")
+    got = {
+        r["group"]: (r["dn"], r["dv"]) for r in out.to_pylist()
+    }
+    assert got == {
+        # x: row moved out (-1, -10000); in-place value update -100 +225
+        "x": (1, 30000 - 10000 - 100 + 225),
+        # y: its old row deleted (-1, -5000); the moved row arrives
+        "y": (1, 5000 - 5000 + 10000),
+        "z": (1, 750),  # fresh insert
+    }
+
+
 def test_change_feed_expired_lookback_refused(tmp_lake):
     """Feeds can only look back over RETAINED versions: once
     expire_versions drops the from_version manifest, the read fails
