@@ -2375,6 +2375,35 @@ def cdc_change_feed(sf_dir: str):
     )
 
 
+_PRICE_BANDS = [
+    (0.0, 50_000.0, "small"),
+    (50_000.0, 150_000.0, "mid"),
+    (150_000.0, 300_000.0, "large"),
+    (300_000.0, 1e12, "jumbo"),
+]
+
+
+def range_join_bands(sf_dir: str):
+    """Range (interval) join under the hash gate: every order picks up
+    the price band containing its total — the non-equi join Ray Data
+    has no primitive for, as one broadcast ``np.searchsorted`` per batch
+    (no shuffle, no row explosion; intervals validated non-overlapping).
+    The oracle is the literal BETWEEN-style join over the same bands."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        broadcast_range_join,
+    )
+
+    bands = pa.table(
+        {
+            "lo": pa.array([b[0] for b in _PRICE_BANDS], pa.float64()),
+            "hi": pa.array([b[1] for b in _PRICE_BANDS], pa.float64()),
+            "band": pa.array([b[2] for b in _PRICE_BANDS], pa.string()),
+        }
+    )
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return broadcast_range_join(ds, bands, on="o_totalprice")
+
+
 def cdc_replica_sync(sf_dir: str):
     """Hash-checked DOWNSTREAM REPLICATION: the events feed replays into
     a PRIMARY lake table in single-segment cycles; a REPLICA (different
@@ -2613,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_change_feed_all": cdc_change_feed_all,
         "cdc_snapshot_export": cdc_snapshot_export,
         "cdc_replica_sync": cdc_replica_sync,
+        "range_join_bands": range_join_bands,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -3052,6 +3082,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # interval join over the same literal bands
+        "range_join_bands": """
+            SELECT o_orderkey, o_totalprice, b.band
+            FROM orders
+            JOIN (VALUES (0.0, 50000.0, 'small'),
+                         (50000.0, 150000.0, 'mid'),
+                         (150000.0, 300000.0, 'large'),
+                         (300000.0, 1e12, 'jumbo')) b(lo, hi, band)
+              ON o_totalprice >= b.lo AND o_totalprice < b.hi
         """,
         # the twice-bridged replica must equal plain LWW over all events
         "cdc_replica_sync": """

@@ -15,7 +15,9 @@ join; these operators provide the general mechanism:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from arcane_stream_sqlserver_change_tracking_ray.stages.merge import partition_ids
 from arcane_stream_sqlserver_change_tracking_ray.types import PID_COL
@@ -212,3 +214,50 @@ def asof_join(
         return out
 
     return both.groupby(PID_COL).map_groups(asof_bucket, batch_format="pyarrow")
+
+
+def broadcast_range_join(
+    ds,
+    intervals: pa.Table,
+    on: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    payload_cols: tuple[str, ...] = (),
+):
+    """Range (interval) join: attach the interval containing each row's
+    *on* value — ``lo <= v < hi`` — from a SMALL, SORTED,
+    NON-OVERLAPPING interval table (banding, IP→geo, SLA tiers: the
+    non-equi join Ray Data has no primitive for).
+
+    Scale shape: the interval table broadcasts once via ``ray.put``;
+    each batch is ONE ``np.searchsorted`` against the lo bounds plus a
+    hi-bound mask — O(n log m) per batch, no shuffle, no row explosion.
+    Rows matching no interval are dropped (inner semantics).  The
+    non-overlap contract is validated once at build time (overlapping
+    intervals need a flat_map variant that emits one row per match —
+    deliberately not this operator)."""
+    import ray
+
+    idx_sort = pc.sort_indices(intervals, sort_keys=[(lo_col, "ascending")])
+    intervals = intervals.take(idx_sort)
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if (hi[:-1] > lo[1:]).any() if len(lo) > 1 else False:
+        raise ValueError("broadcast_range_join requires non-overlapping intervals")
+    keep = list(payload_cols) or [
+        c for c in intervals.column_names if c not in (lo_col, hi_col)
+    ]
+    small_ref = ray.put((lo, hi, intervals.select(keep)))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lo_, hi_, pay = ray.get(small_ref)
+        v = batch[on].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(lo_, v, side="right") - 1
+        ok = (pos >= 0) & (v < hi_[np.clip(pos, 0, len(hi_) - 1)])
+        out = batch.filter(pa.array(ok))
+        taken = pay.take(pa.array(pos[ok]))
+        for name in taken.column_names:
+            out = out.append_column(name, taken[name])
+        return out
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")

@@ -362,3 +362,35 @@ def test_train_eval_split_resharding_invariant():
         shards.update(split_of(texts[i : i + 37]))
     assert whole == rev == shards
     assert 1 <= sum(whole.values()) <= 30  # ~5% of 200, not degenerate
+
+
+def test_broadcast_range_join():
+    """Interval join: containment, no-match drop, non-overlap contract."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        broadcast_range_join,
+    )
+
+    bands = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0, 20.0]),
+            "hi": pa.array([10.0, 20.0, 30.0]),
+            "band": pa.array(["a", "b", "c"]),
+        }
+    )
+    rows = pa.table({"id": pa.array([1, 2, 3, 4, 5]),
+                     "v": pa.array([0.0, 9.999, 10.0, 29.9, 31.0])})
+    out = broadcast_range_join(ray.data.from_arrow(rows), bands, on="v")
+    got = {r["id"]: r["band"] for r in out.take_all()}
+    # boundaries: lo inclusive, hi exclusive; 31.0 matches nothing
+    assert got == {1: "a", 2: "a", 3: "b", 4: "c"}
+
+    overlap = pa.table(
+        {"lo": pa.array([0.0, 5.0]), "hi": pa.array([10.0, 15.0]),
+         "band": pa.array(["x", "y"])}
+    )
+    with pytest.raises(ValueError, match="non-overlapping"):
+        broadcast_range_join(ray.data.from_arrow(rows), overlap, on="v")
