@@ -2383,6 +2383,59 @@ _PRICE_BANDS = [
 ]
 
 
+def cms_heavy_hitters(sf_dir: str):
+    """Count-min sketch under the VALUE-HASH gate: a 4×1024 mergeable
+    counter grid over every token occurrence (per-batch partial grids,
+    driver fold — the sketch shape that scales to 100 TB because only
+    32 KB per task ever moves), point-estimated for a deterministic
+    probe set (the 16 lexicographically smallest distinct tokens with
+    ≥ 6 chars) alongside their exact counts.  The oracle replays the
+    ENTIRE sketch in SQL: polynomial byte hash in HUGEINT (the
+    fingerprint-oracle technique; tokens are ASCII so codepoint ==
+    byte), 10-bit-field positions, per-cell sums, min across rows —
+    so the hash match certifies estimates, not just plumbing."""
+    from ray.data.aggregate import Sum
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    sketch = count_min_sketch(ds)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        flat, _ = words_flat(batch["text"])
+        t = pa.table({"token": flat})
+        g = t.group_by("token").aggregate([("token", "count")])
+        g = g.rename_columns(["token", "cnt"])
+        return g.filter(pc.not_equal(g["token"], ""))
+
+    def keep_long(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(pc.utf8_length(batch["token"]), 6))
+
+    probe = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(keep_long, batch_format="pyarrow")
+        .sort("token")
+        .limit(16)
+        .take_all()
+    )
+    tokens = [r["token"] for r in probe]
+    est = cms_estimate(sketch, tokens)
+    return pa.table(
+        {
+            "token": pa.array(tokens, pa.string()),
+            "cnt": pa.array([int(r["cnt"]) for r in probe], pa.int64()),
+            "est": pa.array(est, pa.int64()),
+        }
+    )
+
+
 def range_join_bands(sf_dir: str):
     """Range (interval) join under the hash gate: every order picks up
     the price band containing its total — the non-equi join Ray Data
@@ -2643,6 +2696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_export": cdc_snapshot_export,
         "cdc_replica_sync": cdc_replica_sync,
         "range_join_bands": range_join_bands,
+        "cms_heavy_hitters": cms_heavy_hitters,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -3082,6 +3136,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # the count-min sketch replayed exactly: HUGEINT polynomial byte
+        # hash, 10-bit-field positions, per-cell sums, min across rows
+        "cms_heavy_hitters": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*)::HUGEINT AS c
+              FROM toks WHERE token <> '' GROUP BY token
+            ), hashed AS (
+              SELECT token,
+                list_reduce(list_transform(range(1, length(token) + 1),
+                    i -> unicode(substr(token, i, 1))::HUGEINT),
+                  (a, x) -> (a * 1000003 + x)
+                            % 18446744073709551616::HUGEINT) AS h
+              FROM cnt
+            ), pos AS (
+              SELECT token, dv.j, ((h // dv.d) % 1024)::BIGINT AS p
+              FROM hashed,
+                   (VALUES (0, 1::HUGEINT), (1, 1024::HUGEINT),
+                           (2, 1048576::HUGEINT),
+                           (3, 1073741824::HUGEINT)) dv(j, d)
+            ), cells AS (
+              SELECT pos.j, pos.p, sum(cnt.c)::BIGINT AS cell
+              FROM pos JOIN cnt USING (token) GROUP BY pos.j, pos.p
+            ), probe AS (
+              SELECT token, c::BIGINT AS cnt FROM cnt
+              WHERE length(token) >= 6 ORDER BY token LIMIT 16
+            )
+            SELECT probe.token, probe.cnt, min(cells.cell) AS est
+            FROM probe
+            JOIN pos ON pos.token = probe.token
+            JOIN cells ON cells.j = pos.j AND cells.p = pos.p
+            GROUP BY probe.token, probe.cnt
         """,
         # interval join over the same literal bands
         "range_join_bands": """

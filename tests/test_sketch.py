@@ -1,0 +1,58 @@
+"""Count-min sketch: overestimate bound, mergeability, exactness when
+the vocabulary is collision-free at the grid width."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_estimate,
+    cms_partial,
+    count_min_sketch,
+)
+
+
+def _docs(texts):
+    return ray.data.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+
+
+def test_cms_estimates_bound_and_exact_small_vocab():
+    texts = [
+        "alpha beta gamma alpha",
+        "beta beta delta",
+        "ALPHA gamma   gamma",  # lowercased + multi-space tokenization
+        "",
+    ]
+    truth = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    sk = count_min_sketch(_docs(texts))
+    assert sk.shape == (CMS_DEPTH, CMS_WIDTH)
+    assert sk[0].sum() == sum(truth.values())  # every occurrence counted once per row
+    tokens = sorted(truth)
+    est = cms_estimate(sk, tokens)
+    for tok, e in zip(tokens, est):
+        assert e >= truth[tok]
+    # 4 distinct tokens in a 4x1024 grid: collisions are (checked) absent,
+    # so the estimates are EXACT
+    assert list(est) == [truth[t] for t in tokens]
+
+
+def test_cms_partials_merge():
+    """The sketch is a commutative monoid: any batch split sums to the
+    same grid (the property the distributed fold relies on)."""
+    texts = ["x y z"] * 7 + ["y z z w"] * 5
+    whole = count_min_sketch(_docs(texts))
+    a = cms_partial(pa.table({"text": pa.array(texts[:3])}))
+    b = cms_partial(pa.table({"text": pa.array(texts[3:10])}))
+    c = cms_partial(pa.table({"text": pa.array(texts[10:])}))
+    folded = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+    for part in (a, b, c):
+        folded += np.asarray(part["sketch"][0].as_py(), np.int64).reshape(
+            CMS_DEPTH, CMS_WIDTH
+        )
+    assert (folded == whole).all()
