@@ -126,6 +126,29 @@ def test_change_feed_classifies(tmp_lake):
     assert "pre_value" in empty_pre.column_names and empty_pre.num_rows == 0
 
 
+def test_change_feed_delete_reinsert_patterns(tmp_lake):
+    """Tombstone churn: delete-then-reinsert inside the range is an
+    UPDATE (key alive at FROM), reinsert of a key dead at FROM is an
+    INSERT, and a tombstone for a never-alive key stays invisible."""
+    ct, tgt, _ = tmp_lake
+    # cycle 1 (the FROM snapshot): a, b live; c only ever a tombstone
+    _seg(ct, 0, [("a", 1, "U", 1), ("b", 2, "U", 2), ("c", 3, "D", 0)])
+    # cycle 2: a deleted then reinserted; b deleted; c (re)inserted
+    _seg(ct, 3, [("a", 4, "D", 0), ("a", 5, "U", 11), ("b", 6, "D", 0), ("c", 7, "U", 30)])
+    prepare_watermark(tgt, 0, num_partitions=4)
+    StreamRunner(_ctx(ct, tgt, rows=3)).run()
+    versions = ManifestLog(tgt).versions()
+    feed = read_change_feed_table(tgt, from_version=versions[1])
+    got = {
+        r["url"]: (r["change_type"], r["sys_change_version"]) for r in feed.to_pylist()
+    }
+    assert got == {
+        "a": ("update", 5),  # delete+reinsert nets to the reinsert
+        "b": ("delete", 6),
+        "c": ("insert", 7),  # its FROM-side tombstone never made it alive
+    }
+
+
 def test_change_feed_matches_snapshot_diff(tmp_lake):
     """On a generated multi-cycle stream, the delta-sourced feed must
     equal the brute-force diff of the two full snapshots."""
