@@ -2436,6 +2436,31 @@ def cms_heavy_hitters(sf_dir: str):
     )
 
 
+def hll_distinct_users(sf_dir: str):
+    """HyperLogLog under the VALUE-HASH gate: the 1024 int64 registers
+    over ``events.user_id`` (per-batch partials folded by max — 8 KB
+    per task at any corpus size).  Registers are a deterministic
+    integer function of the value SET, so the oracle replays them
+    exactly in SQL — HUGEINT polynomial hash of the decimal string,
+    bucket = low 10 bits, rank = 1 + trailing zeros of the rest — and
+    the hash gate certifies the sketch itself; the derived cardinality
+    estimate (±~3.25%) is pytest-asserted against the exact distinct
+    count in ``tests/test_sketch.py``."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        hll_registers,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    regs = hll_registers(ds, "user_id")
+    nz = np.nonzero(regs)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(nz, pa.int64()),
+            "reg": pa.array(regs[nz], pa.int64()),
+        }
+    )
+
+
 def range_join_bands(sf_dir: str):
     """Range (interval) join under the hash gate: every order picks up
     the price band containing its total — the non-equi join Ray Data
@@ -2697,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replica_sync": cdc_replica_sync,
         "range_join_bands": range_join_bands,
         "cms_heavy_hitters": cms_heavy_hitters,
+        "hll_distinct_users": hll_distinct_users,
         "cdc_incremental_matview": cdc_incremental_matview,
         "cdc_backfill_then_stream": cdc_backfill_then_stream,
         "cdc_schema_evolution": cdc_schema_evolution,
@@ -3136,6 +3162,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # HLL registers replayed exactly: bucket = h % 1024, rank = 1 +
+        # trailing zeros of h // 1024 (min set bit via exact power(2, j))
+        "hll_distinct_users": r"""
+            WITH d AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
+            ), hashed AS (
+              SELECT list_reduce(list_transform(range(1, length(s) + 1),
+                  i -> unicode(substr(s, i, 1))::HUGEINT),
+                (a, x) -> (a * 1000003 + x)
+                          % 18446744073709551616::HUGEINT) AS h
+              FROM d
+            ), f1 AS (
+              SELECT xor(h, h // 536870912) AS h FROM hashed
+            ), f2 AS (
+              SELECT ((h * 484763065)
+                      + ((((h % 4294967296) * 3210233709) % 4294967296)
+                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
+              FROM f1
+            ), f3 AS (
+              SELECT xor(h, h // 4294967296) AS h FROM f2
+            ), br AS (
+              SELECT (h % 1024)::BIGINT AS bucket, h // 1024 AS x FROM f3
+            ), ranked AS (
+              SELECT bucket,
+                CASE WHEN x = 0 THEN 55
+                     ELSE 1 + (SELECT min(j.j) - 1 FROM generate_series(1, 54) j(j)
+                               WHERE (x // CAST(power(2, j.j - 1) AS HUGEINT)) % 2 = 1)
+                END AS rank
+              FROM br
+            )
+            SELECT bucket, max(rank)::BIGINT AS reg
+            FROM ranked GROUP BY bucket
         """,
         # the count-min sketch replayed exactly: HUGEINT polynomial byte
         # hash, 10-bit-field positions, per-cell sums, min across rows

@@ -79,3 +79,79 @@ def cms_estimate(sketch: np.ndarray, tokens) -> np.ndarray:
     pos = cms_positions(h)
     ests = np.stack([sketch[j, pos[j]] for j in range(CMS_DEPTH)])
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (approximate distinct count)
+# ---------------------------------------------------------------------------
+HLL_P = 10
+HLL_BUCKETS = 1 << HLL_P  #: 1024 registers -> ~3.25% standard error
+
+
+def splitmix_finalize(h: np.ndarray) -> np.ndarray:
+    """The repo's splitmix-style avalanche (same as ``shingle_hashes``,
+    SQL-replayed in the dedup_simhash oracle): the raw polynomial hash
+    of short digit strings has biased high bits, which skews HLL's
+    trailing-zero ranks — finalize before bucketing."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(29))
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hll_bucket_rank(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rank) per uint64 hash: bucket = low 10 bits, rank =
+    1 + trailing zeros of the remaining 54 bits (0 remainder caps at
+    55).  Pure integer arithmetic — the SQL oracle replays it in
+    HUGEINT (trailing zeros via the lowest-set-bit power of two, which
+    float64 log2 represents exactly)."""
+    bucket = (h & np.uint64(HLL_BUCKETS - 1)).astype(np.int64)
+    x = h >> np.uint64(HLL_P)
+    low = x & (~x + np.uint64(1))  # lowest set bit (0 when x == 0)
+    tz = np.where(
+        x == 0, 54, np.log2(np.maximum(low, np.uint64(1)).astype(np.float64))
+    ).astype(np.int64)
+    return bucket, tz + 1
+
+
+def hll_partial(batch: pa.Table, col: str) -> pa.Table:
+    """One flattened 1024-register partial per batch (merge = max)."""
+    vals = batch[col]
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if not pa.types.is_string(vals.type):
+        vals = pc.cast(vals, pa.string())  # hash the decimal string (SQL parity)
+    regs = np.zeros(HLL_BUCKETS, dtype=np.int64)
+    h = poly_word_hashes(vals)
+    if h.size:
+        bucket, rank = hll_bucket_rank(splitmix_finalize(h))
+        np.maximum.at(regs, bucket, rank)
+    return pa.table({"regs": pa.array([regs])})
+
+
+def hll_registers(ds, col: str) -> np.ndarray:
+    """The 1024 int64 registers over *ds[col]* — per-batch partials
+    folded by elementwise max (8 KB per task; same scale shape as the
+    count-min grid).  Registers are a deterministic integer function of
+    the value SET, so they hash-compare against a SQL replay even
+    though the derived cardinality is approximate."""
+    parts = ds.map_batches(
+        lambda b: hll_partial(b, col), batch_format="pyarrow"
+    ).take_all()
+    regs = np.zeros(HLL_BUCKETS, dtype=np.int64)
+    for r in parts:
+        regs = np.maximum(regs, np.asarray(r["regs"], dtype=np.int64))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL cardinality estimate with the small-range
+    (linear-counting) correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(raw)

@@ -56,3 +56,35 @@ def test_cms_partials_merge():
             CMS_DEPTH, CMS_WIDTH
         )
     assert (folded == whole).all()
+
+
+def test_hll_estimate_accuracy_and_merge():
+    """Registers merge by max across any batch split; the estimate lands
+    within a few standard errors of the exact cardinality."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_partial,
+        hll_registers,
+    )
+
+    n = 20_000
+    vals = pa.table({"v": pa.array([f"user-{i}" for i in range(n)], pa.string())})
+    regs = hll_registers(ray.data.from_arrow(vals), "v")
+    est = hll_estimate(regs)
+    assert abs(est - n) / n < 0.1  # 1024 registers -> ~3.25% stderr
+
+    # merge property: two halves max-folded == whole
+    a = np.asarray(
+        hll_partial(vals.slice(0, n // 2), "v")["regs"][0].as_py(), np.int64
+    )
+    b = np.asarray(
+        hll_partial(vals.slice(n // 2), "v")["regs"][0].as_py(), np.int64
+    )
+    assert (np.maximum(a, b) == regs).all()
+    assert len(regs) == HLL_BUCKETS
+
+    # duplicates never move a register
+    dup = pa.table({"v": pa.array(["user-1"] * 500, pa.string())})
+    regs_dup = np.asarray(hll_partial(dup, "v")["regs"][0].as_py(), np.int64)
+    assert (regs_dup > 0).sum() == 1
