@@ -38,6 +38,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
     TokenCountStage,
     _stopword_regex,
     contamination_counts,
+    token_count_partials,
     escape_html_text,
     rolling_window_hashes,
 )
@@ -1102,16 +1103,11 @@ def topk_tokens(sf_dir: str):
     """flat_map tokens -> per-batch partial counts (vectorized Arrow
     group_by combiner) -> global groupby sum -> deterministic top-20."""
     from ray.data.aggregate import Sum
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        flat, _ = words_flat(batch["text"])
-        t = pa.table({"token": flat})
-        g = t.group_by("token").aggregate([("token", "count")])
-        g = g.rename_columns(["token", "cnt"])
-        return g.filter(pc.not_equal(g["token"], ""))
+        return token_count_partials(batch["text"])
 
     counts = (
         ds.map_batches(partial_counts, batch_format="pyarrow")
@@ -2400,17 +2396,12 @@ def cms_heavy_hitters(sf_dir: str):
         cms_estimate,
         count_min_sketch,
     )
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
 
     ds = _read(sf_dir, "documents", columns=["text"])
     sketch = count_min_sketch(ds)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        flat, _ = words_flat(batch["text"])
-        t = pa.table({"token": flat})
-        g = t.group_by("token").aggregate([("token", "count")])
-        g = g.rename_columns(["token", "cnt"])
-        return g.filter(pc.not_equal(g["token"], ""))
+        return token_count_partials(batch["text"])
 
     def keep_long(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(pc.utf8_length(batch["token"]), 6))

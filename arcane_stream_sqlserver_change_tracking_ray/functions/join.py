@@ -242,7 +242,9 @@ def broadcast_range_join(
     intervals = intervals.take(idx_sort)
     lo = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
     hi = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    if (hi[:-1] > lo[1:]).any() if len(lo) > 1 else False:
+    if (lo >= hi).any():
+        raise ValueError("broadcast_range_join requires lo < hi per interval")
+    if len(lo) > 1 and (hi[:-1] > lo[1:]).any():
         raise ValueError("broadcast_range_join requires non-overlapping intervals")
     keep = list(payload_cols) or [
         c for c in intervals.column_names if c not in (lo_col, hi_col)

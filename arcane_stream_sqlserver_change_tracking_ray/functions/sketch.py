@@ -122,6 +122,10 @@ def hll_partial(batch: pa.Table, col: str) -> pa.Table:
         vals = vals.combine_chunks()
     if not pa.types.is_string(vals.type):
         vals = pc.cast(vals, pa.string())  # hash the decimal string (SQL parity)
+    # nulls/empties hash to 0 -> bucket 0 at the MAX rank 55, a phantom
+    # register that wrecks the estimate; they are not values — drop them
+    vals = vals.drop_null()
+    vals = vals.filter(pc.greater(pc.binary_length(vals), 0))
     regs = np.zeros(HLL_BUCKETS, dtype=np.int64)
     h = poly_word_hashes(vals)
     if h.size:

@@ -284,6 +284,19 @@ class FingerprintStage:
 # ---------------------------------------------------------------------------
 # word tokenization to flattened arrays (shared by dedup kernels)
 # ---------------------------------------------------------------------------
+def token_count_partials(texts) -> pa.Table:
+    """Per-batch (token, cnt) partial counts over whitespace tokens
+    (lowercased, empties dropped) — the combiner half of every global
+    token count (``topk_tokens``, the count-min probe set); keep ALL
+    consumers on this one definition so tokenization can never diverge
+    between an operator and its oracle."""
+    flat, _ = words_flat(texts)
+    t = pa.table({"token": flat})
+    g = t.group_by("token").aggregate([("token", "count")])
+    g = g.rename_columns(["token", "cnt"])
+    return g.filter(pc.not_equal(g["token"], ""))
+
+
 def words_flat(texts, lowercase: bool = True):
     """Vectorized word tokenization: returns ``(flat_words pa.Array,
     offsets int64[n+1])`` using Arrow's split kernel (list-array

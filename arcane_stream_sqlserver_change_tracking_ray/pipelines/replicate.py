@@ -35,21 +35,41 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.merge import CHANGE_TYPE
 
 def bridged_source_version(source_root: str, ct_dir: str) -> int:
     """The primary MANIFEST VERSION the bridge has already shipped:
-    the latest source manifest whose watermark <= the last bridged
+    the latest source manifest whose watermark EQUALS the last bridged
     segment's hi bound (maintenance manifests share the cycle's
     watermark; the max version among them is correct because they
-    append no deltas).  0 (the prepared manifest) when nothing has
-    been bridged yet."""
+    append no deltas).  Oldest retained manifest when nothing has been
+    bridged yet.
+
+    Raises ``ValueError`` when the bookmark manifest has been EXPIRED on
+    the primary: resuming from a later manifest would silently skip the
+    changes in between and leave a version gap the replica tailer waits
+    on forever — the same fail-loud contract as the direct feed path's
+    expired-lookback error."""
     segs = list_segments(ct_dir)
-    if not segs:
-        return ManifestLog(source_root).versions()[0]
-    last_hi = segs[-1][1]
     log = ManifestLog(source_root)
-    best = log.versions()[0]
-    for v in log.versions():
-        if log.read(v).watermark <= last_hi:
-            best = v
-    return best
+    versions = log.versions()
+    if not segs:
+        return versions[0]
+    last_hi = segs[-1][1]
+    # watermarks are monotone in version: scan newest-first, stop at the
+    # first manifest at or below the bookmark (O(gap), not O(history))
+    for v in reversed(versions):
+        wm = log.read(v).watermark
+        if wm <= last_hi:
+            if wm != last_hi:
+                raise ValueError(
+                    f"replication bookmark (primary watermark {last_hi}) "
+                    f"predates the oldest retained manifest history "
+                    f"(nearest watermark {wm}); the primary's "
+                    "retention_versions expired the lookback — "
+                    "re-seed the replica from a snapshot export"
+                )
+            return v
+    raise ValueError(
+        f"replication bookmark (primary watermark {last_hi}) predates "
+        "every retained manifest; re-seed the replica from a snapshot export"
+    )
 
 
 def bridge_changes(source_root: str, ct_dir: str) -> tuple[int, int] | None:
@@ -85,5 +105,13 @@ def bridge_changes(source_root: str, ct_dir: str) -> tuple[int, int] | None:
     drop = [c for c in (CHANGE_TYPE_COL, MERGE_KEY_COL) if c in feed.column_names]
     seg = feed.drop_columns(drop)
     os.makedirs(ct_dir, exist_ok=True)
-    pq.write_table(seg, segment_path(ct_dir, lo, hi))
+    # atomic publish: a polling replica must never see a half-written
+    # segment, and a crash mid-write must not advance the bookmark
+    # (bridged_source_version reads bounds from the FILE NAME)
+    final = segment_path(ct_dir, lo, hi)
+    import uuid
+
+    tmp = os.path.join(ct_dir, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(seg, tmp)
+    os.replace(tmp, final)
     return lo, hi

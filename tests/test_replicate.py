@@ -71,6 +71,25 @@ def test_replica_converges_incrementally(tmp_path):
     assert log.read(bk).watermark == log.require_watermark().watermark
 
 
+def test_bridge_refuses_expired_bookmark(tmp_path):
+    """If the primary's retention expired the bookmark manifest, the
+    bridge fails loudly instead of silently skipping the gap (which
+    would leave the replica tailer waiting on missing versions)."""
+    import pytest
+
+    src_ct = str(tmp_path / "src_ct")
+    src = str(tmp_path / "src")
+    rep_ct = str(tmp_path / "rep_ct")
+    write_ctlog(src_ct, small_spec())
+    prepare_watermark(src, 0, num_partitions=4)
+    StreamRunner(_ctx(src_ct, src, parts=4, rows=200)).run(max_cycles=1)
+    assert bridge_changes(src, rep_ct) is not None
+    StreamRunner(_ctx(src_ct, src, parts=4, rows=200)).run()
+    ManifestLog(src).expire_versions(keep=1)  # bookmark manifest gone
+    with pytest.raises(ValueError, match="re-seed the replica"):
+        bridge_changes(src, rep_ct)
+
+
 def test_bridge_carries_deletes_and_nets_out_transients(tmp_path):
     """Deleted keys vanish on the replica; keys born+deleted between
     bridges never reach it at all."""
