@@ -2689,6 +2689,189 @@ def cdc_cycle_metrics(sf_dir: str):
 
 
 # ===========================================================================
+# Semi/anti joins, Bloom membership, BM25 retrieval, fuzzy string join
+# ===========================================================================
+def semi_join_buyers(sf_dir: str):
+    """Bucketed LEFT SEMI join (the fact×fact shape): customers with at
+    least one order.  Both sides co-shuffle by key hash once and
+    pyarrow's C++ 'left semi' join runs inside each bucket — duplicate
+    right keys never multiply output rows, and only the right side's
+    8-byte key column crosses the wire."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        partitioned_equi_join,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    okeys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+    return partitioned_equi_join(
+        cust, okeys, on="c_custkey", num_buckets=16, join_type="left semi"
+    )
+
+
+def anti_join_customers(sf_dir: str):
+    """Broadcast ANTI join: customers with NO jumbo (≥300k) order.  The
+    key side is thinned to its distinct set distributedly (per-batch
+    Arrow DISTINCT, tiny fold), broadcast once via ``ray.put``, and the
+    probe side streams through one ``np.searchsorted`` per batch — no
+    shuffle."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        broadcast_semi_join,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    jumbo = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_totalprice"], 300000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return broadcast_semi_join(
+        cust, jumbo, on="c_custkey", right_on="o_custkey", anti=True
+    )
+
+
+def fuzzy_join_parts(sf_dir: str):
+    """Blocked approximate-string self-join (record linkage): all
+    distinct part-name pairs at Levenshtein distance ≤ 3 sharing the
+    same last word.  Only distinct short strings shuffle (per-batch
+    DISTINCT first); each block solves its pair-distance matrix with a
+    numpy-VECTORIZED Wagner–Fischer DP (pair axis vectorized — no
+    per-pair Python).  The oracle replays the identical blocking and
+    DuckDB's own ``levenshtein``, so the hash gate certifies the DP."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
+        fuzzy_self_join,
+    )
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    return fuzzy_self_join(ds, "p_name", max_distance=3)
+
+
+def bloom_membership(sf_dir: str):
+    """Bloom filter under the VALUE-HASH gate: an 8192-bit / 4-hash
+    filter built over the custkeys of 'F'-status orders — per-batch
+    1 KB packed-word partials folded by OR (the mergeable sketch shape:
+    corpus size never touches the driver) — probed with every customer
+    key next to exact membership.  The oracle replays the whole filter
+    in SQL (HUGEINT polynomial hash + splitmix finalize, 13-bit-field
+    positions, distinct-bit set, all-4-positions-set test), so the hash
+    match certifies the filter's exact false-positive behavior; the
+    no-false-negatives invariant is pytest-asserted too."""
+    import ray
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    fo = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    bits = bloom_build(fo, "o_custkey")
+    parts = fo.map_batches(
+        lambda b: b.group_by(["o_custkey"]).aggregate([]), batch_format="pyarrow"
+    ).take_all()
+    exact = np.unique(np.array([r["o_custkey"] for r in parts], dtype=np.int64))
+    ref = ray.put((bits, exact))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits_, exact_ = ray.get(ref)
+        maybe = bloom_probe(bits_, batch["c_custkey"])
+        v = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(exact_):
+            pos = np.searchsorted(exact_, v)
+            act = (pos < len(exact_)) & (exact_[np.clip(pos, 0, len(exact_) - 1)] == v)
+        else:
+            act = np.zeros(len(v), dtype=bool)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "maybe": pa.array(maybe.astype(np.int64)),
+                "actual": pa.array(act.astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+_BM25_TERMS = ("merge", "stream", "vector")
+
+
+def bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 retrieval over the corpus (k1=1.2, b=0.75, raw-ratio idf —
+    no transcendental ``ln``, so every double is the same IEEE
+    expression tree in numpy and the SQL oracle and the hash gate
+    certifies the scores bit-for-bit).  Two passes: (1) global stats as
+    a 5-integer partial per task (N, total tokens, per-term df); (2)
+    per-batch vectorized tf/dl scoring + LOCAL top-k, so only ≤k rows
+    per batch ever reach the driver — the corpus never moves."""
+    import ray
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = words_flat(batch["text"])
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        di = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        dfs = {}
+        for t in _BM25_TERMS:
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            dfs[t] = len(np.unique(di[eq]))
+        cols = {"n": [batch.num_rows], "total": [int(ne.sum())]}
+        cols.update({f"df{i}": [dfs[t]] for i, t in enumerate(_BM25_TERMS)})
+        return pa.table(cols)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in parts)
+    total = sum(r["total"] for r in parts)
+    dfs = [sum(r[f"df{i}"] for r in parts) for i in range(len(_BM25_TERMS))]
+    gref = ray.put((float(n_docs), float(total), [float(d) for d in dfs]))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        n_, total_, dfs_ = ray.get(gref)
+        avgdl = total_ / n_
+        flat, offsets = words_flat(batch["text"])
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        di = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        dl = np.bincount(di[ne], minlength=batch.num_rows).astype(np.float64)
+        score = np.zeros(batch.num_rows, dtype=np.float64)
+        for term, df in zip(_BM25_TERMS, dfs_):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(di[eq], minlength=batch.num_rows).astype(np.float64)
+            idf = (n_ - df + 0.5) / (df + 0.5)
+            s = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+            score = score + s
+        keep = score > 0.0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        sc = score[keep]
+        order = np.lexsort((ids, -sc))[:k]  # local top-k partial
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "score": pa.array(sc[order], pa.float64()),
+            }
+        )
+
+    tops = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in tops], dtype=np.int64)
+    sc = np.array([r["score"] for r in tops], dtype=np.float64)
+    order = np.lexsort((ids, -sc))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(sc[order], pa.float64()),
+        }
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 def entry() -> Any:
@@ -2736,6 +2919,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_join": partitioned_join,
         "asof_join": asof_join,
         "revenue_by_nation": revenue_by_nation,
+        "semi_join_buyers": semi_join_buyers,
+        "anti_join_customers": anti_join_customers,
+        "fuzzy_join_parts": fuzzy_join_parts,
+        "bloom_membership": bloom_membership,
+        "bm25_topk": bm25_topk,
         # text analysis
         "windowed_agg": windowed_agg,
         "hopping_window": hopping_window,
@@ -3156,6 +3344,127 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL registers replayed exactly: bucket = h % 1024, rank = 1 +
         # trailing zeros of h // 1024 (min set bit via exact power(2, j))
+        "semi_join_buyers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice >= 300000.0)
+        """,
+        # identical blocking (last whitespace token) + DuckDB's own
+        # levenshtein certify the vectorized Wagner–Fischer DP
+        "fuzzy_join_parts": r"""
+            WITH d AS (
+              SELECT DISTINCT p_name,
+                     regexp_extract(p_name, '(\S+)$', 1) AS blk
+              FROM part
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+            FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        """,
+        # the whole Bloom filter replayed in SQL: HUGEINT polynomial hash
+        # of the decimal key string, splitmix finalize (the HLL chain),
+        # 13-bit-field positions, distinct-bit set, all-4-set membership
+        "bloom_membership": r"""
+            WITH dv(j, d) AS (
+              VALUES (0, 1::HUGEINT), (1, 8192::HUGEINT),
+                     (2, 67108864::HUGEINT), (3, 549755813888::HUGEINT)
+            ), built AS (
+              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s
+              FROM orders WHERE o_orderstatus = 'F'
+            ), bh AS (
+              SELECT list_reduce(list_transform(range(1, length(s) + 1),
+                  i -> unicode(substr(s, i, 1))::HUGEINT),
+                (a, x) -> (a * 1000003 + x)
+                          % 18446744073709551616::HUGEINT) AS h
+              FROM built
+            ), bf1 AS (SELECT xor(h, h // 536870912) AS h FROM bh
+            ), bf2 AS (
+              SELECT ((h * 484763065)
+                      + ((((h % 4294967296) * 3210233709) % 4294967296)
+                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
+              FROM bf1
+            ), bf3 AS (SELECT xor(h, h // 4294967296) AS h FROM bf2
+            ), bits AS (
+              SELECT DISTINCT ((h // dv.d) % 8192)::BIGINT AS p FROM bf3, dv
+            ), ph AS (
+              SELECT c_custkey,
+                list_reduce(list_transform(
+                    range(1, length(CAST(c_custkey AS VARCHAR)) + 1),
+                    i -> unicode(substr(CAST(c_custkey AS VARCHAR), i, 1))::HUGEINT),
+                  (a, x) -> (a * 1000003 + x)
+                            % 18446744073709551616::HUGEINT) AS h
+              FROM customer
+            ), pf1 AS (SELECT c_custkey, xor(h, h // 536870912) AS h FROM ph
+            ), pf2 AS (
+              SELECT c_custkey,
+                     ((h * 484763065)
+                      + ((((h % 4294967296) * 3210233709) % 4294967296)
+                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
+              FROM pf1
+            ), pf3 AS (SELECT c_custkey, xor(h, h // 4294967296) AS h FROM pf2
+            ), pp AS (
+              SELECT c_custkey, ((h // dv.d) % 8192)::BIGINT AS p FROM pf3, dv
+            )
+            SELECT pp.c_custkey,
+                   (CASE WHEN count(*) FILTER (WHERE pp.p IN (SELECT p FROM bits)) = 4
+                         THEN 1 ELSE 0 END)::BIGINT AS maybe,
+                   (CASE WHEN EXISTS (SELECT 1 FROM orders
+                                      WHERE o_custkey = pp.c_custkey
+                                        AND o_orderstatus = 'F')
+                         THEN 1 ELSE 0 END)::BIGINT AS actual
+            FROM pp GROUP BY pp.c_custkey
+        """,
+        # BM25 with raw-ratio idf: the identical IEEE expression tree
+        # (term order merge, stream, vector) makes every double exact
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+              FROM documents
+            ), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
+            g AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                     (SELECT count(*) FROM t2)::DOUBLE AS total
+            ), df AS (
+              SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM t2
+              WHERE tok IN ('merge', 'stream', 'vector') GROUP BY tok
+            ), tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t2
+              WHERE tok IN ('merge', 'stream', 'vector') GROUP BY doc_id, tok
+            ), p AS (
+              SELECT d.doc_id, d.dl,
+                coalesce(max(CASE WHEN tf.tok = 'merge' THEN tf.tf END), 0.0) AS tf1,
+                coalesce(max(CASE WHEN tf.tok = 'stream' THEN tf.tf END), 0.0) AS tf2,
+                coalesce(max(CASE WHEN tf.tok = 'vector' THEN tf.tf END), 0.0) AS tf3
+              FROM dl d LEFT JOIN tf ON tf.doc_id = d.doc_id
+              GROUP BY d.doc_id, d.dl
+            ), idf AS (
+              SELECT
+                (g.n - coalesce((SELECT df FROM df WHERE tok = 'merge'), 0.0) + 0.5)
+                  / (coalesce((SELECT df FROM df WHERE tok = 'merge'), 0.0) + 0.5) AS i1,
+                (g.n - coalesce((SELECT df FROM df WHERE tok = 'stream'), 0.0) + 0.5)
+                  / (coalesce((SELECT df FROM df WHERE tok = 'stream'), 0.0) + 0.5) AS i2,
+                (g.n - coalesce((SELECT df FROM df WHERE tok = 'vector'), 0.0) + 0.5)
+                  / (coalesce((SELECT df FROM df WHERE tok = 'vector'), 0.0) + 0.5) AS i3,
+                g.total / g.n AS avgdl
+              FROM g
+            ), s AS (
+              SELECT p.doc_id,
+                idf.i1 * ((p.tf1 * 2.2) / (p.tf1 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
+                + idf.i2 * ((p.tf2 * 2.2) / (p.tf2 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
+                + idf.i3 * ((p.tf3 * 2.2) / (p.tf3 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
+                  AS score
+              FROM p, idf
+            )
+            SELECT doc_id, score FROM s WHERE score > 0.0
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
         "hll_distinct_users": r"""
             WITH d AS (
               SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events

@@ -216,6 +216,155 @@ def asof_join(
     return both.groupby(PID_COL).map_groups(asof_bucket, batch_format="pyarrow")
 
 
+def broadcast_semi_join(ds, keys_ds, on: str, right_on: str | None = None, anti: bool = False):
+    """Semi / anti join against the DISTINCT key set of *keys_ds* —
+    `WHERE [NOT] EXISTS (SELECT 1 FROM right WHERE right.k = left.k)`.
+
+    Scale shape: the key side is thinned DISTRIBUTEDLY first (per-batch
+    DISTINCT via Arrow's hash group-by inside ``map_batches``, so only
+    distinct 8-byte keys ever leave a task), the partials fold into one
+    sorted array driver-side (dimension-sized by contract), and that
+    array broadcasts once via ``ray.put``; the probe side then streams
+    through one ``np.searchsorted`` membership test per batch — no
+    probe-side shuffle, no row movement.  For fact×fact semi joins where
+    the distinct key set itself is too big to broadcast, use
+    ``partitioned_equi_join(..., join_type="left semi" / "left anti")``
+    instead (both sides bucket-shuffle).
+    """
+    import ray
+
+    right_on = right_on or on
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        return batch.select([right_on]).group_by([right_on]).aggregate([])
+
+    parts = keys_ds.map_batches(_distinct, batch_format="pyarrow").take_all()
+    keys = np.unique(np.array([r[right_on] for r in parts]))
+    ref = ray.put(keys)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        v = batch[on].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.searchsorted(ks, v)
+            hit = (pos < len(ks)) & (ks[np.clip(pos, 0, len(ks) - 1)] == v)
+        else:
+            hit = np.zeros(len(v), dtype=bool)
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def fuzzy_self_join(
+    ds,
+    text_col: str,
+    block_pattern: str = r"(?P<blk>\S+)$",
+    max_distance: int = 3,
+    max_block: int = 4096,
+):
+    """Blocked approximate-string self-join: all DISTINCT values of
+    *text_col* whose edit (Levenshtein) distance is ≤ *max_distance*,
+    restricted to pairs sharing a blocking key (default: the last
+    whitespace token) — the record-linkage join no dataframe engine has
+    a primitive for.
+
+    Shape: per-batch DISTINCT (value, block) rows via Arrow group-by —
+    only distinct short strings shuffle — then one groupby(block); the
+    per-block all-pairs distance matrix is a NUMPY-VECTORIZED DP (the
+    row-iterative Wagner–Fischer recurrence with the pair axis
+    vectorized: ~len² fused numpy ops per block, no per-pair Python).
+    Blocks are capped at *max_block* members with a LOGGED truncation
+    (the no-silent-caps rule; blocking keys are vocabulary-bounded for
+    name-like data, so the cap should never bind in practice)."""
+    import logging
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        t = batch.select([text_col]).group_by([text_col]).aggregate([])
+        blk = pc.extract_regex(t[text_col], block_pattern)
+        t = t.append_column("_blk", pc.struct_field(blk, 0))
+        return t.filter(pc.is_valid(t["_blk"]))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        # per-batch DISTINCT thins but doesn't globally dedupe — the same
+        # value may arrive once per upstream batch; finish the dedup here
+        names = sorted(set(group[text_col].to_pylist()))
+        if len(names) > max_block:
+            logging.getLogger(__name__).warning(
+                "fuzzy block capped: %d -> %d members (pairs beyond the "
+                "cap are NOT emitted; refine block_pattern)",
+                len(names), max_block,
+            )
+            names = names[:max_block]
+        n = len(names)
+        empty = pa.table(
+            {
+                "name_a": pa.array([], pa.string()),
+                "name_b": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        ia, ib = np.triu_indices(n, k=1)
+        d = levenshtein_pairs([names[i] for i in ia], [names[j] for j in ib])
+        keep = d <= max_distance
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "name_a": pa.array([names[i] for i in ia[keep]], pa.string()),
+                "name_b": pa.array([names[j] for j in ib[keep]], pa.string()),
+                "dist": pa.array(d[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(_distinct, batch_format="pyarrow")
+        .groupby("_blk")
+        .map_groups(lambda g: pairs(g.drop_columns(["_blk"])), batch_format="pyarrow")
+    )
+
+
+def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
+    """Unit-cost Levenshtein distance for P string pairs at once: the
+    Wagner–Fischer DP with the PAIR axis vectorized — the i/j loops run
+    max_len² times total while every min/compare is a fused numpy op
+    over all P pairs (no per-pair Python)."""
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    ab = [s.encode("utf-8") for s in a]
+    bb = [s.encode("utf-8") for s in b]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.zeros((P, max(La, 1)), dtype=np.uint8)
+    B = np.zeros((P, max(Lb, 1)), dtype=np.uint8)
+    for p, s in enumerate(ab):
+        A[p, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for p, s in enumerate(bb):
+        B[p, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    prev = np.repeat(np.arange(Lb + 1, dtype=np.int32)[None, :], P, axis=0)
+    out = np.empty(P, dtype=np.int64)
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, Lb + 1):
+            cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int32)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost,
+            )
+        prev = cur
+        hit = la == i
+        if hit.any():
+            out[hit] = prev[hit, lb[hit]]
+            done |= hit
+    return out
+
+
 def broadcast_range_join(
     ds,
     intervals: pa.Table,

@@ -149,6 +149,74 @@ def hll_registers(ds, col: str) -> np.ndarray:
     return regs
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate set membership)
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 8192  #: 2^13 bits
+BLOOM_K = 4  #: hash functions = disjoint 13-bit fields (52 of 64 bits used)
+
+
+def bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(k, n) int64 bit positions from splitmix-finalized uint64 hashes:
+    bit field ``(h >> 13*j) & 8191`` — pure integer arithmetic, so the
+    SQL oracle replays positions exactly in HUGEINT (``(h // 2^(13j)) %
+    8192``), same technique as the count-min positions."""
+    return np.stack(
+        [
+            ((h >> np.uint64(13 * j)) & np.uint64(BLOOM_BITS - 1)).astype(np.int64)
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def _value_hashes(col) -> np.ndarray:
+    """Finalized hashes of a column's non-null values as decimal/utf8
+    strings (identical pre-hash canonicalization to the HLL path, so
+    one SQL hash chain serves both sketches)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type):
+        col = pc.cast(col, pa.string())
+    col = col.drop_null()
+    col = col.filter(pc.greater(pc.binary_length(col), 0))
+    h = poly_word_hashes(col)
+    return splitmix_finalize(h) if h.size else h
+
+
+def bloom_partial(batch: pa.Table, col: str) -> pa.Table:
+    """One flattened 8192-bit partial per batch (merge = OR; shipped as
+    a 1 KB packed uint64[128] word array — the mergeable unit)."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    h = _value_hashes(batch[col])
+    if h.size:
+        bits[bloom_positions(h).reshape(-1)] = True
+    packed = np.packbits(bits, bitorder="little").view(np.uint64)
+    return pa.table({"words": pa.array([packed.astype(np.int64)])})
+
+
+def bloom_build(ds, col: str) -> np.ndarray:
+    """The 8192-entry bit array over *ds[col]* — per-batch packed
+    partials folded by bitwise OR (1 KB per task at any corpus size;
+    the same pre-aggregation shape as the count-min grid, and the
+    mergeable form a tree reduce would fold on a cluster)."""
+    parts = ds.map_batches(
+        lambda b: bloom_partial(b, col), batch_format="pyarrow"
+    ).take_all()
+    words = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for r in parts:
+        words |= np.asarray(r["words"], dtype=np.int64).view(np.uint64)
+    return np.unpackbits(words.view(np.uint8), bitorder="little").astype(bool)
+
+
+def bloom_probe(bits: np.ndarray, col) -> np.ndarray:
+    """Membership verdicts (bool, no false negatives) for a column of
+    probe values against a built filter."""
+    h = _value_hashes(col)
+    if not h.size:
+        return np.zeros(0, dtype=bool)
+    return bits[bloom_positions(h)].all(axis=0)
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL cardinality estimate with the small-range
     (linear-counting) correction."""

@@ -53,13 +53,15 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main(sf_dir):
+def main(sf_dir, only=None):
     import duckdb
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -100,6 +102,7 @@ if __name__ == "__main__":
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    rc = main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    rc = main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01", only)
     ray.shutdown()
     sys.exit(1 if rc else 0)
