@@ -1996,6 +1996,56 @@ def _replay_events_to_target(
     return tgt, ctx
 
 
+def cdc_repartition(sf_dir: str):
+    """FULL-ENGINE partition-spec evolution under the hash gate: replay
+    the first cycle of the events feed into an 8-partition table, run
+    the ``repartition_table`` maintenance action to P=5 (a non-divisor
+    rehash — every row re-buckets; no shuffle, write-side partitioned
+    output per old pid + one atomic manifest flip), then drain the
+    remaining segments under the new spec.  The merged table must equal
+    plain LWW SQL over all events — proving re-bucketing preserved the
+    visible state, folded pending deltas, and the stream continued
+    seamlessly across the spec change (the Iceberg
+    bucket(arcane_merge_key, P) spec-evolution analog,
+    docs/crd.md:114-119)."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        repartition_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_repart_")
+    try:
+        feed = _events_feed(sf_dir)
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": max(feed.num_rows // 3, 1)},
+            }
+        )
+        StreamRunner(ctx).run(max_cycles=1)
+        repartition_table(ManifestLog(tgt), ctx, 5)
+        StreamRunner(ctx).run()
+        assert ManifestLog(tgt).latest().num_partitions == 5
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -2905,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_cycle_metrics": cdc_cycle_metrics,
         "cdc_unordered_feed": cdc_unordered_feed,
         "cdc_maintenance_fold": cdc_maintenance_fold,
+        "cdc_repartition": cdc_repartition,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3540,6 +3591,13 @@ def oracle_sql() -> dict[str, str]:
                          (150000.0, 300000.0, 'large'),
                          (300000.0, 1e12, 'jumbo')) b(lo, hi, band)
               ON o_totalprice >= b.lo AND o_totalprice < b.hi
+        """,
+        # mid-stream re-bucketing (8 -> 5) must preserve plain-LWW state
+        "cdc_repartition": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
         """,
         # the twice-bridged replica must equal plain LWW over all events
         "cdc_replica_sync": """

@@ -926,6 +926,13 @@ def _change_feed_plan(
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
     appended = log.appended_deltas(from_version, m_to.version)
     m_from = log.read(from_version)
+    if m_from.num_partitions != m_to.num_partitions:
+        raise ValueError(
+            "change feed cannot cross a repartition boundary "
+            f"(P={m_from.num_partitions} at v{m_from.version} vs "
+            f"P={m_to.num_partitions} at v{m_to.version}); re-baseline "
+            "from a post-repartition snapshot"
+        )
     schema = m_to.schema
     out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     base_a, deltas_a = dict(m_from.partitions), dict(m_from.deltas)

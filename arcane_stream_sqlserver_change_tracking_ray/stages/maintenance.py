@@ -35,9 +35,11 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
     column_summary,
 )
 from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+    partition_ids,
     resolve_partition_table,
     write_partition_files,
 )
+from arcane_stream_sqlserver_change_tracking_ray.types import MERGE_KEY_COL
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest, ManifestLog
 
 
@@ -178,6 +180,160 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
     }
     log.commit(nxt, expect_version=manifest.version)
     return {"compacted_partitions": len(res), "folded_deltas": folded_deltas}
+
+
+class RepartitionPartition:
+    """Re-bucket ONE old partition into the new spec: resolve its
+    base + pending deltas (LWW, tombstones dropped), recompute every
+    row's partition id under the SAME ``key_hash_algo`` with the NEW
+    partition count, and write one file set per new pid touched.
+
+    No cross-task exchange: re-bucketing is write-side partitioned
+    output — each task fans its rows out to new-pid files and the
+    driver's manifest commit gathers per-new-pid file lists across
+    tasks.  Rows from different OLD pids landing in one NEW pid are
+    key-disjoint by construction (a key lived in exactly one old pid),
+    so the gathered lists are valid LWW-resolved base files as-is."""
+
+    def __init__(
+        self,
+        target_root: str,
+        cycle_id: str,
+        partition_files: dict[int, list[str]],
+        partition_deltas: dict[int, list[str]],
+        schema: pa.Schema,
+        new_partitions: int,
+        key_hash_algo: str,
+        max_rows_per_file: int,
+        compression: str,
+        fsync: bool = True,
+        bloom_columns: tuple[str, ...] = (),
+    ):
+        self.target_root = target_root
+        self.cycle_id = cycle_id
+        self.partition_files = partition_files
+        self.partition_deltas = partition_deltas
+        self.schema = schema
+        self.new_partitions = new_partitions
+        self.key_hash_algo = key_hash_algo
+        self.max_rows_per_file = max_rows_per_file
+        self.compression = compression
+        self.fsync = fsync
+        self.bloom_columns = bloom_columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_pids, out_files = [], []
+        for pid in batch["pid"].to_pylist():
+            merged = resolve_partition_table(
+                self.target_root,
+                self.partition_files.get(pid, []),
+                self.partition_deltas.get(pid, []),
+                self.schema,
+            )
+            if merged.num_rows == 0:
+                continue
+            npid = partition_ids(
+                merged[MERGE_KEY_COL], self.new_partitions, self.key_hash_algo
+            )
+            order = np.argsort(npid, kind="stable")
+            merged = merged.take(pa.array(order))
+            npid = npid[order]
+            starts = np.flatnonzero(np.r_[True, npid[1:] != npid[:-1]])
+            ends = np.r_[starts[1:], len(npid)]
+            for s, e in zip(starts, ends):
+                rels, _ = write_partition_files(
+                    merged.slice(int(s), int(e - s)),
+                    self.target_root,
+                    self.cycle_id,
+                    int(npid[s]),
+                    max_rows_per_file=self.max_rows_per_file,
+                    compression=self.compression,
+                    fsync=self.fsync,
+                    bloom_columns=self.bloom_columns,
+                )
+                out_pids.append(int(npid[s]))
+                out_files.append(json.dumps(rels))
+        return pa.table(
+            {"pid": pa.array(out_pids, pa.int64()), "files_json": out_files}
+        )
+
+
+def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int) -> dict:
+    """Partition-spec evolution: re-bucket the live table from P to P'
+    partitions as an atomic maintenance action (the Iceberg
+    ``bucket(arcane_merge_key, P)`` spec-change analog, docs/crd.md:114-119
+    — and the operational lever when a table outgrows its P: more
+    partitions = more merge/read parallelism and smaller point-lookup
+    fan-in).
+
+    One fan-out task per OLD partition resolves base+deltas and writes
+    new-pid-bucketed files (no shuffle — write-side partitioning); ONE
+    manifest commit flips ``num_partitions``, the full file map, and
+    clears all deltas.  Readers and the next streaming cycle pick up the
+    new spec from the manifest — routing is always manifest-driven, so
+    the flip is transparent.  Concurrent streamers CAS-fail and retry
+    against the new spec.  The change feed refuses to cross the
+    boundary (pids are not comparable across specs); re-baseline from a
+    post-repartition snapshot."""
+    import ray.data
+
+    manifest = log.require_watermark()
+    old = manifest.num_partitions
+    if new_partitions < 1:
+        raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
+    if new_partitions == old:
+        return {"repartitioned": False, "num_partitions": old}
+    pids = sorted(manifest.partition_pids())
+    cycle_id = f"repart-{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
+    nxt = manifest.next()
+    nxt.num_partitions = new_partitions
+    nxt.partitions = {}
+    nxt.deltas = {}
+    nxt.lineage = {}
+    moved = 0
+    if pids:
+        fn = RepartitionPartition(
+            target_root=log.root,
+            cycle_id=cycle_id,
+            partition_files={p: manifest.partitions.get(p, []) for p in pids},
+            partition_deltas={p: manifest.deltas.get(p, []) for p in pids},
+            schema=manifest.schema,
+            new_partitions=new_partitions,
+            key_hash_algo=manifest.key_hash_algo,
+            max_rows_per_file=ctx.maintenance.compact_target_rows
+            or ctx.sink.max_rows_per_file,
+            compression=ctx.sink.parquet_compression,
+            fsync=ctx.sink.durable_writes,
+            bloom_columns=tuple(ctx.sink.bloom_filter_columns),
+        )
+        res = (
+            ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+            .map_batches(fn, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        for r in res:
+            nxt.partitions.setdefault(int(r["pid"]), []).extend(
+                json.loads(r["files_json"])
+            )
+            moved += 1
+        for pid in nxt.partitions:
+            nxt.lineage[pid] = {"repartitioned": cycle_id, "deltas": 0}
+    nxt.metrics = {
+        "maintenance": {
+            "repartitioned_from": old,
+            "repartitioned_to": new_partitions,
+            "cycle": cycle_id,
+        }
+    }
+    log.commit(nxt, expect_version=manifest.version)
+    return {
+        "repartitioned": True,
+        "from": old,
+        "to": new_partitions,
+        "new_pids": len(nxt.partitions),
+    }
 
 
 def analyze(log: ManifestLog, ctx: StreamContext) -> dict:

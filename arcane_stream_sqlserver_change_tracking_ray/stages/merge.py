@@ -81,25 +81,45 @@ def hash_keys(keys, algo: str = "pandas") -> np.ndarray:
     routing must be stable across runs and processes for the life of the
     table, so the function is part of the table format, not a tunable.
 
+    The hash DOMAIN is canonical too: non-string keys are cast to their
+    decimal/utf8 string form first — exactly the ``arcane_merge_key``
+    string ``synthesize_merge_key`` / ``ensure_merge_key_alias`` store.
+    Every router and reader (cycle routing, point-lookup pruning,
+    repartitioning) must place a key identically whether it sees the
+    aliased raw column or the stored merge-key string; hashing raw int
+    buffers here would silently route to a different partition than a
+    string-keyed ``lookup_keys`` probes (found only by accident of
+    pid coverage).  The url-keyed headline path is already a string —
+    zero extra work there.
+
     - ``"pandas"``: pd.util.hash_array (SipHash-1-3, fixed key); slow
       (Python-object round-trip) but the round-1 format.
     - ``"polars"``: polars' ahash over the Arrow buffers directly —
       ~30x faster, deterministic across processes for a pinned polars
       version (verified 1.42); the default for new tables.
     """
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(keys, pa.Array) and not (
+        pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)
+    ):
+        keys = pc.cast(keys, pa.string())
     if algo == "polars":
         pl = import_polars()
 
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
         if isinstance(keys, pa.Array):
             return pl.from_arrow(keys).hash(seed=42).to_numpy(allow_copy=True)
-        return pl.Series(np.asarray(keys, dtype=object)).hash(seed=42).to_numpy(
-            allow_copy=True
-        )
+        return pl.Series(
+            np.asarray(keys, dtype=object).astype(str)
+        ).hash(seed=42).to_numpy(allow_copy=True)
     if algo != "pandas":
         raise ValueError(f"unknown key_hash_algo: {algo!r}")
-    return stable_hash(keys)
+    if isinstance(keys, pa.Array):
+        return stable_hash(keys)
+    arr = np.asarray(keys, dtype=object)
+    if arr.size and not isinstance(arr.flat[0], str):
+        arr = arr.astype(str).astype(object)
+    return stable_hash(arr)
 
 
 def partition_ids(keys, num_partitions: int, algo: str = "pandas") -> np.ndarray:

@@ -80,3 +80,43 @@ def test_lookup_keys_partition_pruned(tmp_lake):
     got_rows = got.to_pandas().set_index("url")
     for u in exp_rows.index:
         assert got_rows.loc[u, "text"] == exp_rows.loc[u, "text"]
+
+
+def test_lookup_finds_every_int_key_individually(tmp_lake):
+    """Regression: with a single NON-STRING key column the alias fast
+    path routes on the raw column while lookups hash the canonical
+    string merge key — the two must place every key identically
+    (hash_keys canonicalizes the domain).  Probing ONE key at a time
+    leaves no room for accidental pid coverage to mask a mismatch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.types import OP_COL, VERSION_COL
+
+    ct, tgt, _ = tmp_lake
+    os.makedirs(ct, exist_ok=True)
+    n = 64
+    feed = pa.table(
+        {
+            "user_id": pa.array(np.arange(n, dtype=np.int64)),
+            "val": pa.array(np.arange(n, dtype=np.float64)),
+            VERSION_COL: pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            OP_COL: pa.array(["U"] * n),
+        }
+    )
+    pq.write_table(feed, os.path.join(ct, f"v{1:012d}-{n:012d}.parquet"))
+    prepare_watermark(tgt, 0, num_partitions=8)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+            "sink": {"target_root": tgt, "num_partitions": 8},
+            "throughput": {"rows_per_group": 64},
+        }
+    )
+    StreamRunner(ctx).run()
+    for k in (0, 1, 2, 3, 5, 8, 13, 21, 34, 55, 63):
+        got = lookup_keys(tgt, [str(k)])
+        assert got.num_rows == 1, f"key {k} not found by single-key lookup"
+        assert got["user_id"][0].as_py() == k
