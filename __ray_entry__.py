@@ -2738,6 +2738,49 @@ def cdc_cycle_metrics(sf_dir: str):
     )
 
 
+def containment_join(sf_dir: str):
+    """Asymmetric near-CONTAINMENT similarity join: all doc pairs with
+    ``|A∩B| / min(|A|,|B|) >= 0.6`` over distinct word-3-shingle sets —
+    the quote/excerpt detector Jaccard misses (a short doc fully
+    embedded in a long one scores 1.0 where Jaccard stays tiny).  Same
+    inverted shingle index and 8-byte-key shuffles as
+    ``dedup_ngram_jaccard``; only the final exact integer ratio differs,
+    so the all-pairs SQL oracle hash-certifies it the same way."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_jaccard_pairs(
+        ds, threshold=0.6, text_col="text", id_col="doc_id", measure="containment"
+    )
+
+
+def kmv_distinct(sf_dir: str):
+    """KMV (k-minimum-values) sketch under the VALUE-HASH gate: the 256
+    smallest distinct finalized hashes of ``events.user_id`` (≤2 KB
+    idempotent-mergeable partials per task — and unlike HLL the sketch
+    supports set algebra: union = merge, intersection by
+    inclusion–exclusion).  The min-set is an exact integer function of
+    the value SET, so the oracle replays it verbatim in SQL — the same
+    HUGEINT polynomial-hash + splitmix chain as the HLL/bloom oracles,
+    then ``ORDER BY h LIMIT 256`` — and the hash gate certifies the
+    sketch itself; the derived ±~6.3% cardinality estimate is
+    pytest-asserted against the exact distinct count."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        kmv_sketch,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    mins = kmv_sketch(ds, "user_id")
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(mins)), pa.int64()),
+            "h": pa.array([str(int(v)) for v in mins], pa.string()),
+        }
+    )
+
+
 # ===========================================================================
 # Semi/anti joins, Bloom membership, BM25 retrieval, fuzzy string join
 # ===========================================================================
@@ -3012,6 +3055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "containment_join": containment_join,
+        "kmv_distinct": kmv_distinct,
         "dedup_clusters": dedup_clusters,
         "dedup_keep_best": dedup_keep_best,
         "inverted_index": inverted_index,
@@ -3395,6 +3440,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # HLL registers replayed exactly: bucket = h % 1024, rank = 1 +
         # trailing zeros of h // 1024 (min set bit via exact power(2, j))
+        # same shingle CTE as the Jaccard oracle; containment ratio
+        "containment_join": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+              FROM w WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE
+                     / least(len(a.s), len(b.s)) AS containment
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / least(len(a.s), len(b.s)) >= 0.6
+        """,
+        # the KMV min-set replayed exactly: the HLL hash+finalize chain,
+        # then the 256 smallest distinct hashes in unsigned order
+        "kmv_distinct": r"""
+            WITH d AS (
+              SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
+            ), hashed AS (
+              SELECT list_reduce(list_transform(range(1, length(s) + 1),
+                  i -> unicode(substr(s, i, 1))::HUGEINT),
+                (a, x) -> (a * 1000003 + x)
+                          % 18446744073709551616::HUGEINT) AS h
+              FROM d
+            ), f1 AS (SELECT xor(h, h // 536870912) AS h FROM hashed
+            ), f2 AS (
+              SELECT ((h * 484763065)
+                      + ((((h % 4294967296) * 3210233709) % 4294967296)
+                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
+              FROM f1
+            ), f3 AS (SELECT xor(h, h // 4294967296) AS h FROM f2
+            ), u AS (SELECT DISTINCT h FROM f3)
+            SELECT (row_number() OVER (ORDER BY h) - 1)::BIGINT AS rank,
+                   CAST(h AS VARCHAR) AS h
+            FROM u ORDER BY h LIMIT 256
+        """,
         "semi_join_buyers": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

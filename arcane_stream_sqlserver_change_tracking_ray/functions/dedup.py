@@ -698,9 +698,15 @@ def exact_jaccard_pairs(
     k_shingle: int = 3,
     max_df: int = 8192,
     counts: str = "broadcast",
+    measure: str = "jaccard",
 ):
     """EXACT n-gram Jaccard similarity join: all pairs (id_a < id_b) with
     ``|A∩B| / |A∪B| >= threshold`` over distinct word-k-shingle sets.
+    ``measure="containment"`` scores ``|A∩B| / min(|A|, |B|)`` instead —
+    the asymmetric near-CONTAINMENT join (a short doc fully embedded in
+    a long one scores 1.0 where Jaccard stays tiny; the quote/excerpt
+    detector Jaccard misses) — same index, same shuffles, different
+    final ratio.
 
     Classic inverted-index set-similarity join, Ray-Data-shaped:
 
@@ -812,8 +818,10 @@ def exact_jaccard_pairs(
         _ShingleCounts(text_col, id_col, k_shingle), batch_format="pyarrow"
     )
 
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure: {measure!r}")
     if counts == "partitioned":
-        return _jaccard_attach_partitioned(common, counts_ds, threshold)
+        return _jaccard_attach_partitioned(common, counts_ds, threshold, measure)
     if counts != "broadcast":
         raise ValueError(f"unknown counts mode: {counts!r}")
 
@@ -837,21 +845,25 @@ def exact_jaccard_pairs(
         c = batch["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
         na = sorted_n[np.searchsorted(sorted_ids, ia)]
         nb = sorted_n[np.searchsorted(sorted_ids, ib)]
-        union = na + nb - c
-        j = c / np.maximum(union, 1)
+        if measure == "containment":
+            j = c / np.maximum(np.minimum(na, nb), 1)
+        else:
+            j = c / np.maximum(na + nb - c, 1)
         keep = j >= threshold
         return pa.table(
             {
                 "id_a": pa.array(ia[keep], pa.int64()),
                 "id_b": pa.array(ib[keep], pa.int64()),
-                "jaccard": pa.array(j[keep], pa.float64()),
+                measure: pa.array(j[keep], pa.float64()),
             }
         )
 
     return common.map_batches(finalize, batch_format="pyarrow")
 
 
-def _jaccard_attach_partitioned(common, counts_ds, threshold: float):
+def _jaccard_attach_partitioned(
+    common, counts_ds, threshold: float, measure: str = "jaccard"
+):
     """Attach per-doc shingle counts to pair counts WITHOUT a broadcast:
     explode each pair into two (doc-keyed) request rows, union with the
     counts rows, ``groupby(doc)`` to stamp n_sh onto the requests, then
@@ -906,22 +918,24 @@ def _jaccard_attach_partitioned(common, counts_ds, threshold: float):
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                measure: pa.array([], pa.float64()),
             }
         )
         if group.num_rows != 2 or group["n_sh"].null_count:
             return empty
         c = int(group["c"][0].as_py())
         na, nb = (int(v.as_py()) for v in group["n_sh"])
-        union = max(na + nb - c, 1)
-        j = c / union
+        if measure == "containment":
+            j = c / max(min(na, nb), 1)
+        else:
+            j = c / max(na + nb - c, 1)
         if j < threshold:
             return empty
         return pa.table(
             {
                 "id_a": group["id_a"].slice(0, 1),
                 "id_b": group["id_b"].slice(0, 1),
-                "jaccard": pa.array([j], pa.float64()),
+                measure: pa.array([j], pa.float64()),
             }
         )
 

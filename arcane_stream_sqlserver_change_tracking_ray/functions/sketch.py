@@ -217,6 +217,49 @@ def bloom_probe(bits: np.ndarray, col) -> np.ndarray:
     return bits[bloom_positions(h)].all(axis=0)
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# ---------------------------------------------------------------------------
+KMV_K = 256  #: relative error ~ 1/sqrt(k-2) ≈ 6.3%
+
+
+def kmv_partial(batch: pa.Table, col: str, k: int = KMV_K) -> pa.Table:
+    """One partial = the batch's k smallest DISTINCT finalized hashes
+    (≤ 2 KB; merge = union→unique→k smallest — an idempotent,
+    commutative fold, so the sketch is also the mergeable form a tree
+    reduce uses on a cluster)."""
+    h = _value_hashes(batch[col])
+    h = np.unique(h)[:k]  # unique() sorts ascending (uint64 order)
+    return pa.table({"mins": pa.array([h.view(np.int64)])})
+
+
+def kmv_sketch(ds, col: str, k: int = KMV_K) -> np.ndarray:
+    """The k smallest distinct hashes over *ds[col]* (uint64, sorted).
+    Unlike HLL this sketch supports set algebra (union = merge,
+    intersection via inclusion–exclusion on the combined sketch), and —
+    like the HLL registers and the count-min grid — it is an exact
+    integer function of the value SET, so a SQL oracle replays it
+    verbatim (hash chain + ORDER BY hash LIMIT k)."""
+    parts = ds.map_batches(
+        lambda b: kmv_partial(b, col, k), batch_format="pyarrow"
+    ).take_all()
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    allh = np.concatenate(
+        [np.asarray(r["mins"], dtype=np.int64).view(np.uint64) for r in parts]
+    )
+    return np.unique(allh)[:k]
+
+
+def kmv_estimate(mins: np.ndarray, k: int = KMV_K) -> float:
+    """Distinct-count estimate: with the k-th smallest of n uniform
+    hashes at position h_k, n ≈ (k-1) · 2^64 / h_k; exact count when
+    fewer than k distinct values exist (the sketch IS the value set)."""
+    if len(mins) < k:
+        return float(len(mins))
+    return (k - 1) * 2.0**64 / float(mins[-1])
+
+
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL cardinality estimate with the small-range
     (linear-counting) correction."""

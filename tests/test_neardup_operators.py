@@ -614,3 +614,40 @@ def test_simhash_poly_mode_matches_python_reference():
     sig = simhash_signatures(pa.array(texts), k_shingle=3, hash_impl="poly")
     for t, s in zip(texts, sig):
         assert int(s) == ref_sig(t), t
+
+
+def test_containment_join_planted_excerpt():
+    """A short doc fully contained in a long one must score containment
+    1.0 (where its Jaccard is far below threshold) — the excerpt case
+    the containment measure exists for; and the partitioned counts path
+    must agree with the broadcast path."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        exact_jaccard_pairs,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    excerpt = "beta gamma delta epsilon"  # 2 shingles, both in long
+    other = "one two three four five six seven eight nine ten"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([long, excerpt, other]),
+        }
+    )
+    for counts in ("broadcast", "partitioned"):
+        out = exact_jaccard_pairs(
+            ray.data.from_arrow(tbl),
+            threshold=0.9,
+            measure="containment",
+            counts=counts,
+        ).to_pandas()
+        pairs = {
+            (int(a), int(b)): float(c)
+            for a, b, c in zip(out["id_a"], out["id_b"], out["containment"])
+        }
+        assert pairs == {(1, 2): 1.0}, (counts, pairs)
+    # jaccard at the same threshold finds nothing (the asymmetry)
+    j = exact_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.9).to_pandas()
+    assert len(j) == 0

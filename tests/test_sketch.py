@@ -88,3 +88,43 @@ def test_hll_estimate_accuracy_and_merge():
     dup = pa.table({"v": pa.array(["user-1"] * 500, pa.string())})
     regs_dup = np.asarray(hll_partial(dup, "v")["regs"][0].as_py(), np.int64)
     assert (regs_dup > 0).sum() == 1
+
+
+def test_kmv_exact_below_k_merge_invariant_and_estimate():
+    """KMV: below k the sketch IS the distinct set (estimate exact);
+    the fold is split-invariant; above k the estimate lands within
+    ~4/sqrt(k) of the truth."""
+    import pyarrow as pa
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
+        KMV_K,
+        kmv_estimate,
+        kmv_partial,
+        kmv_sketch,
+    )
+
+    def ds_of(vals, blocks=1):
+        d = ray.data.from_arrow(pa.table({"k": pa.array(vals, pa.int64())}))
+        return d.repartition(blocks) if blocks > 1 else d
+
+    small = [i % 97 for i in range(500)]  # 97 distinct < k
+    mins = kmv_sketch(ds_of(small), "k")
+    assert len(mins) == 97
+    assert kmv_estimate(mins) == 97.0
+    # split-invariance: different block structure, identical sketch
+    mins3 = kmv_sketch(ds_of(small, blocks=5), "k")
+    assert (mins == mins3).all()
+    # manual two-partial fold == whole
+    a = kmv_partial(pa.table({"k": pa.array(small[:100], pa.int64())}), "k")
+    b = kmv_partial(pa.table({"k": pa.array(small[100:], pa.int64())}), "k")
+    folded = np.unique(
+        np.concatenate(
+            [np.asarray(p["mins"][0].as_py(), np.int64).view(np.uint64) for p in (a, b)]
+        )
+    )[:KMV_K]
+    assert (folded == mins).all()
+    # above k: ~6.3% std error; allow 4 sigma
+    big = list(range(20_000))
+    est = kmv_estimate(kmv_sketch(ds_of(big, blocks=7), "k"))
+    assert abs(est - 20_000) / 20_000 < 4 / np.sqrt(KMV_K), est
