@@ -2046,6 +2046,49 @@ def cdc_repartition(sf_dir: str):
     )
 
 
+def cdc_predicate_delete(sf_dir: str):
+    """FULL-ENGINE merge-on-read predicate DELETE under the hash gate:
+    replay the first 4 single-segment cycles, commit ``DELETE WHERE
+    event_type = 'view' AND value < 0.5`` (ONE manifest write — no data
+    file touched; the GDPR-delete path), then drain the remaining
+    segments.  The read must equal point-in-time SQL semantics: winners
+    as of the delete that matched the predicate are gone, keys
+    re-upserted after the delete survive.  The oracle replays the exact
+    rule over `events` (winner rn ≤ the 4-cycle cut AND predicate)."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        delete_where,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_del_")
+    try:
+        feed = _events_feed(sf_dir)
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run(max_cycles=4)
+        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 0.5]])
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -2999,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_unordered_feed": cdc_unordered_feed,
         "cdc_maintenance_fold": cdc_maintenance_fold,
         "cdc_repartition": cdc_repartition,
+        "cdc_predicate_delete": cdc_predicate_delete,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3676,6 +3720,25 @@ def oracle_sql() -> dict[str, str]:
                          (150000.0, 300000.0, 'large'),
                          (300000.0, 1e12, 'jumbo')) b(lo, hi, band)
               ON o_totalprice >= b.lo AND o_totalprice < b.hi
+        """,
+        # point-in-time predicate delete after the 4th single-segment
+        # cycle: winners at the cut matching the predicate are gone;
+        # keys re-upserted after the cut survive
+        "cdc_predicate_delete": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS k
+              FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM w
+            WHERE k = 1 AND event_type <> 'error'
+              AND NOT (rn <= 4 * ((n + 7) // 8)
+                       AND event_type = 'view' AND value < 0.5)
         """,
         # mid-stream re-bucketing (8 -> 5) must preserve plain-LWW state
         "cdc_repartition": """

@@ -793,6 +793,47 @@ class StreamRunner:
 # ---------------------------------------------------------------------------
 # target readers
 # ---------------------------------------------------------------------------
+def delete_where(target_root: str, conjunction: list) -> dict:
+    """Merge-on-read predicate DELETE (K9): ``DELETE FROM target WHERE
+    <conjunction>`` as ONE manifest commit — no data file is touched.
+
+    The predicate (a list of ``[column, op, literal]`` terms AND-ed
+    together, ops ``== != < <= > >=``) is appended to the manifest with
+    the current watermark; every reader drops matching rows whose
+    winning version is ≤ that watermark (rows re-upserted later
+    survive — SQL DELETE semantics at a point in the change sequence).
+    The GDPR/right-to-be-forgotten path at 100 TB: the delete itself is
+    O(1); physical removal happens in the ``materialize_deletes``
+    maintenance action, which rewrites partitions and clears the list.
+    The change feed refuses to read across a predicate-delete commit
+    (these deletes carry no row-level history, like an Iceberg DELETE
+    without CDF)."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import PREDICATE_OPS
+
+    log = ManifestLog(target_root)
+    m = log.require_watermark()
+    if not conjunction:
+        raise ValueError("delete_where requires at least one [col, op, literal] term")
+    norm = []
+    for term in conjunction:
+        col, op, lit = term
+        if op not in PREDICATE_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        if m.schema is not None and col not in m.schema.names:
+            raise ValueError(f"unknown column {col!r} in delete predicate")
+        if not isinstance(lit, (int, float, str, bool)):
+            raise ValueError(f"unsupported literal type {type(lit).__name__}")
+        norm.append([col, op, lit])
+    nxt = m.next()
+    cycle_id = f"delete-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
+    nxt.delete_predicates = list(m.delete_predicates) + [
+        {"conjunction": norm, "watermark": int(m.watermark), "cycle": cycle_id}
+    ]
+    nxt.metrics = {"delete_where": {"conjunction": norm, "watermark": int(m.watermark)}}
+    log.commit(nxt, expect_version=m.version)
+    return {"predicates": len(nxt.delete_predicates), "watermark": int(m.watermark)}
+
+
 def read_target(
     target_root: str,
     columns: list[str] | None = None,
@@ -823,7 +864,7 @@ def read_target(
     has_deltas = any(m.deltas.values())
     meta_cols = (OP_COL, MERGE_KEY_COL)
 
-    if not has_deltas:
+    if not has_deltas and not m.delete_predicates:
         files = sorted(m.all_files())
         if not files:
             return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
@@ -846,8 +887,17 @@ def read_target(
     out_cols = [n for n in (columns or full_schema.names)]
     if drop_meta:
         out_cols = [n for n in out_cols if n not in meta_cols]
-    # LWW needs key+version+op even when the caller prunes them
-    need = set(out_cols) | {MERGE_KEY_COL, VERSION_COL, OP_COL}
+    # LWW needs key+version+op even when the caller prunes them; delete
+    # predicates additionally need their referenced columns in flight
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        predicate_columns,
+    )
+
+    need = (
+        set(out_cols)
+        | {MERGE_KEY_COL, VERSION_COL, OP_COL}
+        | predicate_columns(m.delete_predicates)
+    )
     read_schema = pa.schema([f for f in full_schema if f.name in need])
     pids = sorted(m.partition_pids())
     if not pids:
@@ -855,12 +905,14 @@ def read_target(
             [f for f in full_schema if f.name in set(out_cols)]
         ).empty_table())
     base, deltas = dict(m.partitions), dict(m.deltas)
+    preds = list(m.delete_predicates)
 
     def resolve(batch: pa.Table) -> pa.Table:
         out = []
         for pid in batch["pid"].to_pylist():
             t = resolve_partition_table(
-                target_root, base.get(pid, []), deltas.get(pid, []), read_schema
+                target_root, base.get(pid, []), deltas.get(pid, []), read_schema,
+                delete_predicates=preds,
             )
             out.append(t.select(out_cols))
         return pa.concat_tables(out) if out else read_schema.empty_table().select(out_cols)
@@ -886,7 +938,8 @@ def read_target_table(
     m = log.read(version) if version is not None else log.require_watermark()
     tables = [
         resolve_partition_table(
-            target_root, m.partitions.get(pid, []), m.deltas.get(pid, []), m.schema
+            target_root, m.partitions.get(pid, []), m.deltas.get(pid, []), m.schema,
+            delete_predicates=m.delete_predicates,
         )
         for pid in sorted(m.partition_pids())
     ]
@@ -933,6 +986,13 @@ def _change_feed_plan(
             f"P={m_to.num_partitions} at v{m_to.version}); re-baseline "
             "from a post-repartition snapshot"
         )
+    if m_from.delete_predicates != m_to.delete_predicates:
+        raise ValueError(
+            "change feed cannot cross a predicate-delete commit (the "
+            "delete carries no row-level history); re-baseline from a "
+            "snapshot at or after the delete, or materialize_deletes "
+            "first"
+        )
     schema = m_to.schema
     out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     base_a, deltas_a = dict(m_from.partitions), dict(m_from.deltas)
@@ -947,6 +1007,7 @@ def _change_feed_plan(
                 schema,
                 drop_meta=drop_meta,
                 pre_image_columns=pre_image_columns,
+                delete_predicates=m_from.delete_predicates,
             )
         return change_feed_all_partition(
             target_root, appended[pid], schema, drop_meta=drop_meta
@@ -1055,6 +1116,7 @@ def lookup_keys(
             key_col=key_col,
             bloom_column=key_col if use_bloom else None,
             stats=stats,
+            delete_predicates=m.delete_predicates,
         )
         if t.num_rows:
             tables.append(t)
@@ -1124,6 +1186,7 @@ def export_snapshot(
         if not drop_meta or n not in (OP_COL, MERGE_KEY_COL)
     ]
     base, deltas = dict(m.partitions), dict(m.deltas)
+    preds = list(m.delete_predicates)
 
     def export_one(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1136,7 +1199,8 @@ def export_snapshot(
                 stats.append({"pid": pid, "rows": -1, "skipped": True})
                 continue
             t = resolve_partition_table(
-                target_root, base.get(pid, []), deltas.get(pid, []), schema
+                target_root, base.get(pid, []), deltas.get(pid, []), schema,
+                delete_predicates=preds,
             ).select(out_names)
             os.makedirs(part_dir, exist_ok=True)
             tmp = final + f".tmp-{uuid.uuid4().hex}"

@@ -93,6 +93,7 @@ class CompactPartition:
         compression: str,
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
+        delete_predicates=None,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -103,6 +104,10 @@ class CompactPartition:
         self.compression = compression
         self.fsync = fsync
         self.bloom_columns = bloom_columns
+        #: set ONLY by materialize_deletes — the regular OPTIMIZE fold
+        #: leaves predicate-deleted rows physically in place (they stay
+        #: filtered at read because base rows keep their version column)
+        self.delete_predicates = delete_predicates
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pids, out_files = [], []
@@ -112,6 +117,7 @@ class CompactPartition:
                 self.partition_files.get(pid, []),
                 self.partition_deltas.get(pid, []),
                 self.schema,
+                delete_predicates=self.delete_predicates,
             )
             rels, _ = write_partition_files(
                 merged,
@@ -180,6 +186,61 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
     }
     log.commit(nxt, expect_version=manifest.version)
     return {"compacted_partitions": len(res), "folded_deltas": folded_deltas}
+
+
+def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
+    """Physically remove predicate-deleted rows (K9's fold point, and
+    the actual GDPR erasure): rewrite every live partition with the
+    committed delete predicates applied — base+deltas resolve, predicate
+    filter, fresh base files — then ONE manifest commit clears the
+    predicate list and the folded deltas.  After this (plus
+    ``expire_versions`` GC-ing the old snapshots) the deleted bytes are
+    gone from disk, not merely filtered."""
+    import ray.data
+
+    manifest = log.require_watermark()
+    if not manifest.delete_predicates:
+        return {"materialized": 0}
+    pids = sorted(manifest.partition_pids())
+    cycle_id = f"matdel-{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
+    nxt = manifest.next()
+    nxt.delete_predicates = []
+    if pids:
+        fn = CompactPartition(
+            target_root=log.root,
+            cycle_id=cycle_id,
+            partition_files={p: manifest.partitions.get(p, []) for p in pids},
+            partition_deltas={p: manifest.deltas.get(p, []) for p in pids},
+            schema=manifest.schema,
+            max_rows_per_file=ctx.maintenance.compact_target_rows
+            or ctx.sink.max_rows_per_file,
+            compression=ctx.sink.parquet_compression,
+            fsync=ctx.sink.durable_writes,
+            bloom_columns=tuple(ctx.sink.bloom_filter_columns),
+            delete_predicates=list(manifest.delete_predicates),
+        )
+        res = (
+            ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
+            .map_batches(fn, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        for r in res:
+            pid = int(r["pid"])
+            files = json.loads(r["files_json"])
+            if files:
+                nxt.partitions[pid] = files
+            else:  # every row of the partition was deleted
+                nxt.partitions.pop(pid, None)
+            nxt.deltas.pop(pid, None)
+            nxt.lineage.setdefault(pid, {})["materialized_deletes"] = cycle_id
+    nxt.metrics = {
+        "maintenance": {
+            "materialized_predicates": len(manifest.delete_predicates),
+            "cycle": cycle_id,
+        }
+    }
+    log.commit(nxt, expect_version=manifest.version)
+    return {"materialized": len(manifest.delete_predicates)}
 
 
 class RepartitionPartition:

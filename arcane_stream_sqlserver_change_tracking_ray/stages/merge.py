@@ -352,6 +352,59 @@ def read_entry_table(
     return pf.read_row_groups(rgs, columns=cols, use_threads=use_threads)
 
 
+#: comparison operators a delete predicate may use (K9 predicate
+#: deletes): conjunction terms are ``[column, op, literal]``
+PREDICATE_OPS = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+def predicate_columns(delete_predicates) -> set[str]:
+    """Every column referenced by any predicate (readers must retain
+    them through column pruning so the filter can evaluate)."""
+    return {
+        term[0]
+        for pred in (delete_predicates or [])
+        for term in pred["conjunction"]
+    }
+
+
+def apply_delete_predicates(
+    t: pa.Table, delete_predicates, version_col: str = VERSION_COL
+) -> pa.Table:
+    """Apply committed MoR DELETE predicates to LWW-resolved rows.
+
+    Each predicate is point-in-time: it deletes rows whose winning
+    version is ≤ the predicate's commit watermark AND whose payload
+    matches the conjunction — a key re-upserted AFTER the delete
+    survives, exactly like SQL ``DELETE`` followed by new inserts.  A
+    conjunction term naming a column absent from *t* (pre-evolution
+    files) cannot match, so the predicate drops nothing there."""
+    for pred in delete_predicates or []:
+        if t.num_rows == 0:
+            break
+        mask = pc.less_equal(t[version_col], pa.scalar(pred["watermark"], pa.int64()))
+        ok = True
+        for col, op, lit in pred["conjunction"]:
+            if col not in t.column_names:
+                ok = False
+                break
+            arr = t[col]
+            mask = pc.and_kleene(
+                mask, PREDICATE_OPS[op](arr, pa.scalar(lit, arr.type))
+            )
+        if not ok:
+            continue
+        # null comparisons stay null -> treated as non-matching (kept)
+        t = t.filter(pc.coalesce(pc.invert(mask), pa.scalar(True)))
+    return t
+
+
 def resolve_partition_table(
     target_root: str,
     base_files: list[str],
@@ -362,6 +415,7 @@ def resolve_partition_table(
     use_threads: bool = True,
     bloom_column: str | None = None,
     stats: dict | None = None,
+    delete_predicates=None,
 ) -> pa.Table:
     """Merge-on-read resolve of ONE partition: LWW across base + deltas,
     tombstones dropped.  Partitions are key-disjoint, so this is exact.
@@ -392,9 +446,12 @@ def resolve_partition_table(
     if not tables:
         return schema.empty_table()
     combined = pa.concat_tables(tables)
-    if not delta_files:
-        return combined  # base files are already LWW-resolved and alive
-    return drop_tombstones(lww_table(combined))
+    if delta_files:
+        combined = drop_tombstones(lww_table(combined))
+    # else: base files are already LWW-resolved and alive
+    if delete_predicates:
+        combined = apply_delete_predicates(combined, delete_predicates)
+    return combined
 
 
 CHANGE_TYPE_COL = "change_type"
@@ -421,6 +478,7 @@ def change_feed_partition(
     drop_meta: bool = True,
     key_col: str = MERGE_KEY_COL,
     pre_image_columns: tuple[str, ...] = (),
+    delete_predicates=None,
 ) -> pa.Table:
     """NET row-level changes of ONE partition between two snapshots —
     the change-data-feed resolve (SQL Server ``CHANGETABLE(CHANGES t,
@@ -463,7 +521,11 @@ def change_feed_partition(
     # the LWW resolve) plus any requested pre-image columns — never the
     # full payload (html/text dominate a webtext row; reading them here
     # would make feed cost grow with row width for no reason)
-    probe_need = {key_col, VERSION_COL, OP_COL} | set(pre_image_columns)
+    probe_need = (
+        {key_col, VERSION_COL, OP_COL}
+        | set(pre_image_columns)
+        | predicate_columns(delete_predicates)
+    )
     probe_schema = pa.schema([f for f in schema if f.name in probe_need])
     prior = resolve_partition_table(
         target_root,
@@ -473,6 +535,7 @@ def change_feed_partition(
         key_filter=keys,
         key_col=key_col,
         bloom_column=key_col,
+        delete_predicates=delete_predicates,
     )
     prior_keys = prior[key_col].combine_chunks()
     existed = pc.is_in(changes[key_col], value_set=prior_keys)

@@ -80,6 +80,13 @@ class Manifest:
     #: manifests missing the field); "polars" = ahash over Arrow buffers,
     #: ~30x faster, the default for newly created tables.
     key_hash_algo: str = "pandas"
+    #: committed merge-on-read DELETE predicates (K9): each entry
+    #: ``{"conjunction": [[col, op, literal], ...], "watermark": W,
+    #: "cycle": id}`` deletes rows whose LWW-winning version is ≤ W and
+    #: whose payload matches the conjunction — applied by every reader,
+    #: physically materialized (and cleared) by the
+    #: ``materialize_deletes`` maintenance action.
+    delete_predicates: list[dict] = field(default_factory=list)
 
     # ------------------------------------------------------------- json io
     def to_json(self) -> str:
@@ -99,6 +106,7 @@ class Manifest:
             "metrics": self.metrics,
             "stats": self.stats,
             "key_hash_algo": self.key_hash_algo,
+            "delete_predicates": self.delete_predicates,
         }
         return json.dumps(doc, indent=1, sort_keys=True)
 
@@ -121,6 +129,14 @@ class Manifest:
             metrics=dict(doc.get("metrics", {})),
             stats=dict(doc.get("stats", {})),
             key_hash_algo=doc.get("key_hash_algo", "pandas"),
+            delete_predicates=[
+                {
+                    "conjunction": [list(t) for t in p["conjunction"]],
+                    "watermark": int(p["watermark"]),
+                    "cycle": p.get("cycle", ""),
+                }
+                for p in doc.get("delete_predicates", [])
+            ],
         )
 
     def all_files(self) -> set[str]:
@@ -150,6 +166,7 @@ class Manifest:
             metrics={},
             stats=dict(self.stats),
             key_hash_algo=self.key_hash_algo,
+            delete_predicates=[dict(p) for p in self.delete_predicates],
         )
 
 
