@@ -2049,12 +2049,14 @@ def cdc_repartition(sf_dir: str):
 def cdc_predicate_delete(sf_dir: str):
     """FULL-ENGINE merge-on-read predicate DELETE under the hash gate:
     replay the first 4 single-segment cycles, commit ``DELETE WHERE
-    event_type = 'view' AND value < 0.5`` (ONE manifest write — no data
+    event_type = 'view' AND value < 30.0`` (ONE manifest write — no data
     file touched; the GDPR-delete path), then drain the remaining
-    segments.  The read must equal point-in-time SQL semantics: winners
-    as of the delete that matched the predicate are gone, keys
-    re-upserted after the delete survive.  The oracle replays the exact
-    rule over `events` (winner rn ≤ the 4-cycle cut AND predicate)."""
+    segments.  Keys are ``event_id`` (append-only rows), so the delete
+    must be point-in-time: matching rows already ingested at the delete
+    watermark are gone, matching rows arriving AFTER it survive.  (The
+    same-key re-upsert-survives side is pytest-covered in
+    tests/test_predicate_delete.py.)  The oracle replays the exact rule
+    over `events` (rn ≤ the 4-cycle cut AND predicate → dropped)."""
     from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
         StreamRunner,
@@ -2073,13 +2075,13 @@ def cdc_predicate_delete(sf_dir: str):
         prepare_watermark(tgt, version=0, num_partitions=8)
         ctx = StreamContext.from_dict(
             {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "source": {"ctlog_dir": ct, "key_columns": ["event_id"]},
                 "sink": {"target_root": tgt, "num_partitions": 8},
                 "throughput": {"rows_per_group": chunk},
             }
         )
         StreamRunner(ctx).run(max_cycles=4)
-        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 0.5]])
+        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 30.0]])
         StreamRunner(ctx).run()
         out = read_target_table(tgt)
     finally:
@@ -3722,23 +3724,19 @@ def oracle_sql() -> dict[str, str]:
               ON o_totalprice >= b.lo AND o_totalprice < b.hi
         """,
         # point-in-time predicate delete after the 4th single-segment
-        # cycle: winners at the cut matching the predicate are gone;
-        # keys re-upserted after the cut survive
+        # cycle (event_id keys): matching rows ingested by the cut are
+        # gone; matching rows arriving after the cut survive
         "cdc_predicate_delete": """
             WITH o AS (
               SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
                      count(*) OVER () AS n
               FROM events
-            ), w AS (
-              SELECT *, row_number() OVER (PARTITION BY user_id
-                                           ORDER BY event_id DESC) AS k
-              FROM o
             )
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM w
-            WHERE k = 1 AND event_type <> 'error'
+            FROM o
+            WHERE event_type <> 'error'
               AND NOT (rn <= 4 * ((n + 7) // 8)
-                       AND event_type = 'view' AND value < 0.5)
+                       AND event_type = 'view' AND value < 30.0)
         """,
         # mid-stream re-bucketing (8 -> 5) must preserve plain-LWW state
         "cdc_repartition": """
