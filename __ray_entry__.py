@@ -2091,6 +2091,50 @@ def cdc_predicate_delete(sf_dir: str):
     )
 
 
+def cdc_equality_delete(sf_dir: str):
+    """FULL-ENGINE merge-on-read equality DELETE (the GDPR-by-key path)
+    under the hash gate: replay the first 4 single-segment cycles,
+    commit ``delete_keys`` with every event_id divisible by 7 (per-
+    partition hash-routed delete files, ONE manifest commit — no data
+    file touched), then drain the remaining segments.  Point-in-time:
+    matching keys ingested by the delete watermark are gone, matching
+    keys arriving AFTER it survive.  The oracle replays the exact rule
+    (rn ≤ the 4-cycle cut AND event_id % 7 = 0 → dropped)."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        delete_keys,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_eqdel_")
+    try:
+        feed = _events_feed(sf_dir)
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["event_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run(max_cycles=4)
+        ids = feed["event_id"].to_numpy()
+        delete_keys(tgt, [str(i) for i in ids[ids % 7 == 0]])
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -3045,6 +3089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_maintenance_fold": cdc_maintenance_fold,
         "cdc_repartition": cdc_repartition,
         "cdc_predicate_delete": cdc_predicate_delete,
+        "cdc_equality_delete": cdc_equality_delete,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3737,6 +3782,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type <> 'error'
               AND NOT (rn <= 4 * ((n + 7) // 8)
                        AND event_type = 'view' AND value < 30.0)
+        """,
+        # point-in-time equality delete (forget-list of event_id keys,
+        # event_id % 7 == 0) after the 4th single-segment cycle
+        "cdc_equality_delete": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM o
+            WHERE event_type <> 'error'
+              AND NOT (rn <= 4 * ((n + 7) // 8) AND event_id % 7 = 0)
         """,
         # mid-stream re-bucketing (8 -> 5) must preserve plain-LWW state
         "cdc_repartition": """

@@ -834,6 +834,67 @@ def delete_where(target_root: str, conjunction: list) -> dict:
     return {"predicates": len(nxt.delete_predicates), "watermark": int(m.watermark)}
 
 
+def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -> dict:
+    """Merge-on-read equality DELETE (K9b): drop every row whose merge
+    key is in *keys* — the GDPR-by-key path for key sets too large to be
+    a predicate (flagged URLs, forget-me user ids).
+
+    Keys are canonicalized to the string merge-key domain, deduplicated,
+    hash-routed to their owning partitions with the table's recorded
+    routing algo, and written as per-partition parquet delete files (the
+    Iceberg v2 equality-delete analog); ONE manifest commit publishes
+    them with the current watermark.  No data file is touched — cost is
+    O(|keys|), not O(table).  Every reader anti-joins rows whose winning
+    version is ≤ that watermark, so a key re-upserted after the delete
+    survives; ``materialize_deletes`` physically erases and clears.
+    At cluster scale the per-partition routing keeps the read-side work
+    distributed: each partition resolve touches only its own (small)
+    delete files."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        partition_ids,
+        write_partition_files,
+    )
+
+    log = ManifestLog(target_root)
+    m = log.require_watermark()
+    arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(list(keys))
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = pc.cast(arr, pa.string())  # canonical merge-key domain
+    arr = pc.unique(arr.drop_null())
+    if len(arr) == 0:
+        raise ValueError("delete_keys requires at least one non-null key")
+    pids = partition_ids(arr, m.num_partitions, m.key_hash_algo)
+    nxt = m.next()
+    cycle_id = f"keydel-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
+    n_files = 0
+    for pid in np.unique(pids):
+        subset = arr.filter(pa.array(pids == pid))
+        rels, _ = write_partition_files(
+            pa.table({MERGE_KEY_COL: subset}),
+            target_root,
+            cycle_id,
+            int(pid),
+            max_rows_per_file=max_rows_per_file,
+            compression="zstd",
+            prefix="keydel",
+        )
+        nxt.key_deletes.setdefault(int(pid), []).extend(
+            {"file": rel, "watermark": int(m.watermark), "cycle": cycle_id}
+            for rel in rels
+        )
+        n_files += len(rels)
+    nxt.metrics = {
+        "delete_keys": {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
+    }
+    log.commit(nxt, expect_version=m.version)
+    return {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
+
+
 def read_target(
     target_root: str,
     columns: list[str] | None = None,
@@ -864,7 +925,7 @@ def read_target(
     has_deltas = any(m.deltas.values())
     meta_cols = (OP_COL, MERGE_KEY_COL)
 
-    if not has_deltas and not m.delete_predicates:
+    if not has_deltas and not m.delete_predicates and not m.key_deletes:
         files = sorted(m.all_files())
         if not files:
             return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
@@ -905,14 +966,14 @@ def read_target(
             [f for f in full_schema if f.name in set(out_cols)]
         ).empty_table())
     base, deltas = dict(m.partitions), dict(m.deltas)
-    preds = list(m.delete_predicates)
+    preds, kdels = list(m.delete_predicates), dict(m.key_deletes)
 
     def resolve(batch: pa.Table) -> pa.Table:
         out = []
         for pid in batch["pid"].to_pylist():
             t = resolve_partition_table(
                 target_root, base.get(pid, []), deltas.get(pid, []), read_schema,
-                delete_predicates=preds,
+                delete_predicates=preds, key_deletes=kdels.get(pid, []),
             )
             out.append(t.select(out_cols))
         return pa.concat_tables(out) if out else read_schema.empty_table().select(out_cols)
@@ -940,6 +1001,7 @@ def read_target_table(
         resolve_partition_table(
             target_root, m.partitions.get(pid, []), m.deltas.get(pid, []), m.schema,
             delete_predicates=m.delete_predicates,
+            key_deletes=m.key_deletes.get(pid, []),
         )
         for pid in sorted(m.partition_pids())
     ]
@@ -993,6 +1055,13 @@ def _change_feed_plan(
             "snapshot at or after the delete, or materialize_deletes "
             "first"
         )
+    if m_from.key_deletes != m_to.key_deletes:
+        raise ValueError(
+            "change feed cannot cross an equality-delete commit (the "
+            "delete carries no row-level history); re-baseline from a "
+            "snapshot at or after the delete, or materialize_deletes "
+            "first"
+        )
     schema = m_to.schema
     out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)
     base_a, deltas_a = dict(m_from.partitions), dict(m_from.deltas)
@@ -1008,6 +1077,7 @@ def _change_feed_plan(
                 drop_meta=drop_meta,
                 pre_image_columns=pre_image_columns,
                 delete_predicates=m_from.delete_predicates,
+                key_deletes=m_from.key_deletes.get(pid, []),
             )
         return change_feed_all_partition(
             target_root, appended[pid], schema, drop_meta=drop_meta
@@ -1117,6 +1187,7 @@ def lookup_keys(
             bloom_column=key_col if use_bloom else None,
             stats=stats,
             delete_predicates=m.delete_predicates,
+            key_deletes=m.key_deletes.get(pid, []),
         )
         if t.num_rows:
             tables.append(t)
@@ -1186,7 +1257,7 @@ def export_snapshot(
         if not drop_meta or n not in (OP_COL, MERGE_KEY_COL)
     ]
     base, deltas = dict(m.partitions), dict(m.deltas)
-    preds = list(m.delete_predicates)
+    preds, kdels = list(m.delete_predicates), dict(m.key_deletes)
 
     def export_one(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -1200,7 +1271,7 @@ def export_snapshot(
                 continue
             t = resolve_partition_table(
                 target_root, base.get(pid, []), deltas.get(pid, []), schema,
-                delete_predicates=preds,
+                delete_predicates=preds, key_deletes=kdels.get(pid, []),
             ).select(out_names)
             os.makedirs(part_dir, exist_ok=True)
             tmp = final + f".tmp-{uuid.uuid4().hex}"

@@ -94,6 +94,7 @@ class CompactPartition:
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
         delete_predicates=None,
+        key_deletes=None,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -105,9 +106,11 @@ class CompactPartition:
         self.fsync = fsync
         self.bloom_columns = bloom_columns
         #: set ONLY by materialize_deletes — the regular OPTIMIZE fold
-        #: leaves predicate-deleted rows physically in place (they stay
-        #: filtered at read because base rows keep their version column)
+        #: leaves predicate-/equality-deleted rows physically in place
+        #: (they stay filtered at read because base rows keep their
+        #: version column)
         self.delete_predicates = delete_predicates
+        self.key_deletes = key_deletes or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pids, out_files = [], []
@@ -118,6 +121,7 @@ class CompactPartition:
                 self.partition_deltas.get(pid, []),
                 self.schema,
                 delete_predicates=self.delete_predicates,
+                key_deletes=self.key_deletes.get(pid, []),
             )
             rels, _ = write_partition_files(
                 merged,
@@ -199,12 +203,13 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
     import ray.data
 
     manifest = log.require_watermark()
-    if not manifest.delete_predicates:
+    if not manifest.delete_predicates and not manifest.key_deletes:
         return {"materialized": 0}
     pids = sorted(manifest.partition_pids())
     cycle_id = f"matdel-{manifest.version + 1:012d}-{uuid.uuid4().hex[:8]}"
     nxt = manifest.next()
     nxt.delete_predicates = []
+    nxt.key_deletes = {}
     if pids:
         fn = CompactPartition(
             target_root=log.root,
@@ -218,6 +223,7 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
             fsync=ctx.sink.durable_writes,
             bloom_columns=tuple(ctx.sink.bloom_filter_columns),
             delete_predicates=list(manifest.delete_predicates),
+            key_deletes=dict(manifest.key_deletes),
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -233,14 +239,16 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
                 nxt.partitions.pop(pid, None)
             nxt.deltas.pop(pid, None)
             nxt.lineage.setdefault(pid, {})["materialized_deletes"] = cycle_id
+    n_keydel = sum(len(v) for v in manifest.key_deletes.values())
     nxt.metrics = {
         "maintenance": {
             "materialized_predicates": len(manifest.delete_predicates),
+            "materialized_key_delete_files": n_keydel,
             "cycle": cycle_id,
         }
     }
     log.commit(nxt, expect_version=manifest.version)
-    return {"materialized": len(manifest.delete_predicates)}
+    return {"materialized": len(manifest.delete_predicates) + n_keydel}
 
 
 class RepartitionPartition:
@@ -344,6 +352,12 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
     old = manifest.num_partitions
     if new_partitions < 1:
         raise ValueError(f"new_partitions must be >= 1, got {new_partitions}")
+    if manifest.key_deletes:
+        raise ValueError(
+            "cannot repartition with pending equality-delete files (they "
+            "are routed by the OLD partition spec); run "
+            "materialize_deletes first"
+        )
     if new_partitions == old:
         return {"repartitioned": False, "num_partitions": old}
     pids = sorted(manifest.partition_pids())

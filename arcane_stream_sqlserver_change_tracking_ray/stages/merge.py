@@ -405,6 +405,36 @@ def apply_delete_predicates(
     return t
 
 
+def apply_key_deletes(
+    t: pa.Table,
+    target_root: str,
+    key_delete_entries,
+    key_col: str = MERGE_KEY_COL,
+    version_col: str = VERSION_COL,
+) -> pa.Table:
+    """Apply this partition's committed equality-delete files (K9b) to
+    LWW-resolved rows: drop rows whose canonical merge-key string is in
+    the delete file AND whose winning version is ≤ the delete's commit
+    watermark — a key re-upserted after the delete survives (Iceberg v2
+    equality deletes scoped by sequence number)."""
+    for entry in key_delete_entries or []:
+        if t.num_rows == 0:
+            break
+        dk = pq.read_table(
+            os.path.join(target_root, entry["file"]), columns=[MERGE_KEY_COL]
+        )[MERGE_KEY_COL].combine_chunks()
+        name = MERGE_KEY_COL if MERGE_KEY_COL in t.column_names else key_col
+        col = t[name]
+        if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())  # the canonical hash/key domain
+        mask = pc.and_(
+            pc.is_in(col, value_set=dk),
+            pc.less_equal(t[version_col], pa.scalar(entry["watermark"], pa.int64())),
+        )
+        t = t.filter(pc.invert(mask))
+    return t
+
+
 def resolve_partition_table(
     target_root: str,
     base_files: list[str],
@@ -416,6 +446,7 @@ def resolve_partition_table(
     bloom_column: str | None = None,
     stats: dict | None = None,
     delete_predicates=None,
+    key_deletes=None,
 ) -> pa.Table:
     """Merge-on-read resolve of ONE partition: LWW across base + deltas,
     tombstones dropped.  Partitions are key-disjoint, so this is exact.
@@ -449,6 +480,8 @@ def resolve_partition_table(
     if delta_files:
         combined = drop_tombstones(lww_table(combined))
     # else: base files are already LWW-resolved and alive
+    if key_deletes:
+        combined = apply_key_deletes(combined, target_root, key_deletes, key_col)
     if delete_predicates:
         combined = apply_delete_predicates(combined, delete_predicates)
     return combined
@@ -479,6 +512,7 @@ def change_feed_partition(
     key_col: str = MERGE_KEY_COL,
     pre_image_columns: tuple[str, ...] = (),
     delete_predicates=None,
+    key_deletes=None,
 ) -> pa.Table:
     """NET row-level changes of ONE partition between two snapshots —
     the change-data-feed resolve (SQL Server ``CHANGETABLE(CHANGES t,
@@ -536,6 +570,7 @@ def change_feed_partition(
         key_col=key_col,
         bloom_column=key_col,
         delete_predicates=delete_predicates,
+        key_deletes=key_deletes,
     )
     prior_keys = prior[key_col].combine_chunks()
     existed = pc.is_in(changes[key_col], value_set=prior_keys)

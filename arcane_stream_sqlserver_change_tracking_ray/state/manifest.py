@@ -80,6 +80,15 @@ class Manifest:
     #: manifests missing the field); "polars" = ahash over Arrow buffers,
     #: ~30x faster, the default for newly created tables.
     key_hash_algo: str = "pandas"
+    #: committed merge-on-read equality-delete files (K9b, the
+    #: GDPR-by-key path): pid -> list of ``{"file": rel, "watermark": W,
+    #: "cycle": id}``.  Each file holds the to-delete merge keys routed
+    #: to that partition (canonical string domain); readers anti-join
+    #: rows whose LWW-winning version is ≤ W — a key re-upserted after
+    #: the delete commit survives.  Mirrors Iceberg v2 equality-delete
+    #: files scoped by sequence number.  Folded (and cleared) by
+    #: ``materialize_deletes``.
+    key_deletes: dict[int, list[dict]] = field(default_factory=dict)
     #: committed merge-on-read DELETE predicates (K9): each entry
     #: ``{"conjunction": [[col, op, literal], ...], "watermark": W,
     #: "cycle": id}`` deletes rows whose LWW-winning version is ≤ W and
@@ -106,6 +115,7 @@ class Manifest:
             "metrics": self.metrics,
             "stats": self.stats,
             "key_hash_algo": self.key_hash_algo,
+            "key_deletes": self.key_deletes,
             "delete_predicates": self.delete_predicates,
         }
         return json.dumps(doc, indent=1, sort_keys=True)
@@ -129,6 +139,17 @@ class Manifest:
             metrics=dict(doc.get("metrics", {})),
             stats=dict(doc.get("stats", {})),
             key_hash_algo=doc.get("key_hash_algo", "pandas"),
+            key_deletes={
+                int(k): [
+                    {
+                        "file": e["file"],
+                        "watermark": int(e["watermark"]),
+                        "cycle": e.get("cycle", ""),
+                    }
+                    for e in v
+                ]
+                for k, v in doc.get("key_deletes", {}).items()
+            },
             delete_predicates=[
                 {
                     "conjunction": [list(t) for t in p["conjunction"]],
@@ -144,9 +165,11 @@ class Manifest:
         'direct' merge strategy carry a ``#rg=`` row-group fragment
         (several entries can share one file); GC and raw reads need the
         real paths, so fragments are stripped here."""
-        return {f.partition("#rg=")[0] for files in self.partitions.values() for f in files} | {
-            f.partition("#rg=")[0] for files in self.deltas.values() for f in files
-        }
+        return (
+            {f.partition("#rg=")[0] for files in self.partitions.values() for f in files}
+            | {f.partition("#rg=")[0] for files in self.deltas.values() for f in files}
+            | {e["file"] for entries in self.key_deletes.values() for e in entries}
+        )
 
     def partition_pids(self) -> set[int]:
         """Every pid holding live data (base files and/or deltas)."""
@@ -166,6 +189,7 @@ class Manifest:
             metrics={},
             stats=dict(self.stats),
             key_hash_algo=self.key_hash_algo,
+            key_deletes={k: [dict(e) for e in v] for k, v in self.key_deletes.items()},
             delete_predicates=[dict(p) for p in self.delete_predicates],
         )
 
