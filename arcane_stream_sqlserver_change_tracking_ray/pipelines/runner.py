@@ -793,6 +793,10 @@ class StreamRunner:
 # ---------------------------------------------------------------------------
 # target readers
 # ---------------------------------------------------------------------------
+#: CAS-retry budget for out-of-band delete commits racing stream cycles
+_DELETE_CAS_ATTEMPTS = 5
+
+
 def delete_where(target_root: str, conjunction: list) -> dict:
     """Merge-on-read predicate DELETE (K9): ``DELETE FROM target WHERE
     <conjunction>`` as ONE manifest commit — no data file is touched.
@@ -810,28 +814,43 @@ def delete_where(target_root: str, conjunction: list) -> dict:
     without CDF)."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import PREDICATE_OPS
 
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        CommitConflictError,
+    )
+
     log = ManifestLog(target_root)
-    m = log.require_watermark()
     if not conjunction:
         raise ValueError("delete_where requires at least one [col, op, literal] term")
-    norm = []
-    for term in conjunction:
-        col, op, lit = term
-        if op not in PREDICATE_OPS:
-            raise ValueError(f"unsupported predicate op {op!r}")
-        if m.schema is not None and col not in m.schema.names:
-            raise ValueError(f"unknown column {col!r} in delete predicate")
-        if not isinstance(lit, (int, float, str, bool)):
-            raise ValueError(f"unsupported literal type {type(lit).__name__}")
-        norm.append([col, op, lit])
-    nxt = m.next()
-    cycle_id = f"delete-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
-    nxt.delete_predicates = list(m.delete_predicates) + [
-        {"conjunction": norm, "watermark": int(m.watermark), "cycle": cycle_id}
-    ]
-    nxt.metrics = {"delete_where": {"conjunction": norm, "watermark": int(m.watermark)}}
-    log.commit(nxt, expect_version=m.version)
-    return {"predicates": len(nxt.delete_predicates), "watermark": int(m.watermark)}
+    # a CAS conflict (a stream cycle committed in between) is retryable
+    # for a delete: re-read the manifest and re-stamp at the NEW
+    # watermark — the delete means "as of now" either way
+    for attempt in range(_DELETE_CAS_ATTEMPTS):
+        m = log.require_watermark()
+        norm = []
+        for term in conjunction:
+            col, op, lit = term
+            if op not in PREDICATE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}")
+            if m.schema is not None and col not in m.schema.names:
+                raise ValueError(f"unknown column {col!r} in delete predicate")
+            if not isinstance(lit, (int, float, str, bool)):
+                raise ValueError(f"unsupported literal type {type(lit).__name__}")
+            norm.append([col, op, lit])
+        nxt = m.next()
+        cycle_id = f"delete-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
+        nxt.delete_predicates = list(m.delete_predicates) + [
+            {"conjunction": norm, "watermark": int(m.watermark), "cycle": cycle_id}
+        ]
+        nxt.metrics = {
+            "delete_where": {"conjunction": norm, "watermark": int(m.watermark)}
+        }
+        try:
+            log.commit(nxt, expect_version=m.version)
+        except CommitConflictError:
+            if attempt == _DELETE_CAS_ATTEMPTS - 1:
+                raise
+            continue
+        return {"predicates": len(nxt.delete_predicates), "watermark": int(m.watermark)}
 
 
 def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -> dict:
@@ -857,9 +876,11 @@ def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -
         partition_ids,
         write_partition_files,
     )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        CommitConflictError,
+    )
 
     log = ManifestLog(target_root)
-    m = log.require_watermark()
     arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(list(keys))
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -868,31 +889,44 @@ def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -
     arr = pc.unique(arr.drop_null())
     if len(arr) == 0:
         raise ValueError("delete_keys requires at least one non-null key")
-    pids = partition_ids(arr, m.num_partitions, m.key_hash_algo)
-    nxt = m.next()
-    cycle_id = f"keydel-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
-    n_files = 0
-    for pid in np.unique(pids):
-        subset = arr.filter(pa.array(pids == pid))
-        rels, _ = write_partition_files(
-            pa.table({MERGE_KEY_COL: subset}),
-            target_root,
-            cycle_id,
-            int(pid),
-            max_rows_per_file=max_rows_per_file,
-            compression="zstd",
-            prefix="keydel",
-        )
-        nxt.key_deletes.setdefault(int(pid), []).extend(
-            {"file": rel, "watermark": int(m.watermark), "cycle": cycle_id}
-            for rel in rels
-        )
-        n_files += len(rels)
-    nxt.metrics = {
-        "delete_keys": {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
-    }
-    log.commit(nxt, expect_version=m.version)
-    return {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
+    # CAS conflicts are retryable: re-read, re-route (a concurrent
+    # repartition changes the pid domain) and re-stamp at the new
+    # watermark; files from a failed attempt stay unreferenced and the
+    # startup sweep reclaims them
+    for attempt in range(_DELETE_CAS_ATTEMPTS):
+        m = log.require_watermark()
+        pids = partition_ids(arr, m.num_partitions, m.key_hash_algo)
+        nxt = m.next()
+        cycle_id = f"keydel-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
+        n_files = 0
+        for pid in np.unique(pids):
+            subset = arr.filter(pa.array(pids == pid))
+            rels, _ = write_partition_files(
+                pa.table({MERGE_KEY_COL: subset}),
+                target_root,
+                cycle_id,
+                int(pid),
+                max_rows_per_file=max_rows_per_file,
+                compression="zstd",
+                prefix="keydel",
+            )
+            nxt.key_deletes.setdefault(int(pid), []).extend(
+                {"file": rel, "watermark": int(m.watermark), "cycle": cycle_id}
+                for rel in rels
+            )
+            n_files += len(rels)
+        nxt.metrics = {
+            "delete_keys": {
+                "keys": len(arr), "files": n_files, "watermark": int(m.watermark)
+            }
+        }
+        try:
+            log.commit(nxt, expect_version=m.version)
+        except CommitConflictError:
+            if attempt == _DELETE_CAS_ATTEMPTS - 1:
+                raise
+            continue
+        return {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
 
 
 def read_target(

@@ -19,6 +19,7 @@ from arcane_stream_sqlserver_change_tracking_ray.gen import (
 from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
     StreamRunner,
     delete_keys,
+    delete_where,
     lookup_keys,
     read_change_feed_table,
     read_target,
@@ -177,6 +178,44 @@ def test_repartition_refuses_pending_key_deletes(tmp_lake):
     assert out == {"repartitioned": True, "from": 4, "to": 7, "new_pids": out["new_pids"]}
     want = _minus_urls(expected_final_state(ct), doomed)
     assert_tables_equal(read_target_table(tgt), want)
+
+
+def test_delete_commits_retry_cas_conflicts(tmp_lake, monkeypatch):
+    """A delete racing a concurrent commit re-reads the manifest and
+    re-stamps at the NEW watermark instead of failing (the delete means
+    'as of now' either way)."""
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        CommitConflictError,
+        ManifestLog as ML,
+    )
+
+    ct, tgt, _ = tmp_lake
+    replay(ct, tgt)
+    exp = expected_final_state(ct)
+
+    real_commit = ML.commit
+    fails = {"n": 2}
+
+    def flaky_commit(self, manifest, expect_version=None):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise CommitConflictError("simulated concurrent commit")
+        return real_commit(self, manifest, expect_version=expect_version)
+
+    monkeypatch.setattr(ML, "commit", flaky_commit)
+    doomed = exp["url"].to_pylist()[:3]
+    out = delete_keys(tgt, doomed)
+    assert out["keys"] == 3
+    fails["n"] = 2
+    delete_where(tgt, [["lang", "==", exp["lang"][0].as_py()]])
+    monkeypatch.undo()
+    m = ManifestLog(tgt).latest()
+    assert m.key_deletes and len(m.delete_predicates) == 1
+    # exhausting the budget surfaces the conflict
+    fails["n"] = 10**9
+    monkeypatch.setattr(ML, "commit", flaky_commit)
+    with pytest.raises(CommitConflictError):
+        delete_keys(tgt, doomed)
 
 
 def test_delete_keys_validation_and_nonstring_keys(tmp_lake):
