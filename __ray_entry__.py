@@ -2135,6 +2135,52 @@ def cdc_equality_delete(sf_dir: str):
     )
 
 
+def cdc_rollback(sf_dir: str):
+    """FULL-ENGINE snapshot rollback under the hash gate: replay 4 of 8
+    single-segment cycles, keep the version, drain the remaining 4 (the
+    'bad' range), ``rollback_to`` the 4-cycle snapshot (ONE manifest
+    commit restoring files + watermark), then drain again.  Because LWW
+    re-application is idempotent, the final state must be EXACTLY the
+    plain LWW winners — the oracle is the straight rank-1 query, so any
+    rollback corruption (lost rows, stale watermark, double-applied
+    tombstones) breaks the hash."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+        rollback_to,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_rb_")
+    try:
+        feed = _events_feed(sf_dir)
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run(max_cycles=4)
+        v_good = ManifestLog(tgt).latest().version
+        StreamRunner(ctx).run()  # the range to be rolled back
+        rollback_to(tgt, v_good)
+        StreamRunner(ctx).run()  # idempotent re-drain
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -3090,6 +3136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_repartition": cdc_repartition,
         "cdc_predicate_delete": cdc_predicate_delete,
         "cdc_equality_delete": cdc_equality_delete,
+        "cdc_rollback": cdc_rollback,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3380,6 +3427,13 @@ def oracle_sql() -> dict[str, str]:
     nd_cte = _lsh_bucket_cte(64, 4).format(values=_rademacher_values_sql(64, 4))
     return {
         "cdc_lww_upsert": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # rollback + idempotent re-drain must land EXACTLY on plain LWW
+        "cdc_rollback": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)

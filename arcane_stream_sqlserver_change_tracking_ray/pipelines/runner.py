@@ -797,6 +797,59 @@ class StreamRunner:
 _DELETE_CAS_ATTEMPTS = 5
 
 
+def rollback_to(target_root: str, version: int) -> dict:
+    """Roll the table back to snapshot *version* as ONE manifest commit
+    (the Iceberg ``rollback_to_snapshot`` analog — the bad-deploy /
+    bad-data incident lever): the new manifest re-publishes the old
+    snapshot's ENTIRE state — file map, deltas, schema, partition spec,
+    pending deletes, and crucially the WATERMARK — without touching a
+    data file.  History stays linear (the rollback is a new version on
+    top, so time-travel reads of the rolled-back range still work) and
+    the stream self-heals: the next cycle re-polls from the restored
+    watermark and LWW re-application is idempotent, so the target
+    converges to the same state as if the bad range had replayed once.
+
+    Requires the old snapshot's files to still exist (``expire_versions``
+    GC bounds how far back a rollback can reach, exactly like Iceberg
+    snapshot retention).  The change feed refuses to cross a rollback
+    commit — the un-happened range has no forward row-level history."""
+    import os
+
+    log = ManifestLog(target_root)
+    cur = log.require_watermark()
+    if version >= cur.version:
+        raise ValueError(
+            f"rollback target v{version} is not older than the current v{cur.version}"
+        )
+    old = log.read(version)
+    missing = [
+        f
+        for f in sorted(old.all_files())
+        if not os.path.exists(os.path.join(target_root, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot roll back to v{version}: {len(missing)} of its data "
+            f"files were expired (e.g. {missing[0]}); bound by snapshot "
+            "retention"
+        )
+    nxt = old.next()
+    nxt.version = cur.version + 1
+    nxt.metrics = {
+        "rollback": {
+            "to_version": int(version),
+            "from_version": int(cur.version),
+            "watermark": int(old.watermark),
+        }
+    }
+    log.commit(nxt, expect_version=cur.version, allow_watermark_rollback=True)
+    return {
+        "rolled_back_to": int(version),
+        "new_version": nxt.version,
+        "watermark": int(old.watermark),
+    }
+
+
 def delete_where(target_root: str, conjunction: list) -> dict:
     """Merge-on-read predicate DELETE (K9): ``DELETE FROM target WHERE
     <conjunction>`` as ONE manifest commit — no data file is touched.

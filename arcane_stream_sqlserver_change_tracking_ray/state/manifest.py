@@ -236,13 +236,22 @@ class ManifestLog:
         return m
 
     # ---------------------------------------------------------------- write
-    def commit(self, manifest: Manifest, expect_version: int | None = None) -> Manifest:
+    def commit(
+        self,
+        manifest: Manifest,
+        expect_version: int | None = None,
+        allow_watermark_rollback: bool = False,
+    ) -> Manifest:
         """Atomically publish *manifest*.
 
         CAS semantics: the target filename ``v{version}.json`` must not
         exist, and when *expect_version* is given the current latest must
         equal it.  Watermarks must be monotone — a cycle may never commit
         version range ``(v1, v2]`` before ``(v0, v1]`` (SURVEY.md §7.5.6).
+        The single sanctioned exception is the explicit
+        ``rollback_to`` operator (*allow_watermark_rollback*), which
+        restores an old snapshot whole — watermark included — so the
+        stream re-polls the rolled-back range idempotently.
         """
         os.makedirs(self.log_dir, exist_ok=True)
         cur = self.latest()
@@ -251,7 +260,11 @@ class ManifestLog:
                 f"expected latest manifest v{expect_version}, "
                 f"found {cur.version if cur else None}"
             )
-        if cur is not None and manifest.watermark < cur.watermark:
+        if (
+            cur is not None
+            and manifest.watermark < cur.watermark
+            and not allow_watermark_rollback
+        ):
             raise CommitConflictError(
                 f"non-monotone watermark: {manifest.watermark} < {cur.watermark}"
             )
@@ -312,6 +325,13 @@ class ManifestLog:
         out: dict[int, list[str]] = {}
         for v in versions:
             cur = self.read(v)
+            if "rollback" in cur.metrics:
+                raise ValueError(
+                    f"change feed cannot cross the rollback commit v{v} "
+                    "(the rolled-back range has no forward row-level "
+                    "history); re-baseline from a snapshot at or after "
+                    "the rollback"
+                )
             appended_any = False
             for pid, entries in cur.deltas.items():
                 seen = set(prev.deltas.get(pid, []))
