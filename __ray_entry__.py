@@ -2181,6 +2181,50 @@ def cdc_rollback(sf_dir: str):
     )
 
 
+def cdc_filtered_read(sf_dir: str):
+    """FULL-ENGINE filtered read under the hash gate: replay the events
+    feed (merge-on-read deltas left pending — the filter must apply
+    AFTER the LWW resolve, or an older matching version of a key whose
+    winner does not match would resurrect), then
+    ``read_target(where=[[event_type == 'click'], [value >= 10]])``.
+    The oracle filters the LWW winners with the same predicate."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    root = tempfile.mkdtemp(prefix="cdc_fread_")
+    try:
+        feed = _events_feed(sf_dir)
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8, "merge_mode": "mor"},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target(
+            tgt,
+            columns=["user_id", VERSION_COL, "ts", "event_type", "value", "props"],
+            where=[["event_type", "==", "click"], ["value", ">=", 10.0]],
+        )
+        # materialize before the tmpdir vanishes (the Dataset is lazy)
+        result = pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -3137,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_predicate_delete": cdc_predicate_delete,
         "cdc_equality_delete": cdc_equality_delete,
         "cdc_rollback": cdc_rollback,
+        "cdc_filtered_read": cdc_filtered_read,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3431,6 +3476,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # post-LWW filtered read over pending MoR deltas
+        "cdc_filtered_read": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type = 'click' AND value >= 10.0
         """,
         # rollback + idempotent re-drain must land EXACTLY on plain LWW
         "cdc_rollback": """

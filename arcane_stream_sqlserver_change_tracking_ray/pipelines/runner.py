@@ -865,7 +865,9 @@ def delete_where(target_root: str, conjunction: list) -> dict:
     The change feed refuses to read across a predicate-delete commit
     (these deletes carry no row-level history, like an Iceberg DELETE
     without CDF)."""
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import PREDICATE_OPS
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        validate_conjunction,
+    )
 
     from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
         CommitConflictError,
@@ -879,16 +881,7 @@ def delete_where(target_root: str, conjunction: list) -> dict:
     # watermark — the delete means "as of now" either way
     for attempt in range(_DELETE_CAS_ATTEMPTS):
         m = log.require_watermark()
-        norm = []
-        for term in conjunction:
-            col, op, lit = term
-            if op not in PREDICATE_OPS:
-                raise ValueError(f"unsupported predicate op {op!r}")
-            if m.schema is not None and col not in m.schema.names:
-                raise ValueError(f"unknown column {col!r} in delete predicate")
-            if not isinstance(lit, (int, float, str, bool)):
-                raise ValueError(f"unsupported literal type {type(lit).__name__}")
-            norm.append([col, op, lit])
+        norm = validate_conjunction(conjunction, m.schema)
         nxt = m.next()
         cycle_id = f"delete-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
         nxt.delete_predicates = list(m.delete_predicates) + [
@@ -987,6 +980,7 @@ def read_target(
     columns: list[str] | None = None,
     drop_meta: bool = False,
     version: int | None = None,
+    where: list | None = None,
 ):
     """The committed snapshot as a lazy ``ray.data.Dataset``; files from
     the manifest only (uncommitted cycle output is invisible).
@@ -997,6 +991,15 @@ def read_target(
     stream through the executor like any other block source.  With no
     deltas the read is a plain zero-overhead ``read_parquet``.
 
+    ``where`` is an AND-ed ``[[col, op, literal], ...]`` row filter
+    (SQL ``WHERE``).  On the fast no-delta path it is pushed into the
+    parquet scan as a ``pyarrow.dataset`` expression, so row-group
+    min/max statistics skip non-matching groups at the read (the
+    reference gets this from Iceberg metadata + ``sortedBy``).  On the
+    merge-on-read path it is applied AFTER the LWW resolve — filtering
+    before LWW could resurrect an older version of a key whose winner
+    does not match — so it prunes output, not input, there.
+
     ``version`` time-travels to an older retained snapshot (analog of
     Iceberg snapshot reads; available until ``expire_versions`` GCs it)."""
     import os
@@ -1004,13 +1007,18 @@ def read_target(
     import ray.data
 
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        conjunction_expression,
+        filter_conjunction,
         resolve_partition_table,
+        validate_conjunction,
     )
 
     log = ManifestLog(target_root)
     m = log.read(version) if version is not None else log.require_watermark()
     has_deltas = any(m.deltas.values())
     meta_cols = (OP_COL, MERGE_KEY_COL)
+    if where is not None:
+        where = validate_conjunction(where, m.schema)
 
     if not has_deltas and not m.delete_predicates and not m.key_deletes:
         files = sorted(m.all_files())
@@ -1018,15 +1026,27 @@ def read_target(
             return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
         paths = [os.path.join(target_root, f) for f in files]
         schema = m.schema
-        if columns is not None and schema is not None:
-            schema = pa.schema([f for f in schema if f.name in set(columns)])
-        ds = ray.data.read_parquet(paths, schema=schema, columns=columns)
-        if drop_meta:
-            keep = [
-                n
-                for n in (columns or [f.name for f in m.schema])
-                if n not in meta_cols
-            ]
+        read_cols = columns
+        if where is not None and columns is not None:
+            # the scan filter may reference pruned columns; read the
+            # union, project back after
+            read_cols = sorted(set(columns) | {t[0] for t in where})
+        if read_cols is not None and schema is not None:
+            by_name = {f.name: f for f in schema}
+            # field order must match the column projection order
+            schema = pa.schema([by_name[n] for n in read_cols if n in by_name])
+        ds = ray.data.read_parquet(
+            paths,
+            schema=schema,
+            columns=read_cols,
+            filter=conjunction_expression(where) if where is not None else None,
+        )
+        keep = [
+            n
+            for n in (columns or [f.name for f in m.schema])
+            if not drop_meta or n not in meta_cols
+        ]
+        if read_cols != columns or drop_meta:
             ds = ds.select_columns(keep)
         return ds
 
@@ -1045,6 +1065,7 @@ def read_target(
         set(out_cols)
         | {MERGE_KEY_COL, VERSION_COL, OP_COL}
         | predicate_columns(m.delete_predicates)
+        | ({t[0] for t in where} if where is not None else set())
     )
     read_schema = pa.schema([f for f in full_schema if f.name in need])
     pids = sorted(m.partition_pids())
@@ -1062,6 +1083,8 @@ def read_target(
                 target_root, base.get(pid, []), deltas.get(pid, []), read_schema,
                 delete_predicates=preds, key_deletes=kdels.get(pid, []),
             )
+            if where is not None:
+                t = filter_conjunction(t, where)
             out.append(t.select(out_cols))
         return pa.concat_tables(out) if out else read_schema.empty_table().select(out_cols)
 

@@ -364,6 +364,58 @@ PREDICATE_OPS = {
 }
 
 
+def validate_conjunction(conjunction: list, schema: pa.Schema | None) -> list:
+    """Validate and normalize a ``[[col, op, literal], ...]`` AND-ed
+    conjunction (shared by ``delete_where`` and filtered reads)."""
+    if not conjunction:
+        raise ValueError("predicate requires at least one [col, op, literal] term")
+    norm = []
+    for term in conjunction:
+        col, op, lit = term
+        if op not in PREDICATE_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        if schema is not None and col not in schema.names:
+            raise ValueError(f"unknown column {col!r} in predicate")
+        if not isinstance(lit, (int, float, str, bool)):
+            raise ValueError(f"unsupported literal type {type(lit).__name__}")
+        norm.append([col, op, lit])
+    return norm
+
+
+def conjunction_expression(conjunction: list):
+    """The conjunction as a ``pyarrow.dataset`` filter Expression — fed
+    to ``read_parquet(filter=...)`` so parquet row-group statistics
+    prune non-matching row groups AT THE SCAN (no bytes leave storage
+    for excluded groups)."""
+    import operator as _op
+
+    import pyarrow.dataset as pads
+
+    ops = {
+        "==": _op.eq, "!=": _op.ne, "<": _op.lt,
+        "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    expr = None
+    for col, op, lit in conjunction:
+        e = ops[op](pads.field(col), lit)
+        expr = e if expr is None else expr & e
+    return expr
+
+
+def filter_conjunction(t: pa.Table, conjunction: list) -> pa.Table:
+    """SQL ``WHERE`` over an Arrow table: keep rows matching every term;
+    null comparisons are non-matches (dropped), unlike delete
+    predicates where null comparisons mean 'keep the row'."""
+    if t.num_rows == 0:
+        return t
+    mask = None
+    for col, op, lit in conjunction:
+        arr = t[col]
+        m = PREDICATE_OPS[op](arr, pa.scalar(lit, arr.type))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return t.filter(pc.coalesce(mask, pa.scalar(False)))
+
+
 def predicate_columns(delete_predicates) -> set[str]:
     """Every column referenced by any predicate (readers must retain
     them through column pruning so the filter can evaluate)."""
