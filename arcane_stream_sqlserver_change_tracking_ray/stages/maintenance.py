@@ -95,6 +95,7 @@ class CompactPartition:
         bloom_columns: tuple[str, ...] = (),
         delete_predicates=None,
         key_deletes=None,
+        sorted_by: tuple[str, ...] = (),
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -111,6 +112,10 @@ class CompactPartition:
         #: version column)
         self.delete_predicates = delete_predicates
         self.key_deletes = key_deletes or {}
+        #: table sort-order property: the fold re-sorts so compacted base
+        #: files keep the row-group min/max locality the `where` pushdown
+        #: and `sortedBy` contract rely on (reference docs/crd.md:110)
+        self.sorted_by = tuple(sorted_by)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pids, out_files = [], []
@@ -123,6 +128,10 @@ class CompactPartition:
                 delete_predicates=self.delete_predicates,
                 key_deletes=self.key_deletes.get(pid, []),
             )
+            if self.sorted_by and merged.num_rows:
+                merged = merged.sort_by(
+                    [(c, "ascending") for c in self.sorted_by]
+                )
             rels, _ = write_partition_files(
                 merged,
                 self.target_root,
@@ -163,6 +172,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         compression=ctx.sink.parquet_compression,
         fsync=ctx.sink.durable_writes,
         bloom_columns=tuple(ctx.sink.bloom_filter_columns),
+        sorted_by=tuple(ctx.sink.sorted_by),
     )
     res = (
         ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -224,6 +234,7 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
             bloom_columns=tuple(ctx.sink.bloom_filter_columns),
             delete_predicates=list(manifest.delete_predicates),
             key_deletes=dict(manifest.key_deletes),
+            sorted_by=tuple(ctx.sink.sorted_by),
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))

@@ -93,6 +93,44 @@ def test_where_composes_with_pending_deletes(tmp_lake):
     assert got.count() == want.num_rows - len(doomed)
 
 
+def test_optimize_preserves_sorted_by(tmp_lake):
+    """The fold re-sorts compacted base files per the table's sortedBy
+    property — the row-group min/max locality the `where` pushdown
+    prunes with would otherwise degrade after every OPTIMIZE."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {
+                "target_root": tgt,
+                "num_partitions": 4,
+                "merge_mode": "mor",
+                "sorted_by": ["url"],
+            },
+            "throughput": {"rows_per_group": 200},
+            "maintenance": {"enabled": False},
+        }
+    )
+    StreamRunner(ctx).run()
+    run_maintenance(ManifestLog(tgt), ctx)
+    m = ManifestLog(tgt).latest()
+    assert not any(m.deltas.values())
+    checked = 0
+    for files in m.partitions.values():
+        for rel in files:
+            col = pq.read_table(os.path.join(tgt, rel), columns=["url"])["url"]
+            vals = col.to_pylist()
+            assert vals == sorted(vals), rel
+            checked += 1
+    assert checked > 0
+
+
 def test_where_validation(tmp_lake):
     ct, tgt, _ = tmp_lake
     replay(ct, tgt)
