@@ -797,6 +797,30 @@ class StreamRunner:
 _DELETE_CAS_ATTEMPTS = 5
 
 
+def _commit_with_cas_retry(log: ManifestLog, build) -> dict:
+    """Shared CAS-retry loop for out-of-band commits (deletes): *build*
+    takes the freshly read manifest and returns ``(nxt, result)``; on a
+    ``CommitConflictError`` (a stream cycle committed in between) the
+    whole build re-runs against the new manifest — re-validating,
+    re-routing, and re-stamping at the NEW watermark ("as of now"
+    semantics either way).  Files written by a failed attempt stay
+    unreferenced; the startup sweep reclaims them."""
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        CommitConflictError,
+    )
+
+    for attempt in range(_DELETE_CAS_ATTEMPTS):
+        m = log.require_watermark()
+        nxt, result = build(m)
+        try:
+            log.commit(nxt, expect_version=m.version)
+        except CommitConflictError:
+            if attempt == _DELETE_CAS_ATTEMPTS - 1:
+                raise
+            continue
+        return result
+
+
 def rollback_to(target_root: str, version: int) -> dict:
     """Roll the table back to snapshot *version* as ONE manifest commit
     (the Iceberg ``rollback_to_snapshot`` analog — the bad-deploy /
@@ -876,11 +900,8 @@ def delete_where(target_root: str, conjunction: list) -> dict:
     log = ManifestLog(target_root)
     if not conjunction:
         raise ValueError("delete_where requires at least one [col, op, literal] term")
-    # a CAS conflict (a stream cycle committed in between) is retryable
-    # for a delete: re-read the manifest and re-stamp at the NEW
-    # watermark — the delete means "as of now" either way
-    for attempt in range(_DELETE_CAS_ATTEMPTS):
-        m = log.require_watermark()
+
+    def build(m: Manifest):
         norm = validate_conjunction(conjunction, m.schema)
         nxt = m.next()
         cycle_id = f"delete-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
@@ -890,13 +911,12 @@ def delete_where(target_root: str, conjunction: list) -> dict:
         nxt.metrics = {
             "delete_where": {"conjunction": norm, "watermark": int(m.watermark)}
         }
-        try:
-            log.commit(nxt, expect_version=m.version)
-        except CommitConflictError:
-            if attempt == _DELETE_CAS_ATTEMPTS - 1:
-                raise
-            continue
-        return {"predicates": len(nxt.delete_predicates), "watermark": int(m.watermark)}
+        return nxt, {
+            "predicates": len(nxt.delete_predicates),
+            "watermark": int(m.watermark),
+        }
+
+    return _commit_with_cas_retry(log, build)
 
 
 def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -> dict:
@@ -922,10 +942,13 @@ def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -
         partition_ids,
         write_partition_files,
     )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        CommitConflictError,
-    )
 
+    if isinstance(keys, (str, bytes)):
+        raise ValueError(
+            "delete_keys expects a COLLECTION of keys; a bare string "
+            "would be iterated per character — wrap the single key in a "
+            "list"
+        )
     log = ManifestLog(target_root)
     arr = keys if isinstance(keys, (pa.Array, pa.ChunkedArray)) else pa.array(list(keys))
     if isinstance(arr, pa.ChunkedArray):
@@ -935,12 +958,12 @@ def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -
     arr = pc.unique(arr.drop_null())
     if len(arr) == 0:
         raise ValueError("delete_keys requires at least one non-null key")
-    # CAS conflicts are retryable: re-read, re-route (a concurrent
-    # repartition changes the pid domain) and re-stamp at the new
-    # watermark; files from a failed attempt stay unreferenced and the
-    # startup sweep reclaims them
-    for attempt in range(_DELETE_CAS_ATTEMPTS):
-        m = log.require_watermark()
+
+    def build(m: Manifest):
+        # re-runs whole on a CAS retry: re-routes (a concurrent
+        # repartition changes the pid domain) and re-stamps at the new
+        # watermark; files from a failed attempt stay unreferenced and
+        # the startup sweep reclaims them
         pids = partition_ids(arr, m.num_partitions, m.key_hash_algo)
         nxt = m.next()
         cycle_id = f"keydel-{nxt.version:012d}-{uuid.uuid4().hex[:8]}"
@@ -966,13 +989,11 @@ def delete_keys(target_root: str, keys, *, max_rows_per_file: int = 1_000_000) -
                 "keys": len(arr), "files": n_files, "watermark": int(m.watermark)
             }
         }
-        try:
-            log.commit(nxt, expect_version=m.version)
-        except CommitConflictError:
-            if attempt == _DELETE_CAS_ATTEMPTS - 1:
-                raise
-            continue
-        return {"keys": len(arr), "files": n_files, "watermark": int(m.watermark)}
+        return nxt, {
+            "keys": len(arr), "files": n_files, "watermark": int(m.watermark)
+        }
+
+    return _commit_with_cas_retry(log, build)
 
 
 def read_target(

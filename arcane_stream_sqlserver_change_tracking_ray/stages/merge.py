@@ -410,8 +410,10 @@ def filter_conjunction(t: pa.Table, conjunction: list) -> pa.Table:
         return t
     mask = None
     for col, op, lit in conjunction:
-        arr = t[col]
-        m = PREDICATE_OPS[op](arr, pa.scalar(lit, arr.type))
+        # pa.scalar(lit) with kernel type promotion — casting the literal
+        # to the column type would silently truncate (10.5 -> 10 on an
+        # int64 column) and diverge from the pushdown-expression path
+        m = PREDICATE_OPS[op](t[col], pa.scalar(lit))
         mask = m if mask is None else pc.and_kleene(mask, m)
     return t.filter(pc.coalesce(mask, pa.scalar(False)))
 
@@ -446,9 +448,9 @@ def apply_delete_predicates(
             if col not in t.column_names:
                 ok = False
                 break
-            arr = t[col]
+            # plain pa.scalar: kernel promotion, never literal truncation
             mask = pc.and_kleene(
-                mask, PREDICATE_OPS[op](arr, pa.scalar(lit, arr.type))
+                mask, PREDICATE_OPS[op](t[col], pa.scalar(lit))
             )
         if not ok:
             continue
@@ -479,11 +481,13 @@ def apply_key_deletes(
         col = t[name]
         if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
             col = pc.cast(col, pa.string())  # the canonical hash/key domain
-        mask = pc.and_(
+        mask = pc.and_kleene(
             pc.is_in(col, value_set=dk),
             pc.less_equal(t[version_col], pa.scalar(entry["watermark"], pa.int64())),
         )
-        t = t.filter(pc.invert(mask))
+        # null key/version comparisons stay null -> treated as
+        # non-matching (row KEPT), same contract as delete predicates
+        t = t.filter(pc.coalesce(pc.invert(mask), pa.scalar(True)))
     return t
 
 

@@ -332,6 +332,23 @@ class ManifestLog:
                     "history); re-baseline from a snapshot at or after "
                     "the rollback"
                 )
+            # delete COMMITS carry no row-level history; the endpoint
+            # comparisons in the feed planner miss a delete that was
+            # committed AND materialized inside the range, so the walk
+            # itself refuses (a GDPR-deleted key with no later CT
+            # activity would otherwise never emit a DELETE event)
+            if "delete_where" in cur.metrics:
+                raise ValueError(
+                    f"change feed cannot cross the predicate-delete "
+                    f"commit v{v} (no row-level history); re-baseline "
+                    "from a snapshot at or after the delete"
+                )
+            if "delete_keys" in cur.metrics:
+                raise ValueError(
+                    f"change feed cannot cross the equality-delete "
+                    f"commit v{v} (no row-level history); re-baseline "
+                    "from a snapshot at or after the delete"
+                )
             appended_any = False
             for pid, entries in cur.deltas.items():
                 seen = set(prev.deltas.get(pid, []))

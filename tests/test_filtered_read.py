@@ -93,6 +93,22 @@ def test_where_composes_with_pending_deletes(tmp_lake):
     assert got.count() == want.num_rows - len(doomed)
 
 
+def test_float_literal_on_int_column_matches_both_paths(tmp_lake):
+    """A float literal on an int64 column must NOT truncate (10.5 -> 10)
+    on the MoR path: both paths must evaluate v < X+0.5 ≡ v <= X."""
+    ct, tgt, _ = tmp_lake
+    ctx = replay(ct, tgt)
+    exp = expected_final_state(ct)
+    versions = sorted(exp["sys_change_version"].to_pylist())
+    cut = versions[len(versions) // 2]  # a version that exists
+    want = sum(1 for v in versions if v <= cut)
+    assert want > sum(1 for v in versions if v < cut)  # boundary bites
+    pred = [["sys_change_version", "<", cut + 0.5]]
+    assert read_target(tgt, where=pred).count() == want  # MoR path
+    run_maintenance(ManifestLog(tgt), ctx)
+    assert read_target(tgt, where=pred).count() == want  # pushdown path
+
+
 def test_optimize_preserves_sorted_by(tmp_lake):
     """The fold re-sorts compacted base files per the table's sortedBy
     property — the row-group min/max locality the `where` pushdown

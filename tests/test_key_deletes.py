@@ -147,6 +147,63 @@ def test_optimize_keeps_key_deletes_applicable(tmp_lake):
     assert_tables_equal(read_target_table(tgt), want)
 
 
+def test_null_version_rows_survive_key_deletes():
+    """A row with a null version must never be silently deleted by a
+    pending key-delete entry (null comparisons are non-matches)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        MERGE_KEY_COL,
+        VERSION_COL,
+        apply_key_deletes,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        pq.write_table(
+            pa.table({MERGE_KEY_COL: pa.array(["a", "b"])}),
+            f"{root}/del.parquet",
+        )
+        t = pa.table(
+            {
+                MERGE_KEY_COL: pa.array(["a", "b", "c"]),
+                VERSION_COL: pa.array([5, None, 5], pa.int64()),
+            }
+        )
+        out = apply_key_deletes(
+            t, root, [{"file": "del.parquet", "watermark": 10, "cycle": "x"}]
+        )
+        # 'a' deleted (matched, version<=wm); 'b' KEPT (null version);
+        # 'c' kept (not in the delete set)
+        assert out[MERGE_KEY_COL].to_pylist() == ["b", "c"]
+
+
+def test_change_feed_refuses_delete_materialized_inside_range(tmp_lake):
+    """A delete committed AND materialized inside the feed range leaves
+    both endpoint manifests clean — the walk itself must refuse, or a
+    GDPR-erased key with no later CT activity would never emit a DELETE
+    event downstream."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        materialize_deletes,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = make_ctx(ct, tgt)
+    StreamRunner(ctx).run(max_cycles=2)
+    v_before = ManifestLog(tgt).latest().version
+    doomed = read_target_table(tgt)["url"].to_pylist()[:3]
+    delete_keys(tgt, doomed)
+    materialize_deletes(ManifestLog(tgt), ctx)
+    assert ManifestLog(tgt).latest().key_deletes == {}  # endpoints clean
+    StreamRunner(ctx).run()
+
+    with pytest.raises(ValueError, match="equality-delete"):
+        read_change_feed_table(tgt, from_version=v_before)
+
+
 def test_change_feed_refuses_to_cross_key_delete(tmp_lake):
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
@@ -175,7 +232,9 @@ def test_repartition_refuses_pending_key_deletes(tmp_lake):
     # after materialize the spec change goes through
     materialize_deletes(ManifestLog(tgt), ctx)
     out = repartition_table(ManifestLog(tgt), ctx, 7)
-    assert out == {"repartitioned": True, "from": 4, "to": 7, "new_pids": out["new_pids"]}
+    assert out["repartitioned"] is True
+    assert (out["from"], out["to"]) == (4, 7)
+    assert 0 < out["new_pids"] <= 7
     want = _minus_urls(expected_final_state(ct), doomed)
     assert_tables_equal(read_target_table(tgt), want)
 
@@ -223,6 +282,9 @@ def test_delete_keys_validation_and_nonstring_keys(tmp_lake):
     replay(ct, tgt)
     with pytest.raises(ValueError, match="at least one"):
         delete_keys(tgt, [])
+    # a bare string would silently explode into per-character keys
+    with pytest.raises(ValueError, match="COLLECTION"):
+        delete_keys(tgt, "https://example.com/0")
     # duplicate + null keys collapse; count reflects unique non-null
     exp = expected_final_state(ct)
     u = exp["url"][0].as_py()
