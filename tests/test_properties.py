@@ -93,6 +93,103 @@ def test_partition_ids_stable_and_bounded(keys, p):
     assert a.min() >= 0 and a.max() < p
 
 
+_DEL_OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    events_strategy,
+    st.integers(0, 200),
+    st.sets(st.integers(0, 9)),
+    st.sampled_from(sorted(_DEL_OPS)),
+    st.integers(0, 12),
+)
+def test_mor_deletes_are_point_in_time_exact(tmp_path_factory_cache, events, wm, keys, op, lit):
+    """Both MoR delete kinds against a brute-force model: a delete at
+    watermark W removes EXACTLY the LWW winners with version ≤ W that
+    match (the key set / the predicate) — independent of where W falls
+    relative to each key's history."""
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
+        apply_delete_predicates,
+        apply_key_deletes,
+    )
+
+    t = to_table(events)
+    # deterministic payload column for the predicate
+    vals = [(k * 7 + v) % 13 for (k, _), v in zip(events, range(1, len(events) + 1))]
+    t = t.append_column("value", pa.array(vals, pa.int64()))
+    resolved = drop_tombstones(lww_table(t))
+    winners = {
+        k: (ver, val)
+        for k, ver, val in zip(
+            resolved[MERGE_KEY_COL].to_pylist(),
+            resolved[VERSION_COL].to_pylist(),
+            resolved["value"].to_pylist(),
+        )
+    }
+
+    # -- equality deletes ------------------------------------------------
+    root = tmp_path_factory_cache
+    rel = f"del-{abs(hash((tuple(events), wm, tuple(sorted(keys)))))}.parquet"
+    pq.write_table(
+        pa.table({MERGE_KEY_COL: pa.array([f"k{k}" for k in sorted(keys)], pa.string())}),
+        f"{root}/{rel}",
+    )
+    got = apply_key_deletes(
+        resolved, root, [{"file": rel, "watermark": wm, "cycle": "x"}]
+    )
+    exp = {
+        k: v
+        for k, v in winners.items()
+        if not (k in {f"k{i}" for i in keys} and v[0] <= wm)
+    }
+    assert {
+        k: (ver, val)
+        for k, ver, val in zip(
+            got[MERGE_KEY_COL].to_pylist(),
+            got[VERSION_COL].to_pylist(),
+            got["value"].to_pylist(),
+        )
+    } == exp
+
+    # -- predicate deletes -------------------------------------------------
+    got2 = apply_delete_predicates(
+        resolved, [{"conjunction": [["value", op, lit]], "watermark": wm}]
+    )
+    exp2 = {
+        k: v
+        for k, v in winners.items()
+        if not (_DEL_OPS[op](v[1], lit) and v[0] <= wm)
+    }
+    assert {
+        k: (ver, val)
+        for k, ver, val in zip(
+            got2[MERGE_KEY_COL].to_pylist(),
+            got2[VERSION_COL].to_pylist(),
+            got2["value"].to_pylist(),
+        )
+    } == exp2
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def tmp_path_factory_cache(tmp_path_factory):
+    """One shared dir for the hypothesis examples' tiny delete files
+    (a per-example tmp_path fixture can't be combined with @given)."""
+    return str(tmp_path_factory.mktemp("keydel_prop"))
+
+
 def test_concurrent_committers_one_wins(tmp_path):
     """Two writers racing to commit the same next version: exactly one
     succeeds (hard-link CAS), the loser gets CommitConflictError and the
