@@ -2225,6 +2225,49 @@ def cdc_filtered_read(sf_dir: str):
     return result
 
 
+def cdc_tagged_read(sf_dir: str):
+    """FULL-ENGINE named snapshot tags under the hash gate: replay 3 of
+    8 single-segment cycles, ``set_tag('baseline')``, drain the rest,
+    GC the log down to the newest snapshot (``expire_versions(keep=1)``
+    — the tag must PIN its manifest and data files), then read the
+    table BY TAG NAME.  The oracle reproduces the cycle-3 cut: a hash
+    match proves both tag resolution and GC pinning."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_tag_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run(max_cycles=3)
+        ManifestLog(tgt).set_tag("baseline")
+        StreamRunner(ctx).run()
+        expired = ManifestLog(tgt).expire_versions(keep=1)
+        assert expired, "GC should have dropped the untagged history"
+        out = read_target_table(tgt, version="baseline")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -3182,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_equality_delete": cdc_equality_delete,
         "cdc_rollback": cdc_rollback,
         "cdc_filtered_read": cdc_filtered_read,
+        "cdc_tagged_read": cdc_tagged_read,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3926,6 +3970,22 @@ def oracle_sql() -> dict[str, str]:
         # snapshot isolation: LWW over exactly the first 3 single-segment
         # cycles' events (3 * ceil(n/8) by event_id order) — the engine's
         # time-travel read of the cycle-3 manifest must equal this prefix
+        # read BY TAG after GC: same cycle-3 prefix as time travel
+        "cdc_tagged_read": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), cut AS (
+              SELECT max(3 * ((n + 7) // 8)) AS c FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) urn
+                  FROM o, cut WHERE o.rn <= cut.c)
+            WHERE urn = 1 AND event_type <> 'error'
+        """,
         "cdc_time_travel": """
             WITH o AS (
               SELECT *, row_number() OVER (ORDER BY event_id) AS rn,

@@ -841,6 +841,7 @@ def rollback_to(target_root: str, version: int) -> dict:
 
     log = ManifestLog(target_root)
     cur = log.require_watermark()
+    version = log.resolve_ref(version)  # tag names roll back too
     if version >= cur.version:
         raise ValueError(
             f"rollback target v{version} is not older than the current v{cur.version}"
@@ -1000,7 +1001,7 @@ def read_target(
     target_root: str,
     columns: list[str] | None = None,
     drop_meta: bool = False,
-    version: int | None = None,
+    version: int | str | None = None,
     where: list | None = None,
 ):
     """The committed snapshot as a lazy ``ray.data.Dataset``; files from
@@ -1116,7 +1117,7 @@ def read_target(
 
 
 def read_target_table(
-    target_root: str, drop_meta: bool = True, version: int | None = None
+    target_root: str, drop_meta: bool = True, version: int | str | None = None
 ) -> pa.Table:
     """Driver-side materialized read (tests / small results only);
     resolves pending merge-on-read deltas per partition.  ``version``
@@ -1330,7 +1331,7 @@ def lookup_keys(
 def export_snapshot(
     target_root: str,
     out_dir: str,
-    version: int | None = None,
+    version: int | str | None = None,
     drop_meta: bool = True,
     compression: str = "zstd",
 ) -> dict:

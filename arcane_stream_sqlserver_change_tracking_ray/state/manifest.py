@@ -224,9 +224,69 @@ class ManifestLog:
             return None
         return self.read(vs[-1])
 
-    def read(self, version: int) -> Manifest:
-        with open(self._path(version), "r", encoding="utf-8") as f:
+    def read(self, version: int | str) -> Manifest:
+        """Read a snapshot by version number or TAG name (K12)."""
+        with open(self._path(self.resolve_ref(version)), "r", encoding="utf-8") as f:
             return Manifest.from_json(f.read())
+
+    # ----------------------------------------------------------------- tags
+    # Named snapshot refs (Iceberg tag analog): a tag pins a version for
+    # readers ("prod-baseline" time travel) AND for GC — expire_versions
+    # never drops a tagged manifest or the files it references.
+    @property
+    def tags_dir(self) -> str:
+        return os.path.join(self.log_dir, "tags")
+
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        if not name or "/" in name or os.sep in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+
+    def set_tag(self, name: str, version: int | None = None) -> int:
+        """Tag *version* (default: latest) with *name*; re-tagging an
+        existing name atomically repoints it."""
+        self._check_tag_name(name)
+        vs = self.versions()
+        if not vs:
+            raise InvalidWatermarkError("cannot tag an empty log")
+        v = vs[-1] if version is None else int(version)
+        if v not in vs:
+            raise ValueError(f"unknown version {v} (retained: {vs[0]}..{vs[-1]})")
+        os.makedirs(self.tags_dir, exist_ok=True)
+        tmp = os.path.join(self.tags_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(self.tags_dir, name))  # atomic (re)point
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        self._check_tag_name(name)
+        try:
+            os.unlink(os.path.join(self.tags_dir, name))
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}")
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(self.tags_dir):
+            return {}
+        out = {}
+        for name in os.listdir(self.tags_dir):
+            if name.startswith("."):
+                continue
+            with open(os.path.join(self.tags_dir, name), "r", encoding="utf-8") as f:
+                out[name] = int(f.read().strip())
+        return out
+
+    def resolve_ref(self, ref: int | str) -> int:
+        """A version number passes through; a string resolves as a tag."""
+        if isinstance(ref, str):
+            tags = self.tags()
+            if ref not in tags:
+                raise ValueError(f"unknown tag {ref!r} (have: {sorted(tags)})")
+            return tags[ref]
+        return int(ref)
 
     def require_watermark(self) -> Manifest:
         """Streaming bootstrap gate — fail fast like the reference."""
@@ -421,7 +481,11 @@ class ManifestLog:
         vs = self.versions()
         if len(vs) <= keep:
             return []
-        expired, kept = vs[:-keep], vs[-keep:]
+        pinned = set(self.tags().values())  # tagged snapshots never expire
+        expired = [v for v in vs[:-keep] if v not in pinned]
+        kept = [v for v in vs if v not in expired]
+        if not expired:
+            return []
         live_files: set[str] = set()
         for v in kept:
             live_files |= self.read(v).all_files()

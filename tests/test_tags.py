@@ -1,0 +1,90 @@
+"""Named snapshot tags (K12, Iceberg tag analog): readable by name,
+atomically re-pointable, pinned against expire_versions GC."""
+
+import pytest
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.gen import (
+    expected_final_state,
+    small_spec,
+    write_ctlog,
+)
+from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+    StreamRunner,
+    read_target_table,
+    rollback_to,
+)
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    ManifestLog,
+    prepare_watermark,
+)
+from tests.util import assert_tables_equal
+
+
+def replay(ct, tgt, max_cycles=None):
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4, "merge_mode": "mor"},
+            "throughput": {"rows_per_group": 200},
+            "maintenance": {"enabled": False},
+        }
+    )
+    StreamRunner(ctx).run(max_cycles=max_cycles)
+    return ctx
+
+
+def test_tag_read_retag_delete(tmp_lake):
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    replay(ct, tgt, max_cycles=2)
+    log = ManifestLog(tgt)
+    v2 = log.set_tag("baseline")  # defaults to latest
+    mid = read_target_table(tgt)
+    replay(ct, tgt)
+
+    assert log.tags() == {"baseline": v2}
+    assert_tables_equal(read_target_table(tgt, version="baseline"), mid)
+    # retag repoints atomically
+    log.set_tag("baseline")
+    assert log.tags()["baseline"] == log.latest().version
+    assert_tables_equal(
+        read_target_table(tgt, version="baseline"), expected_final_state(ct)
+    )
+    log.delete_tag("baseline")
+    with pytest.raises(ValueError, match="unknown tag"):
+        read_target_table(tgt, version="baseline")
+    with pytest.raises(ValueError, match="unknown tag"):
+        log.delete_tag("baseline")
+
+
+def test_tag_validation(tmp_lake):
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    log = ManifestLog(tgt)
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            log.set_tag(bad)
+    with pytest.raises(ValueError, match="unknown version"):
+        log.set_tag("t", 999)
+
+
+def test_tagged_snapshot_survives_expiry(tmp_lake):
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    replay(ct, tgt, max_cycles=2)
+    log = ManifestLog(tgt)
+    v_tagged = log.set_tag("keepme")
+    tagged = read_target_table(tgt)
+    replay(ct, tgt)
+
+    expired = log.expire_versions(keep=1)
+    assert v_tagged not in expired and expired  # GC ran, tag pinned
+    assert v_tagged in log.versions()
+    assert_tables_equal(read_target_table(tgt, version="keepme"), tagged)
+    # rollback accepts the tag name (resolve_ref path)
+    rollback_to(tgt, "keepme")
+    assert_tables_equal(read_target_table(tgt), tagged)
