@@ -284,6 +284,17 @@ def fsync_file(path: str) -> None:
         os.close(fd)
 
 
+#: rows per parquet ROW GROUP inside partition files.  Partitioning is
+#: by key HASH, so a whole file's min/max on any payload/sort column
+#: spans ~the full domain and can never be skipped; row groups within a
+#: file DO carry narrow min/max ranges when the file is sorted
+#: (sortedBy), and pyarrow's scan-filter prunes at row-group
+#: granularity — this is what makes `read_target(where=...)` skip I/O
+#: on a sorted column.  ~32k rows ≈ tens of MB for webtext rows, the
+#: usual lake sweet spot.
+ROW_GROUP_ROWS = 32_768
+
+
 def write_partition_files(
     table: pa.Table,
     target_root: str,
@@ -295,6 +306,7 @@ def write_partition_files(
     fsync: bool = True,
     prefix: str = "part",
     bloom_columns: tuple[str, ...] = (),
+    row_group_rows: int = ROW_GROUP_ROWS,
 ) -> tuple[list[str], int]:
     """Write one partition's rows under the attempt-unique cycle dir;
     returns (relative paths, bytes).  Shared by the CoW rewrite, the MoR
@@ -310,7 +322,9 @@ def write_partition_files(
         chunk = table.slice(off, max_rows_per_file)
         name = f"{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
         path = os.path.join(out_dir, name)
-        pq.write_table(chunk, path, compression=compression)
+        pq.write_table(
+            chunk, path, compression=compression, row_group_size=row_group_rows
+        )
         if bloom_columns:
             write_bloom_sidecar(path, chunk, bloom_columns)
         if fsync:
