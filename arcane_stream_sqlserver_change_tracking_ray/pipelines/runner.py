@@ -894,10 +894,6 @@ def delete_where(target_root: str, conjunction: list) -> dict:
         validate_conjunction,
     )
 
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        CommitConflictError,
-    )
-
     log = ManifestLog(target_root)
     if not conjunction:
         raise ValueError("delete_where requires at least one [col, op, literal] term")
@@ -1061,7 +1057,7 @@ def read_target(
             paths,
             schema=schema,
             columns=read_cols,
-            filter=conjunction_expression(where) if where is not None else None,
+            filter=conjunction_expression(where, m.schema) if where is not None else None,
         )
         keep = [
             n
@@ -1170,6 +1166,7 @@ def _change_feed_plan(
     if not net and pre_image_columns:
         raise ValueError("pre_image_columns requires net=True (per-key winners)")
     log = ManifestLog(target_root)
+    from_version = log.resolve_ref(from_version)  # tag names baseline too
     m_to = log.read(to_version) if to_version is not None else log.require_watermark()
     appended = log.appended_deltas(from_version, m_to.version)
     m_from = log.read(from_version)
@@ -1184,15 +1181,13 @@ def _change_feed_plan(
         raise ValueError(
             "change feed cannot cross a predicate-delete commit (the "
             "delete carries no row-level history); re-baseline from a "
-            "snapshot at or after the delete, or materialize_deletes "
-            "first"
+            "snapshot at or after the delete"
         )
     if m_from.key_deletes != m_to.key_deletes:
         raise ValueError(
             "change feed cannot cross an equality-delete commit (the "
             "delete carries no row-level history); re-baseline from a "
-            "snapshot at or after the delete, or materialize_deletes "
-            "first"
+            "snapshot at or after the delete"
         )
     schema = m_to.schema
     out_fields = change_feed_schema_fields(schema, drop_meta, pre_image_columns)

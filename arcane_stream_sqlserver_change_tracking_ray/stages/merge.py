@@ -378,6 +378,22 @@ PREDICATE_OPS = {
 }
 
 
+def term_scalar(op: str, lit, col_type: pa.DataType) -> pa.Scalar:
+    """The literal as a scalar comparable against *col_type*: a PLAIN
+    scalar when the compare kernel promotes the pair (int64 column vs
+    float literal compares exactly, no truncation), else the literal is
+    cast to the column type (a timestamp column vs an epoch-micros int
+    literal has no promoting kernel).  Raises when neither works —
+    ``validate_conjunction`` surfaces that as a clean ValueError at
+    commit/read time instead of a bricked reader."""
+    plain = pa.scalar(lit)
+    try:
+        PREDICATE_OPS[op](pa.nulls(0, col_type), plain)
+        return plain
+    except pa.ArrowNotImplementedError:
+        return pa.scalar(lit, col_type)
+
+
 def validate_conjunction(conjunction: list, schema: pa.Schema | None) -> list:
     """Validate and normalize a ``[[col, op, literal], ...]`` AND-ed
     conjunction (shared by ``delete_where`` and filtered reads)."""
@@ -392,15 +408,26 @@ def validate_conjunction(conjunction: list, schema: pa.Schema | None) -> list:
             raise ValueError(f"unknown column {col!r} in predicate")
         if not isinstance(lit, (int, float, str, bool)):
             raise ValueError(f"unsupported literal type {type(lit).__name__}")
+        if schema is not None:
+            col_type = schema.field(col).type
+            try:
+                term_scalar(op, lit, col_type)
+            except Exception:
+                raise ValueError(
+                    f"literal {lit!r} is not comparable with column "
+                    f"{col!r} ({col_type})"
+                )
         norm.append([col, op, lit])
     return norm
 
 
-def conjunction_expression(conjunction: list):
+def conjunction_expression(conjunction: list, schema: pa.Schema | None = None):
     """The conjunction as a ``pyarrow.dataset`` filter Expression — fed
     to ``read_parquet(filter=...)`` so parquet row-group statistics
     prune non-matching row groups AT THE SCAN (no bytes leave storage
-    for excluded groups)."""
+    for excluded groups).  With *schema*, literals whose pair has no
+    promoting compare kernel (timestamp column vs epoch int) are cast
+    to the column type, mirroring the merge-on-read apply path."""
     import operator as _op
 
     import pyarrow.dataset as pads
@@ -411,7 +438,12 @@ def conjunction_expression(conjunction: list):
     }
     expr = None
     for col, op, lit in conjunction:
-        e = ops[op](pads.field(col), lit)
+        rhs = (
+            term_scalar(op, lit, schema.field(col).type)
+            if schema is not None and col in schema.names
+            else lit
+        )
+        e = ops[op](pads.field(col), rhs)
         expr = e if expr is None else expr & e
     return expr
 
@@ -424,10 +456,7 @@ def filter_conjunction(t: pa.Table, conjunction: list) -> pa.Table:
         return t
     mask = None
     for col, op, lit in conjunction:
-        # pa.scalar(lit) with kernel type promotion — casting the literal
-        # to the column type would silently truncate (10.5 -> 10 on an
-        # int64 column) and diverge from the pushdown-expression path
-        m = PREDICATE_OPS[op](t[col], pa.scalar(lit))
+        m = PREDICATE_OPS[op](t[col], term_scalar(op, lit, t[col].type))
         mask = m if mask is None else pc.and_kleene(mask, m)
     return t.filter(pc.coalesce(mask, pa.scalar(False)))
 
@@ -462,9 +491,10 @@ def apply_delete_predicates(
             if col not in t.column_names:
                 ok = False
                 break
-            # plain pa.scalar: kernel promotion, never literal truncation
+            # kernel promotion where possible (never literal truncation),
+            # typed cast only where no promoting kernel exists (timestamps)
             mask = pc.and_kleene(
-                mask, PREDICATE_OPS[op](t[col], pa.scalar(lit))
+                mask, PREDICATE_OPS[op](t[col], term_scalar(op, lit, t[col].type))
             )
         if not ok:
             continue

@@ -259,6 +259,13 @@ class ManifestLog:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, os.path.join(self.tags_dir, name))  # atomic (re)point
+        # narrow the race with a concurrent expire_versions: GC reads
+        # tags() BEFORE unlinking, so re-checking the manifest still
+        # exists after the tag is visible closes the window for all but
+        # an in-flight unlink between these two lines
+        if not os.path.exists(self._path(v)):
+            os.unlink(os.path.join(self.tags_dir, name))
+            raise ValueError(f"version {v} expired while tagging; retry")
         return v
 
     def delete_tag(self, name: str) -> None:
@@ -275,8 +282,13 @@ class ManifestLog:
         for name in os.listdir(self.tags_dir):
             if name.startswith("."):
                 continue
-            with open(os.path.join(self.tags_dir, name), "r", encoding="utf-8") as f:
-                out[name] = int(f.read().strip())
+            try:
+                with open(
+                    os.path.join(self.tags_dir, name), "r", encoding="utf-8"
+                ) as f:
+                    out[name] = int(f.read().strip())
+            except FileNotFoundError:
+                continue  # concurrently deleted tag
         return out
 
     def resolve_ref(self, ref: int | str) -> int:
@@ -285,7 +297,12 @@ class ManifestLog:
             tags = self.tags()
             if ref not in tags:
                 raise ValueError(f"unknown tag {ref!r} (have: {sorted(tags)})")
-            return tags[ref]
+            v = tags[ref]
+            if not os.path.exists(self._path(v)):
+                raise ValueError(
+                    f"tag {ref!r} points at expired version {v}; delete the tag"
+                )
+            return v
         return int(ref)
 
     def require_watermark(self) -> Manifest:
@@ -378,9 +395,22 @@ class ManifestLog:
         without appending deltas (a copy-on-write merge or a backfill
         Overwrite): those snapshots carry no row-level change history,
         exactly like a table rewritten outside CDC."""
-        versions = [v for v in self.versions() if from_version < v <= to_version]
-        if from_version not in self.versions():
+        retained = set(self.versions())
+        if from_version not in retained:
             raise ValueError(f"unknown from_version {from_version}")
+        # manifest versions increment by exactly 1 per commit, so history
+        # completeness == contiguity.  Tag-pinned GC can leave GAPS (a
+        # pinned old snapshot survives while versions between it and the
+        # kept suffix expire) — a walk across a gap could silently skip a
+        # delete/rollback commit the refusals below exist to catch.
+        missing = set(range(from_version + 1, to_version + 1)) - retained
+        if missing:
+            raise ValueError(
+                f"change feed range ({from_version}, {to_version}] crosses "
+                f"expired history (missing v{min(missing)}..v{max(missing)}); "
+                "re-baseline from a retained snapshot"
+            )
+        versions = [v for v in sorted(retained) if from_version < v <= to_version]
         prev = self.read(from_version)
         out: dict[int, list[str]] = {}
         for v in versions:

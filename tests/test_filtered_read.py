@@ -147,6 +147,32 @@ def test_optimize_preserves_sorted_by(tmp_lake):
     assert checked > 0
 
 
+def test_timestamp_predicates_work_on_all_paths(tmp_lake):
+    """Epoch-int literals on a timestamp[us] column have no promoting
+    compare kernel — the literal must be cast to the column type, not
+    brick every reader (regression: retention-style deletes)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        delete_where,
+        read_target_table,
+    )
+
+    ct, tgt, _ = tmp_lake
+    ctx = replay(ct, tgt)
+    exp = expected_final_state(ct)
+    ts = sorted(t.value for t in exp["warc_ts"])  # epoch micros ints
+    cutoff = ts[len(ts) // 2]
+    want = sum(1 for v in ts if v >= cutoff)
+    assert 0 < want < len(ts)
+    # filtered read, MoR path then pushdown path
+    pred = [["warc_ts", ">=", cutoff]]
+    assert read_target(tgt, where=pred).count() == want
+    run_maintenance(ManifestLog(tgt), ctx)
+    assert read_target(tgt, where=pred).count() == want
+    # retention delete on the timestamp column
+    delete_where(tgt, [["warc_ts", "<", cutoff]])
+    assert read_target_table(tgt).num_rows == want
+
+
 def test_where_validation(tmp_lake):
     ct, tgt, _ = tmp_lake
     replay(ct, tgt)

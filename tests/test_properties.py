@@ -180,10 +180,7 @@ def test_mor_deletes_are_point_in_time_exact(tmp_path_factory_cache, events, wm,
     } == exp2
 
 
-import pytest as _pytest
-
-
-@_pytest.fixture(scope="module")
+@pytest.fixture(scope="module")
 def tmp_path_factory_cache(tmp_path_factory):
     """One shared dir for the hypothesis examples' tiny delete files
     (a per-example tmp_path fixture can't be combined with @given)."""

@@ -71,6 +71,27 @@ def test_tag_validation(tmp_lake):
         log.set_tag("t", 999)
 
 
+def test_change_feed_refuses_gc_gap_behind_pinned_tag(tmp_lake):
+    """Tag-pinned GC leaves a HOLE in the version list; a feed
+    baselined at the pinned snapshot must refuse rather than walk the
+    gap (an expired delete/rollback commit would be silently skipped)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        read_change_feed_table,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    replay(ct, tgt, max_cycles=1)
+    log = ManifestLog(tgt)
+    v_tag = log.set_tag("pin")
+    replay(ct, tgt)
+    expired = log.expire_versions(keep=1)
+    assert expired and v_tag in log.versions()
+    with pytest.raises(ValueError, match="expired history"):
+        read_change_feed_table(tgt, from_version="pin")
+
+
 def test_tagged_snapshot_survives_expiry(tmp_lake):
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
