@@ -2268,6 +2268,45 @@ def cdc_tagged_read(sf_dir: str):
     )
 
 
+def cdc_history(sf_dir: str):
+    """Hash-checked COMMIT HISTORY (the Iceberg `snapshots` metadata
+    table): replay 8 single-segment cycles, commit a predicate delete,
+    then `table_history` — one row per retained manifest with (version,
+    watermark, kind, changes_in).  Every column is deterministic under
+    the fixed segmentation, so the oracle rebuilds the exact table in
+    SQL: cycle k's watermark is the event_id at rank min(k*chunk, n)
+    and its changes_in is the segment's row count."""
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        delete_where,
+        table_history,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_hist_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        chunk = _write_events_segments(feed, ct)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 30.0]])
+        out = table_history(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
 
 
@@ -3226,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback": cdc_rollback,
         "cdc_filtered_read": cdc_filtered_read,
         "cdc_tagged_read": cdc_tagged_read,
+        "cdc_history": cdc_history,
         "cdc_composite_key": cdc_composite_key,
         "scd2_history": scd2_history,
         # transforms
@@ -3970,6 +4010,31 @@ def oracle_sql() -> dict[str, str]:
         # snapshot isolation: LWW over exactly the first 3 single-segment
         # cycles' events (3 * ceil(n/8) by event_id order) — the engine's
         # time-travel read of the cycle-3 manifest must equal this prefix
+        # the commit-history metadata table: bootstrap + 8 cycles + 1
+        # predicate-delete commit, every column deterministic
+        "cdc_history": """
+            WITH o AS (
+              SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), c AS (SELECT (max(n) + 7) // 8 AS chunk, max(n) AS n FROM o)
+            SELECT 0::BIGINT AS version, 0::BIGINT AS watermark,
+                   'bootstrap' AS kind, 0::BIGINT AS changes_in
+            UNION ALL
+            -- cycle k ingests versions in (wm_{k-1}, wm_k]; the initial
+            -- watermark 0 excludes any event with event_id <= 0, so the
+            -- first cycle is one short when ids start at 0
+            SELECT g.k, o.event_id, 'cycle',
+                   least(g.k * c.chunk, c.n) - (g.k - 1) * c.chunk
+                   - (CASE WHEN g.k = 1
+                           THEN (SELECT count(*) FROM o WHERE event_id <= 0)
+                           ELSE 0 END)
+            FROM generate_series(1, 8) g(k), c, o
+            WHERE o.rn = least(g.k * c.chunk, c.n)
+            UNION ALL
+            SELECT 9, o.event_id, 'predicate_delete', 0
+            FROM o, c WHERE o.rn = c.n
+        """,
         # read BY TAG after GC: same cycle-3 prefix as time travel
         "cdc_tagged_read": """
             WITH o AS (

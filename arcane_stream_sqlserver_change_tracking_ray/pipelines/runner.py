@@ -821,6 +821,56 @@ def _commit_with_cas_retry(log: ManifestLog, build) -> dict:
         return result
 
 
+#: history-table commit classification: metrics marker key -> kind
+_COMMIT_KINDS = (
+    ("rollback", "rollback"),
+    ("delete_where", "predicate_delete"),
+    ("delete_keys", "equality_delete"),
+    ("backfill", "backfill"),
+    ("maintenance", "maintenance"),
+    ("maintenance_done", "maintenance"),
+)
+
+
+def table_history(target_root: str) -> pa.Table:
+    """The retained commit log as a tiny Arrow table — the Iceberg
+    ``snapshots`` / Delta ``DESCRIBE HISTORY`` metadata-table analog:
+    one row per retained manifest with ``(version, watermark, kind,
+    changes_in)``, where *kind* classifies the commit (bootstrap /
+    cycle / backfill / maintenance / predicate_delete / equality_delete
+    / rollback / commit) from its metrics markers.  Driver-side and
+    O(retained versions) — the manifest log IS the history; no data
+    file is touched."""
+    log = ManifestLog(target_root)
+    vs = log.versions()
+    rows = []
+    for v in vs:
+        m = log.read(v)
+        kind = next((k for key, k in _COMMIT_KINDS if key in m.metrics), None)
+        if kind is None:
+            if "changes_in" in m.metrics:
+                kind = "cycle"
+            else:
+                kind = "bootstrap" if v == vs[0] else "commit"
+        rows.append(
+            {
+                "version": v,
+                "watermark": int(m.watermark),
+                "kind": kind,
+                "changes_in": int(m.metrics.get("changes_in", 0) or 0),
+            }
+        )
+    schema = pa.schema(
+        [
+            pa.field("version", pa.int64()),
+            pa.field("watermark", pa.int64()),
+            pa.field("kind", pa.string()),
+            pa.field("changes_in", pa.int64()),
+        ]
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def rollback_to(target_root: str, version: int) -> dict:
     """Roll the table back to snapshot *version* as ONE manifest commit
     (the Iceberg ``rollback_to_snapshot`` analog — the bad-deploy /

@@ -92,6 +92,43 @@ def test_change_feed_refuses_gc_gap_behind_pinned_tag(tmp_lake):
         read_change_feed_table(tgt, from_version="pin")
 
 
+def test_table_history_classifies_commits(tmp_lake):
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        delete_keys,
+        delete_where,
+        table_history,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        materialize_deletes,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = replay(ct, tgt, max_cycles=2)
+    urls = read_target_table(tgt)["url"].to_pylist()
+    delete_where(tgt, [["lang", "==", "en"]])
+    delete_keys(tgt, urls[:2])
+    materialize_deletes(ManifestLog(tgt), ctx)
+    StreamRunner(ctx).run(max_cycles=1)
+    v_good = 2
+    rollback_to(tgt, v_good)
+
+    h = table_history(tgt)
+    kinds = dict(zip(h["version"].to_pylist(), h["kind"].to_pylist()))
+    assert kinds[0] == "bootstrap"
+    assert kinds[1] == kinds[2] == "cycle"
+    assert kinds[3] == "predicate_delete"
+    assert kinds[4] == "equality_delete"
+    assert kinds[5] == "maintenance"
+    assert kinds[6] == "cycle"
+    assert kinds[7] == "rollback"
+    # watermark column mirrors the manifest log exactly
+    assert h["watermark"].to_pylist() == [
+        ManifestLog(tgt).read(v).watermark for v in sorted(kinds)
+    ]
+
+
 def test_tagged_snapshot_survives_expiry(tmp_lake):
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
