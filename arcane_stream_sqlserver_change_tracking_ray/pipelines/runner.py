@@ -1331,6 +1331,7 @@ def lookup_keys(
     key_col: str = MERGE_KEY_COL,
     use_bloom: bool = True,
     stats: dict | None = None,
+    version: int | str | None = None,
 ) -> pa.Table:
     """Point lookups with partition pruning: hash each key to its owning
     partition and read ONLY those partitions' files — at P=4096 on a
@@ -1338,14 +1339,16 @@ def lookup_keys(
     the reference gets from Iceberg ``bucket(arcane_merge_key, P)``.
     Pending merge-on-read deltas are resolved per touched partition;
     filtering by key BEFORE the LWW resolve is safe because all versions
-    of a key live in one partition."""
+    of a key live in one partition.  *version* time-travels the lookup
+    to a retained snapshot or tag name ("what did this key hold at the
+    prod-baseline tag?")."""
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
         partition_ids,
         resolve_partition_table,
     )
 
     log = ManifestLog(target_root)
-    m = log.require_watermark()
+    m = log.read(version) if version is not None else log.require_watermark()
     pids = set(
         partition_ids(
             pa.array(keys, pa.string()), m.num_partitions, m.key_hash_algo

@@ -92,6 +92,32 @@ def test_change_feed_refuses_gc_gap_behind_pinned_tag(tmp_lake):
         read_change_feed_table(tgt, from_version="pin")
 
 
+def test_lookup_keys_time_travels_by_tag(tmp_lake):
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        lookup_keys,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    replay(ct, tgt, max_cycles=2)
+    log = ManifestLog(tgt)
+    log.set_tag("mid")
+    mid = read_target_table(tgt).to_pandas().set_index("url")
+    replay(ct, tgt)
+    final = expected_final_state(ct).to_pandas().set_index("url")
+    # a key whose payload changed after the tag
+    changed = next(
+        u for u in mid.index
+        if u in final.index and final.loc[u, "text"] != mid.loc[u, "text"]
+    )
+    now = lookup_keys(tgt, [changed])
+    then = lookup_keys(tgt, [changed], version="mid")
+    assert now["text"][0].as_py() == final.loc[changed, "text"]
+    assert then["text"][0].as_py() == mid.loc[changed, "text"]
+    assert now["text"][0].as_py() != then["text"][0].as_py()
+
+
 def test_table_history_classifies_commits(tmp_lake):
     from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
         delete_keys,
