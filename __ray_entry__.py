@@ -1906,33 +1906,29 @@ def multimodal_decode(sf_dir: str):
 
 
 def cdc_stream_replay(sf_dir: str):
-    """Flagship end-to-end: generate a deterministic synthetic web-page CT
-    log, replay it through the FULL engine (tailer -> transforms ->
-    partitioned LWW merge -> manifest commits), return the final table."""
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.gen import CtLogSpec, write_ctlog
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
+    """Flagship end-to-end UNDER THE HASH GATE: the driver's events table
+    replayed as the change feed through the FULL engine with the G1
+    STAGING path enabled (grouper -> staged parquet -> merge -> dispose;
+    reference ``docs/crd.md:39-73``) — the one hash-gated query that
+    exercises staging end-to-end.  Converges to plain LWW SQL over
+    `events`, so the driver hash-compares the whole staged engine.  (The
+    synthetic-CT-log-generator variant of this replay lives in pytest:
+    tests/test_runner_e2e.py.)"""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
 
     root = tempfile.mkdtemp(prefix="cdc_replay_")
     try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        write_ctlog(ct, CtLogSpec(n_keys=500, n_events=5000, events_per_file=1000))
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["url"]},
-                "sink": {"target_root": tgt, "num_partitions": 8},
-                "throughput": {"rows_per_group": 1000},
-            }
+        tgt, _ = _replay_events_to_target(
+            sf_dir,
+            root,
+            extra={"staging": {"enabled": True, "maxRowsPerFile": 2000}},
         )
-        StreamRunner(ctx).run()
-        return read_target_table(tgt)
+        out = read_target_table(tgt)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+    )
 
 
 def cdc_engine_events_replay(sf_dir: str):
@@ -4908,6 +4904,15 @@ def oracle_sql() -> dict[str, str]:
                    224::INTEGER AS resized_w
             FROM h
         """,
-        # rows-only (non-SQL-expressible): cdc_stream_replay,
-        # dedup_minhash, dedup_simhash, ann_lsh_topk, embedding_neardup
+        # the flagship staged-path replay converges to the same LWW state
+        # as the direct-path twin (cdc_engine_events_replay): staging is
+        # an internal transport, not a semantic change
+        "cdc_stream_replay": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # rows-only (non-SQL-expressible): ann_ivf_topk (distributed
+        # k-means; recall-gated vs brute force in pytest instead)
     }
