@@ -236,7 +236,10 @@ def broadcast_semi_join(ds, keys_ds, on: str, right_on: str | None = None, anti:
     right_on = right_on or on
 
     def _distinct(batch: pa.Table) -> pa.Table:
-        return batch.select([right_on]).group_by([right_on]).aggregate([])
+        # NULL keys never equi-match (SQL semantics) — drop them here so
+        # np.unique never sees None (object-array sort would raise)
+        t = batch.select([right_on]).drop_null()
+        return t.group_by([right_on]).aggregate([])
 
     parts = keys_ds.map_batches(_distinct, batch_format="pyarrow").take_all()
     keys = np.unique(np.array([r[right_on] for r in parts]))
@@ -244,12 +247,15 @@ def broadcast_semi_join(ds, keys_ds, on: str, right_on: str | None = None, anti:
 
     def probe(batch: pa.Table) -> pa.Table:
         ks = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
-        v = batch[on].to_numpy(zero_copy_only=False)
-        if len(ks):
-            pos = np.searchsorted(ks, v)
-            hit = (pos < len(ks)) & (ks[np.clip(pos, 0, len(ks) - 1)] == v)
-        else:
-            hit = np.zeros(len(v), dtype=bool)
+        col = batch[on]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(v), dtype=bool)
+        # NULL probes never match: semi drops them, anti keeps them
+        if len(ks) and valid.any():
+            vv = v[valid]
+            pos = np.searchsorted(ks, vv)
+            hit[valid] = (pos < len(ks)) & (ks[np.clip(pos, 0, len(ks) - 1)] == vv)
         return batch.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -333,17 +339,19 @@ def levenshtein_pairs(a: list[str], b: list[str]) -> np.ndarray:
     P = len(a)
     if P == 0:
         return np.zeros(0, dtype=np.int64)
-    ab = [s.encode("utf-8") for s in a]
-    bb = [s.encode("utf-8") for s in b]
-    la = np.array([len(s) for s in ab], dtype=np.int64)
-    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    # distances are over Unicode CODE POINTS (utf-32-le -> uint32 matrix),
+    # not utf-8 bytes — one non-ASCII substitution costs exactly 1 edit
+    la = np.array([len(s) for s in a], dtype=np.int64)
+    lb = np.array([len(s) for s in b], dtype=np.int64)
     La, Lb = int(la.max()), int(lb.max())
-    A = np.zeros((P, max(La, 1)), dtype=np.uint8)
-    B = np.zeros((P, max(Lb, 1)), dtype=np.uint8)
-    for p, s in enumerate(ab):
-        A[p, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    for p, s in enumerate(bb):
-        B[p, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    A = np.zeros((P, max(La, 1)), dtype=np.uint32)
+    B = np.zeros((P, max(Lb, 1)), dtype=np.uint32)
+    for p, s in enumerate(a):
+        if s:
+            A[p, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for p, s in enumerate(b):
+        if s:
+            B[p, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     prev = np.repeat(np.arange(Lb + 1, dtype=np.int32)[None, :], P, axis=0)
     out = np.empty(P, dtype=np.int64)
     done = la == 0

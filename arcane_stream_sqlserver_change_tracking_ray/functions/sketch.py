@@ -210,11 +210,26 @@ def bloom_build(ds, col: str) -> np.ndarray:
 
 def bloom_probe(bits: np.ndarray, col) -> np.ndarray:
     """Membership verdicts (bool, no false negatives) for a column of
-    probe values against a built filter."""
+    probe values against a built filter.  The result is POSITIONALLY
+    ALIGNED with the input column: null and empty-string probes — values
+    ``bloom_build`` never inserts — get ``False`` at their slot, so
+    callers can zip verdicts back onto rows safely."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    elif not isinstance(col, pa.Array):
+        col = pa.array(col)
+    n = len(col)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    s = col if pa.types.is_string(col.type) else pc.cast(col, pa.string())
+    valid = pc.and_(
+        pc.is_valid(s), pc.greater(pc.binary_length(pc.fill_null(s, "")), 0)
+    ).to_numpy(zero_copy_only=False)
     h = _value_hashes(col)
-    if not h.size:
-        return np.zeros(0, dtype=bool)
-    return bits[bloom_positions(h)].all(axis=0)
+    if h.size:
+        out[valid] = bits[bloom_positions(h)].all(axis=0)
+    return out
 
 
 # ---------------------------------------------------------------------------

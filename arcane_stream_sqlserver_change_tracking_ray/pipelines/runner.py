@@ -851,7 +851,10 @@ def table_history(target_root: str) -> pa.Table:
             if "changes_in" in m.metrics:
                 kind = "cycle"
             else:
-                kind = "bootstrap" if v == vs[0] else "commit"
+                # only the true v0 is the bootstrap — after expire_versions
+                # GCs it, the oldest SURVIVING marker-less commit must not
+                # inherit the label
+                kind = "bootstrap" if v == 0 else "commit"
         rows.append(
             {
                 "version": v,

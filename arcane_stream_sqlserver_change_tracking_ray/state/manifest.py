@@ -439,6 +439,20 @@ class ManifestLog:
                     f"commit v{v} (no row-level history); re-baseline "
                     "from a snapshot at or after the delete"
                 )
+            # a repartition commit rewrites every base file under a new
+            # bucket spec: deltas appended AFTER it live under pids whose
+            # prior state cannot be resolved against the from-snapshot's
+            # old spec (insert-vs-update classification and pre-images
+            # would be wrong).  The planner's endpoint num_partitions
+            # check misses a P->P'->P round trip inside the range, so
+            # the walk itself refuses, mirroring the rollback/delete
+            # refusals above.
+            if "repartitioned_to" in (cur.metrics.get("maintenance") or {}):
+                raise ValueError(
+                    f"change feed cannot cross the repartition commit v{v} "
+                    "(partition identities changed mid-range); re-baseline "
+                    "from a post-repartition snapshot"
+                )
             appended_any = False
             for pid, entries in cur.deltas.items():
                 seen = set(prev.deltas.get(pid, []))

@@ -80,6 +80,22 @@ def test_levenshtein_pairs_matches_reference():
     assert list(got) == exp
 
 
+def test_levenshtein_pairs_counts_code_points_not_bytes():
+    """One non-ASCII substitution is ONE edit (ADVICE r2: the old
+    utf-8-byte DP counted a 2-byte char swap as 2-4 edits)."""
+    pairs = [
+        ("café", "cafe"),          # é (2 bytes) vs e -> 1 substitution
+        ("über", "uber"),          # ü vs u -> 1
+        ("naïve", "naive"),        # ï vs i -> 1
+        ("日本語", "日本話"),        # 3-byte CJK substitution -> 1
+        ("smörgås", "smorgas"),    # two substitutions -> 2
+        ("é", ""),                 # one code point deleted -> 1
+    ]
+    got = levenshtein_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+    exp = [_lev_ref(a, b) for a, b in pairs]  # python str = code points
+    assert list(got) == exp == [1, 1, 1, 1, 2, 1]
+
+
 def test_fuzzy_self_join_planted_pairs():
     """Planted near-identical names across batches: exact pair set,
     global dedup across duplicate rows, blocking respected."""
@@ -117,6 +133,35 @@ def test_broadcast_semi_and_anti_join():
     assert sorted(r["k"] for r in semi) == [2, 4]
     anti = broadcast_semi_join(left, right, on="k", right_on="rk", anti=True).take_all()
     assert sorted(r["k"] for r in anti) == [1, 3, 5]
+
+
+def test_broadcast_semi_join_null_keys():
+    """NULL keys follow SQL equi-join semantics (ADVICE r2: they used to
+    crash np.unique/searchsorted): a NULL probe never matches — semi
+    drops it, anti keeps it — and NULL build keys are ignored."""
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 3, None, 5], pa.int64()),
+                  "v": pa.array(list("abcde"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, None, 5, 9], pa.int64())})
+    ).repartition(2)
+    semi = broadcast_semi_join(left, right, on="k", right_on="rk").take_all()
+    assert sorted(r["v"] for r in semi) == ["a", "e"]
+    anti = broadcast_semi_join(left, right, on="k", right_on="rk", anti=True).take_all()
+    assert sorted(r["v"] for r in anti) == ["b", "c", "d"]
+
+
+def test_bloom_probe_aligned_with_null_and_empty_probes():
+    """Verdicts are positionally aligned with the probe column: null and
+    empty-string slots answer False instead of being dropped (ADVICE r2:
+    misalignment for callers zipping verdicts onto rows)."""
+    bits = bloom_build(_keys_ds([10, 20, 30]), "k")
+    probe = pa.array(["10", None, "20", "", "999"], pa.string())
+    got = bloom_probe(bits, probe)
+    assert len(got) == len(probe)
+    assert got[0] and got[2]            # members hit at their own slots
+    assert not got[1] and not got[3]    # null / empty -> False, not dropped
 
 
 def test_partitioned_left_semi_join_no_row_multiplication():

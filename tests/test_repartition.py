@@ -113,10 +113,33 @@ def test_change_feed_refuses_to_cross_repartition_boundary(tmp_lake):
     repartition_table(ManifestLog(tgt), ctx, 6)
     StreamRunner(ctx).run()
 
-    with pytest.raises(ValueError, match="repartition boundary"):
+    with pytest.raises(ValueError, match="repartition"):
         read_change_feed_table(tgt, from_version=v_before)
     # re-baselined from the post-repartition snapshot it works
     v_after = v_before + 1
+    feed = read_change_feed_table(tgt, from_version=v_after)
+    assert feed.num_rows > 0
+
+
+def test_change_feed_refuses_repartition_round_trip(tmp_lake):
+    """A P->P'->P round trip inside the feed range passes the planner's
+    endpoint num_partitions comparison; the appended_deltas walk itself
+    must refuse the repartition commits (ADVICE r2: pids collected under
+    the intermediate spec resolve prior state against the wrong files)."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = make_ctx(ct, tgt)
+    StreamRunner(ctx).run(max_cycles=2)
+    v_before = ManifestLog(tgt).latest().version
+    repartition_table(ManifestLog(tgt), ctx, 6)
+    repartition_table(ManifestLog(tgt), ctx, 4)  # back to P=4: endpoints agree
+    StreamRunner(ctx).run()
+
+    with pytest.raises(ValueError, match="repartition commit"):
+        read_change_feed_table(tgt, from_version=v_before)
+    # re-baselined from the post-round-trip snapshot it works
+    v_after = v_before + 2
     feed = read_change_feed_table(tgt, from_version=v_after)
     assert feed.num_rows > 0
 

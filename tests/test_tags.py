@@ -155,6 +155,25 @@ def test_table_history_classifies_commits(tmp_lake):
     ]
 
 
+def test_table_history_no_bootstrap_after_expiry(tmp_lake):
+    """After expire_versions GCs the true bootstrap (v0), the oldest
+    surviving commit must NOT inherit the 'bootstrap' label (ADVICE r2:
+    the old v == vs[0] test misclassified it)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        table_history,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    replay(ct, tgt)
+    log = ManifestLog(tgt)
+    expired = log.expire_versions(keep=2)
+    assert 0 in expired  # the true bootstrap is gone
+    h = table_history(tgt)
+    assert "bootstrap" not in h["kind"].to_pylist()
+
+
 def test_tagged_snapshot_survives_expiry(tmp_lake):
     ct, tgt, _ = tmp_lake
     write_ctlog(ct, small_spec())
