@@ -42,6 +42,7 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.schema_evo import (
     schemas_of_parquet_files,
     unify_target_schema,
 )
+from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs as _lakefs
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
     Manifest,
     ManifestLog,
@@ -566,7 +567,6 @@ class StreamRunner:
             snapshot_version,
         )
         import json
-        import os
 
         ctx = self.ctx
         manifest = self.log.require_watermark()
@@ -625,13 +625,11 @@ class StreamRunner:
             raise ValueError(f"unknown backfillBehavior: {behavior!r}")
 
         # ---- Overwrite: sharded staging + atomic flip ---------------------
-        state_dir = os.path.join(ctx.sink.target_root, "_backfill")
-        os.makedirs(state_dir, exist_ok=True)
-        state_path = os.path.join(state_dir, f"{backfill_id}.json")
+        fs = _lakefs(ctx.sink.target_root)
+        state_rel = f"_backfill/{backfill_id}.json"
         state = {"shards": {}, "at_version": stamp}
-        if os.path.exists(state_path):
-            with open(state_path, encoding="utf-8") as f:
-                state = json.load(f)
+        if fs.exists(state_rel):
+            state = json.loads(fs.read_bytes(state_rel))
             stamp = state["at_version"]
 
         overwrite_schema = self._overwrite_schema(files, manifest)  # loop-invariant
@@ -663,10 +661,7 @@ class StreamRunner:
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
             }
-            tmp = state_path + ".tmp"
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(state, f)
-            os.replace(tmp, state_path)
+            fs.write_bytes(state_rel, json.dumps(state).encode("utf-8"))
 
         # CONTRACT: shards are key-disjoint (write_snapshot slices are; a
         # user-provided snapshot must be).  Opt-in verification scans the
@@ -693,7 +688,7 @@ class StreamRunner:
             }
         }
         committed = self.log.commit(nxt, expect_version=self.log.latest().version)
-        os.unlink(state_path)
+        fs.delete(state_rel)
         # stale snapshot (stamp < watermark): converge by re-applying the
         # already-seen range — see the merge branch for rationale
         if manifest.watermark > stamp:
@@ -707,17 +702,16 @@ class StreamRunner:
         rank-1-collapses duplicates WITHIN a shard, so any survivor
         duplicate is a cross-shard overlap — a violated disjointness
         contract that would ship duplicate rows through the flip."""
-        import os
-
         import numpy as np
         import pyarrow.compute as pc
         import ray.data
 
         from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
 
+        tfs = _lakefs(self.ctx.sink.target_root)
         paths = sorted(
             {
-                os.path.join(self.ctx.sink.target_root, rel.split("#", 1)[0])
+                tfs.full(rel.split("#", 1)[0])
                 for shard in state["shards"].values()
                 for fl in shard.values()
                 for rel in fl
@@ -726,7 +720,7 @@ class StreamRunner:
         if not paths:
             return
         key_col = self._transform.key_col
-        ds = ray.data.read_parquet(paths, columns=[key_col])
+        ds = ray.data.read_parquet(paths, filesystem=tfs.pafs, columns=[key_col])
 
         def bucket(batch: pa.Table) -> pa.Table:
             # only the bare key column moves through the exchange
@@ -890,7 +884,7 @@ def rollback_to(target_root: str, version: int) -> dict:
     GC bounds how far back a rollback can reach, exactly like Iceberg
     snapshot retention).  The change feed refuses to cross a rollback
     commit — the un-happened range has no forward row-level history."""
-    import os
+    from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 
     log = ManifestLog(target_root)
     cur = log.require_watermark()
@@ -900,11 +894,8 @@ def rollback_to(target_root: str, version: int) -> dict:
             f"rollback target v{version} is not older than the current v{cur.version}"
         )
     old = log.read(version)
-    missing = [
-        f
-        for f in sorted(old.all_files())
-        if not os.path.exists(os.path.join(target_root, f))
-    ]
+    fs = lakefs(target_root)
+    missing = [f for f in sorted(old.all_files()) if not fs.exists(f)]
     if missing:
         raise ValueError(
             f"cannot roll back to v{version}: {len(missing)} of its data "
@@ -1073,7 +1064,6 @@ def read_target(
 
     ``version`` time-travels to an older retained snapshot (analog of
     Iceberg snapshot reads; available until ``expire_versions`` GCs it)."""
-    import os
 
     import ray.data
 
@@ -1095,7 +1085,8 @@ def read_target(
         files = sorted(m.all_files())
         if not files:
             return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
-        paths = [os.path.join(target_root, f) for f in files]
+        fs = _lakefs(target_root)
+        paths = [fs.full(f) for f in files]
         schema = m.schema
         read_cols = columns
         if where is not None and columns is not None:
@@ -1108,6 +1099,7 @@ def read_target(
             schema = pa.schema([by_name[n] for n in read_cols if n in by_name])
         ds = ray.data.read_parquet(
             paths,
+            filesystem=fs.pafs,
             schema=schema,
             columns=read_cols,
             filter=conjunction_expression(where, m.schema) if where is not None else None,

@@ -23,7 +23,6 @@ Cadence counters live in the manifest so thresholds survive restarts
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 import pyarrow as pa
@@ -34,6 +33,7 @@ from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import (
     cast_to_schema,
     column_summary,
 )
+from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
     partition_ids,
     resolve_partition_table,
@@ -65,10 +65,11 @@ def partitions_needing_compaction(
         if len(files) + len(deltas) <= 1:
             continue
         sizes = []
+        fs = lakefs(target_root)
         for rel in files:
             try:
-                sizes.append(os.path.getsize(os.path.join(target_root, rel)))
-            except FileNotFoundError:
+                sizes.append(fs.getsize(rel))
+            except (FileNotFoundError, OSError):
                 sizes.append(0)
         if len(files) > max_files or (sizes and max(sizes) < size_threshold):
             out.append(pid)

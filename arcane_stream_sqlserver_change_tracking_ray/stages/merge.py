@@ -40,7 +40,6 @@ trumped by a late event with version < v.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 
 import numpy as np
@@ -50,6 +49,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 from arcane_stream_sqlserver_change_tracking_ray.types import (
     import_polars,
     MERGE_KEY_COL,
@@ -251,37 +251,25 @@ def bloom_may_contain(bitset: np.ndarray, keys) -> np.ndarray:
     return hit
 
 
-def write_bloom_sidecar(parquet_path: str, table: pa.Table, columns: tuple[str, ...]) -> None:
+def write_bloom_sidecar(
+    fs, parquet_rel: str, table: pa.Table, columns: tuple[str, ...]
+) -> None:
     blooms = {
         c: build_bloom(table[c]) for c in columns if c in table.column_names
     }
     if blooms:
-        np.savez(parquet_path + BLOOM_SUFFIX.removesuffix(".npz"), **blooms)
+        fs.write_npz(parquet_rel + BLOOM_SUFFIX, **blooms)
 
 
-def bloom_sidecar_excludes(parquet_path: str, column: str, keys) -> bool:
+def bloom_sidecar_excludes(fs, parquet_rel: str, column: str, keys) -> bool:
     """True iff a sidecar exists for *column* and rules out EVERY key."""
-    path = parquet_path + BLOOM_SUFFIX
-    if not os.path.exists(path):
+    z = fs.read_npz(parquet_rel + BLOOM_SUFFIX)
+    if z is None or column not in z:
         return False
     try:
-        with np.load(path) as z:
-            if column not in z:
-                return False
-            return not bloom_may_contain(z[column], keys).any()
+        return not bloom_may_contain(z[column], keys).any()
     except Exception:
         return False
-
-
-def fsync_file(path: str) -> None:
-    """fsync a written data file so a committed manifest can never
-    reference non-durable parquet (the manifest dir is fsynced at commit;
-    data files must hit disk BEFORE that rename publishes them)."""
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
 
 
 #: rows per parquet ROW GROUP inside partition files.  Partitioning is
@@ -316,21 +304,20 @@ def write_partition_files(
     total = 0
     if table.num_rows == 0:
         return rels, 0
-    out_dir = os.path.join(target_root, "cycles", cycle_id)
-    os.makedirs(out_dir, exist_ok=True)
+    fs = lakefs(target_root)
     for off in range(0, table.num_rows, max_rows_per_file):
         chunk = table.slice(off, max_rows_per_file)
-        name = f"{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
-        path = os.path.join(out_dir, name)
-        pq.write_table(
-            chunk, path, compression=compression, row_group_size=row_group_rows
+        rel = f"cycles/{cycle_id}/{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        total += fs.write_table(
+            chunk,
+            rel,
+            durable=fsync,
+            compression=compression,
+            row_group_size=row_group_rows,
         )
         if bloom_columns:
-            write_bloom_sidecar(path, chunk, bloom_columns)
-        if fsync:
-            fsync_file(path)
-        rels.append(f"cycles/{cycle_id}/{name}")
-        total += os.path.getsize(path)
+            write_bloom_sidecar(fs, rel, chunk, bloom_columns)
+        rels.append(rel)
     return rels, total
 
 
@@ -357,7 +344,7 @@ def read_entry_table(
 ) -> pa.Table:
     """Read a manifest file entry (fragment-aware)."""
     rel, rgs = split_entry(entry)
-    pf = pq.ParquetFile(os.path.join(target_root, rel))
+    pf = lakefs(target_root).parquet_file(rel)
     cols = (
         [c for c in pf.schema_arrow.names if c in wanted] if wanted is not None else None
     )
@@ -518,8 +505,8 @@ def apply_key_deletes(
     for entry in key_delete_entries or []:
         if t.num_rows == 0:
             break
-        dk = pq.read_table(
-            os.path.join(target_root, entry["file"]), columns=[MERGE_KEY_COL]
+        dk = lakefs(target_root).read_table(
+            entry["file"], columns=[MERGE_KEY_COL]
         )[MERGE_KEY_COL].combine_chunks()
         name = MERGE_KEY_COL if MERGE_KEY_COL in t.column_names else key_col
         col = t[name]
@@ -556,14 +543,14 @@ def resolve_partition_table(
     every probed key are skipped entirely (no false negatives, so
     skipping cannot change the LWW outcome for the probed keys)."""
     wanted = set(schema.names)
+    fs = lakefs(target_root)
     tables = []
     for entry in list(base_files) + list(delta_files):
         rel, _ = split_entry(entry)
-        path = os.path.join(target_root, rel)
         if (
             key_filter is not None
             and bloom_column is not None
-            and bloom_sidecar_excludes(path, bloom_column, key_filter)
+            and bloom_sidecar_excludes(fs, rel, bloom_column, key_filter)
         ):
             if stats is not None:
                 stats["files_skipped"] = stats.get("files_skipped", 0) + 1
@@ -1082,13 +1069,10 @@ def apply_change_batch_direct(
         pids = pid[order]
         b = cast_to_schema(ensure_merge_key_alias(b, key_col), schema)
         bounds = np.r_[np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]]), len(pids)]
-        out_dir = os.path.join(target_root, "cycles", cycle_id)
-        os.makedirs(out_dir, exist_ok=True)
-        name = f"delta-{uuid.uuid4().hex}.parquet"
-        path = os.path.join(out_dir, name)
-        rel = f"cycles/{cycle_id}/{name}"
+        fs = lakefs(target_root)
+        rel = f"cycles/{cycle_id}/delta-{uuid.uuid4().hex}.parquet"
         rows_stat: list[dict] = []
-        writer = pq.ParquetWriter(path, b.schema, compression=compression)
+        writer = fs.parquet_writer(rel, b.schema, compression=compression)
         try:
             rg = 0
             for slice_i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
@@ -1118,14 +1102,12 @@ def apply_change_batch_direct(
                     }
                 )
         finally:
-            writer.close()
+            writer.close(durable=fsync)
         if bloom_columns:
-            write_bloom_sidecar(path, b, bloom_columns)
-        if fsync:
-            fsync_file(path)
+            write_bloom_sidecar(fs, rel, b, bloom_columns)
         # exact per-partition COMPRESSED sizes from the footer (summed per
         # column chunk — rg.total_byte_size is the uncompressed size)
-        md = pq.ParquetFile(path).metadata
+        md = fs.parquet_file(rel).metadata
         rg_bytes = [
             sum(
                 md.row_group(i).column(j).total_compressed_size

@@ -16,9 +16,9 @@ itself staged under ``cycles/`` until the manifest commit).
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
+
+from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 
 
 def stage_change_batch(
@@ -31,27 +31,33 @@ def stage_change_batch(
     """Write the polled batch to a unique staging dir; returns
     ``(staged_dataset, staging_dir)`` where *staged_dataset* re-reads the
     staged files (the merge then consumes durable input, like the
-    reference merging from the staging table)."""
+    reference merging from the staging table).  *staging_dir* is
+    ``"<staging_root>|<name>"`` — an opaque token ``dispose_staging``
+    resolves back through the lake filesystem (the staging root may be
+    an object store)."""
     import ray.data
 
+    fs = lakefs(staging_root)
     name = f"{table_prefix}{cycle_id}-{uuid.uuid4().hex[:8]}"
-    out_dir = os.path.join(staging_root, name)
-    os.makedirs(out_dir, exist_ok=True)
-    ds.write_parquet(out_dir, max_rows_per_file=max_rows_per_file)
-    return ray.data.read_parquet(out_dir), out_dir
+    fs.makedirs(name)
+    ds.write_parquet(fs.full(name), filesystem=fs.pafs,
+                     max_rows_per_file=max_rows_per_file)
+    staged = ray.data.read_parquet(fs.full(name), filesystem=fs.pafs)
+    return staged, f"{staging_root}|{name}"
 
 
 def dispose_staging(staging_dir: str) -> None:
     """K3: drop the staging table once the batch is merged + committed."""
-    shutil.rmtree(staging_dir, ignore_errors=True)
+    root, _, name = staging_dir.rpartition("|")
+    lakefs(root).delete_dir(name)
 
 
 def sweep_staging(staging_root: str, table_prefix: str) -> list[str]:
     """Startup sweep by prefix (``docs/crd.md:45-48``)."""
+    fs = lakefs(staging_root)
     removed = []
-    if os.path.isdir(staging_root):
-        for nm in os.listdir(staging_root):
-            if nm.startswith(table_prefix):
-                shutil.rmtree(os.path.join(staging_root, nm), ignore_errors=True)
-                removed.append(nm)
+    for nm in fs.listdir(""):
+        if nm.startswith(table_prefix):
+            fs.delete_dir(nm)
+            removed.append(nm)
     return removed

@@ -17,10 +17,12 @@ ONE JSON manifest holding
   cadence counters (persisted so thresholds survive restarts,
   unlike the reference's in-process counters, SURVEY.md §3.1).
 
-Commit protocol (a miniature of the Delta-Lake log, PAPERS.md): write
-``_manifest/.tmp-*`` then ``os.rename`` to ``v{n:012d}.json``; the
-rename is the only visibility point.  ``commit`` CAS-fails if the next
-version already exists, so a crashed/retried cycle can never
+Commit protocol (a miniature of the Delta-Lake log, PAPERS.md): ONE
+create-if-absent publish of ``v{n:012d}.json`` through the lake
+filesystem's CAS primitive (``state/fs.py``: hard-link+unlink on
+POSIX, conditional PUT on object stores — the Iceberg-FileIO posture
+of the reference, ``main.scala:80``).  ``commit`` CAS-fails if the
+next version already exists, so a crashed/retried cycle can never
 double-apply — replay from the last committed watermark is idempotent
 (LWW by version).
 """
@@ -30,12 +32,12 @@ from __future__ import annotations
 import base64
 import json
 import os
-import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
 
+from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 from arcane_stream_sqlserver_change_tracking_ray.types import (
     schema_from_bytes,
     schema_to_bytes,
@@ -195,21 +197,21 @@ class Manifest:
 
 
 class ManifestLog:
-    """The manifest log of one target table, rooted at ``<target_root>``."""
+    """The manifest log of one target table, rooted at ``<target_root>``
+    (a plain path, ``file://``/``s3://`` URI, or ``mock://`` store —
+    resolved by ``state.fs.lakefs``)."""
 
     def __init__(self, target_root: str):
         self.root = target_root
-        self.log_dir = os.path.join(target_root, MANIFEST_DIR)
+        self.fs = lakefs(target_root)
 
     # ---------------------------------------------------------------- paths
-    def _path(self, version: int) -> str:
-        return os.path.join(self.log_dir, f"v{version:012d}.json")
+    def _rel(self, version: int) -> str:
+        return f"{MANIFEST_DIR}/v{version:012d}.json"
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for name in os.listdir(self.log_dir):
+        for name in self.fs.listdir(MANIFEST_DIR):
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     out.append(int(name[1:-5]))
@@ -226,16 +228,14 @@ class ManifestLog:
 
     def read(self, version: int | str) -> Manifest:
         """Read a snapshot by version number or TAG name (K12)."""
-        with open(self._path(self.resolve_ref(version)), "r", encoding="utf-8") as f:
-            return Manifest.from_json(f.read())
+        raw = self.fs.read_bytes(self._rel(self.resolve_ref(version)))
+        return Manifest.from_json(raw.decode("utf-8"))
 
     # ----------------------------------------------------------------- tags
     # Named snapshot refs (Iceberg tag analog): a tag pins a version for
     # readers ("prod-baseline" time travel) AND for GC — expire_versions
     # never drops a tagged manifest or the files it references.
-    @property
-    def tags_dir(self) -> str:
-        return os.path.join(self.log_dir, "tags")
+    TAGS_DIR = f"{MANIFEST_DIR}/tags"
 
     @staticmethod
     def _check_tag_name(name: str) -> None:
@@ -244,7 +244,8 @@ class ManifestLog:
 
     def set_tag(self, name: str, version: int | None = None) -> int:
         """Tag *version* (default: latest) with *name*; re-tagging an
-        existing name atomically repoints it."""
+        existing name atomically repoints it (overwrite-publish: one
+        whole-object PUT on a store, tmp+rename locally)."""
         self._check_tag_name(name)
         vs = self.versions()
         if not vs:
@@ -252,41 +253,30 @@ class ManifestLog:
         v = vs[-1] if version is None else int(version)
         if v not in vs:
             raise ValueError(f"unknown version {v} (retained: {vs[0]}..{vs[-1]})")
-        os.makedirs(self.tags_dir, exist_ok=True)
-        tmp = os.path.join(self.tags_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(self.tags_dir, name))  # atomic (re)point
+        self.fs.write_bytes(f"{self.TAGS_DIR}/{name}", str(v).encode())
         # narrow the race with a concurrent expire_versions: GC reads
         # tags() BEFORE unlinking, so re-checking the manifest still
         # exists after the tag is visible closes the window for all but
         # an in-flight unlink between these two lines
-        if not os.path.exists(self._path(v)):
-            os.unlink(os.path.join(self.tags_dir, name))
+        if not self.fs.exists(self._rel(v)):
+            self.fs.delete(f"{self.TAGS_DIR}/{name}")
             raise ValueError(f"version {v} expired while tagging; retry")
         return v
 
     def delete_tag(self, name: str) -> None:
         self._check_tag_name(name)
-        try:
-            os.unlink(os.path.join(self.tags_dir, name))
-        except FileNotFoundError:
+        rel = f"{self.TAGS_DIR}/{name}"
+        if not self.fs.exists(rel):
             raise ValueError(f"unknown tag {name!r}")
+        self.fs.delete(rel)
 
     def tags(self) -> dict[str, int]:
-        if not os.path.isdir(self.tags_dir):
-            return {}
         out = {}
-        for name in os.listdir(self.tags_dir):
+        for name in self.fs.listdir(self.TAGS_DIR):
             if name.startswith("."):
                 continue
             try:
-                with open(
-                    os.path.join(self.tags_dir, name), "r", encoding="utf-8"
-                ) as f:
-                    out[name] = int(f.read().strip())
+                out[name] = int(self.fs.read_bytes(f"{self.TAGS_DIR}/{name}").decode().strip())
             except FileNotFoundError:
                 continue  # concurrently deleted tag
         return out
@@ -298,7 +288,7 @@ class ManifestLog:
             if ref not in tags:
                 raise ValueError(f"unknown tag {ref!r} (have: {sorted(tags)})")
             v = tags[ref]
-            if not os.path.exists(self._path(v)):
+            if not self.fs.exists(self._rel(v)):
                 raise ValueError(
                     f"tag {ref!r} points at expired version {v}; delete the tag"
                 )
@@ -330,7 +320,6 @@ class ManifestLog:
         restores an old snapshot whole — watermark included — so the
         stream re-polls the rolled-back range idempotently.
         """
-        os.makedirs(self.log_dir, exist_ok=True)
         cur = self.latest()
         if expect_version is not None and (cur.version if cur else None) != expect_version:
             raise CommitConflictError(
@@ -345,35 +334,14 @@ class ManifestLog:
             raise CommitConflictError(
                 f"non-monotone watermark: {manifest.watermark} < {cur.watermark}"
             )
-        target = self._path(manifest.version)
-        if os.path.exists(target):
+        # ONE create-if-absent publish through the lake filesystem's CAS
+        # primitive (POSIX: fsync'd tmp + hard-link + dir fsync; object
+        # store: conditional PUT) — exactly one concurrent committer of a
+        # version can win, so a crashed/retried cycle never double-applies
+        if not self.fs.put_if_absent(
+            self._rel(manifest.version), manifest.to_json().encode("utf-8")
+        ):
             raise CommitConflictError(f"manifest v{manifest.version} already committed")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(manifest.to_json())
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            # hard-link + unlink == atomic create-if-absent on POSIX; plain
-            # rename would silently clobber a concurrent committer.
-            os.link(tmp, target)
-        except FileExistsError:
-            raise CommitConflictError(f"manifest v{manifest.version} already committed")
-        finally:
-            try:
-                os.unlink(tmp)
-            except FileNotFoundError:
-                pass
-        # fsync the DIRECTORY so the new log entry itself is durable — the
-        # tmp file was fsynced above, but the link is a directory mutation;
-        # without this an OS crash could lose the published manifest (the
-        # data files are fsynced by the writers before commit, see
-        # stages/merge.py fsync_file)
-        dirfd = os.open(self.log_dir, os.O_RDONLY)
-        try:
-            os.fsync(dirfd)
-        finally:
-            os.close(dirfd)
         return manifest
 
     def appended_deltas(
@@ -474,8 +442,6 @@ class ManifestLog:
         """Startup sweep (reference drops leftover staging tables by prefix,
         ``docs/crd.md:45-48``): delete ``cycles/*`` and ``staging/*`` dirs
         whose files are not referenced by ANY committed manifest."""
-        import shutil
-
         # data files are stored as "cycles/<cycle-id>/...": keep any cycle
         # dir referenced by at least one committed manifest
         live_cycle_dirs = {p.split("/", 2)[1]
@@ -485,43 +451,34 @@ class ManifestLog:
         # ... and any referenced by an in-flight backfill's shard state, so
         # a streaming bootstrap between backfill attempts cannot delete
         # completed shards the resumed backfill will point its flip at
-        bf_dir = os.path.join(self.root, "_backfill")
-        if os.path.isdir(bf_dir):
-            import json as _json
+        import json as _json
 
-            for name in os.listdir(bf_dir):
-                if not name.endswith(".json"):
-                    continue
-                try:
-                    with open(os.path.join(bf_dir, name), encoding="utf-8") as f:
-                        state = _json.load(f)
-                except (OSError, ValueError):
-                    continue
-                for shard in state.get("shards", {}).values():
-                    for files in shard.values():
-                        for rel in files:
-                            if rel.startswith(CYCLES_DIR + "/"):
-                                live_cycle_dirs.add(rel.split("/", 2)[1])
+        for name in self.fs.listdir("_backfill"):
+            if not name.endswith(".json"):
+                continue
+            try:
+                state = _json.loads(self.fs.read_bytes(f"_backfill/{name}"))
+            except (OSError, ValueError):
+                continue
+            for shard in state.get("shards", {}).values():
+                for files in shard.values():
+                    for rel in files:
+                        if rel.startswith(CYCLES_DIR + "/"):
+                            live_cycle_dirs.add(rel.split("/", 2)[1])
         removed: list[str] = []
-        cycles_root = os.path.join(self.root, CYCLES_DIR)
-        if os.path.isdir(cycles_root):
-            for name in os.listdir(cycles_root):
-                if name not in live_cycle_dirs:
-                    shutil.rmtree(os.path.join(cycles_root, name), ignore_errors=True)
-                    removed.append(f"{CYCLES_DIR}/{name}")
-        staging_root = os.path.join(self.root, STAGING_DIR)
-        if os.path.isdir(staging_root):
-            for name in os.listdir(staging_root):
-                shutil.rmtree(os.path.join(staging_root, name), ignore_errors=True)
-                removed.append(f"{STAGING_DIR}/{name}")
+        for name in self.fs.listdir(CYCLES_DIR):
+            if name not in live_cycle_dirs:
+                self.fs.delete_dir(f"{CYCLES_DIR}/{name}")
+                removed.append(f"{CYCLES_DIR}/{name}")
+        for name in self.fs.listdir(STAGING_DIR):
+            self.fs.delete_dir(f"{STAGING_DIR}/{name}")
+            removed.append(f"{STAGING_DIR}/{name}")
         return removed
 
     def expire_versions(self, keep: int) -> list[int]:
         """Manifest-log GC (reference expire_snapshots, docs/crd.md:151-160):
         drop manifest files older than the newest *keep* versions, then
         delete data files referenced only by expired manifests."""
-        import shutil
-
         vs = self.versions()
         if len(vs) <= keep:
             return []
@@ -538,24 +495,14 @@ class ManifestLog:
             dead_files |= self.read(v).all_files()
         dead_files -= live_files
         for rel in dead_files:
-            p = os.path.join(self.root, rel)
-            for path in (p, p + ".bloom.npz"):  # bloom sidecar travels with its file
-                try:
-                    os.unlink(path)
-                except FileNotFoundError:
-                    pass
+            for target in (rel, rel + ".bloom.npz"):  # bloom sidecar travels with its file
+                self.fs.delete(target)
         # remove now-empty cycle dirs
-        cycles_root = os.path.join(self.root, CYCLES_DIR)
-        if os.path.isdir(cycles_root):
-            for name in os.listdir(cycles_root):
-                d = os.path.join(cycles_root, name)
-                if os.path.isdir(d) and not any(os.scandir(d)):
-                    shutil.rmtree(d, ignore_errors=True)
+        for name in self.fs.listdir(CYCLES_DIR):
+            if not self.fs.listdir(f"{CYCLES_DIR}/{name}"):
+                self.fs.delete_dir(f"{CYCLES_DIR}/{name}")
         for v in expired:
-            try:
-                os.unlink(self._path(v))
-            except FileNotFoundError:
-                pass
+            self.fs.delete(self._rel(v))
         return expired
 
 
