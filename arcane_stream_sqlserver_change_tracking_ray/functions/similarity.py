@@ -461,6 +461,12 @@ def ivf_topk(
     return brute_force_topk(cand, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+#: exact_cosine_pairs refuses above this corpus size — it is the small-
+#: scale oracle twin (driver concat + whole-matrix broadcast); the scale
+#: paths are embedding_neardup_pairs (LSH) and ann_ivf_topk
+EXACT_PAIRS_MAX_ROWS = 2_000_000
+
+
 def exact_cosine_pairs(
     ds, threshold=0.45, id_col: str = "vec_id", emb_col: str = "embedding"
 ):
@@ -480,6 +486,13 @@ def exact_cosine_pairs(
     import ray
 
     tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    if tbl.num_rows > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"exact_cosine_pairs is the exact/oracle baseline and broadcasts "
+            f"the whole corpus matrix: {tbl.num_rows} rows exceeds the "
+            f"{EXACT_PAIRS_MAX_ROWS}-row guard; use embedding_neardup_pairs "
+            "(LSH-bucketed) or ann_ivf_topk at scale"
+        )
     ids_all = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     m = _normalize(embedding_matrix(tbl[emb_col]).astype(np.float64))
     mat_ref = ray.put((ids_all, m))

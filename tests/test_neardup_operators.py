@@ -651,3 +651,83 @@ def test_containment_join_planted_excerpt():
     # jaccard at the same threshold finds nothing (the asymmetry)
     j = exact_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.9).to_pandas()
     assert len(j) == 0
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (large-star / small-star groupby rounds)
+# ---------------------------------------------------------------------------
+def test_connected_components_ds_matches_driver():
+    """The distributed groupby implementation must produce exactly the
+    driver pointer-jumping labels on random graphs (chains, cliques,
+    singleton-edge mixes; min-label roots)."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
+        connected_components,
+        connected_components_ds,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 300
+        # random sparse graph + one long chain (stress the round count)
+        a = rng.integers(0, n, size=150).astype(np.int64)
+        b = rng.integers(0, n, size=150).astype(np.int64)
+        chain = np.arange(1000, 1050, dtype=np.int64)
+        a = np.r_[a, chain[:-1]]
+        b = np.r_[b, chain[1:]]
+        keep = a != b
+        a, b = a[keep], b[keep]
+        nodes, lbl = connected_components(a, b)
+        exp = dict(zip(nodes.tolist(), lbl.tolist()))
+
+        pairs = ray.data.from_arrow(
+            pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        ).repartition(4)
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_ds(pairs).take_all()
+        }
+        assert got == exp, f"trial {trial}"
+
+
+def test_dedup_clusters_distributed_equals_driver():
+    """dedup_clusters with the distributed path FORCED must equal the
+    driver path on the real documents fixture (verdict r2 #5)."""
+    import os
+
+    import __ray_entry__ as E
+
+    sf = os.environ.get("GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    drv = E.dedup_clusters(sf, distributed=False)
+    dist = E.dedup_clusters(sf, distributed=True)
+    assert drv.num_rows == dist.num_rows > 0
+    d1 = dict(zip(drv["doc_id"].to_pylist(), drv["cluster_id"].to_pylist()))
+    d2 = dict(zip(dist["doc_id"].to_pylist(), dist["cluster_id"].to_pylist()))
+    assert d1 == d2
+
+
+def test_exact_oracle_twins_refuse_at_scale(monkeypatch):
+    """The deliberately-exact oracle twins must REFUSE oversized inputs
+    with a pointer at the scale path (verdict r2 #7) instead of silently
+    broadcasting/looping."""
+    import ray.data
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions import (
+        dedup as D,
+        similarity as S,
+    )
+
+    monkeypatch.setattr(S, "EXACT_PAIRS_MAX_ROWS", 4)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]] * 6, pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(ValueError, match="LSH"):
+        S.exact_cosine_pairs(ray.data.from_arrow(emb))
+
+    monkeypatch.setattr(D, "JACCARD_MATRIX_MAX_DOCS", 3)
+    with pytest.raises(ValueError, match="exact_jaccard_pairs"):
+        D.ngram_jaccard_matrix(["a b c d"] * 5)
