@@ -75,6 +75,10 @@ class StagingSettings:
     staging_root: str = ""  # default: <target_root>/staging
     table_prefix: str = "staging_"
     max_rows_per_file: int = 10_000
+    #: staging file format (CRD ``…stream.yaml:230-236`` offers
+    #: PARQUET|ORC|AVRO): "parquet" (default) or "orc" (pyarrow.orc);
+    #: "avro" raises — no avro codec ships in this environment
+    format: str = "parquet"
 
 
 @dataclass

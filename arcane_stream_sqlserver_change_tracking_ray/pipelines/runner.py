@@ -427,6 +427,7 @@ class StreamRunner:
                 self.ctx.staging.table_prefix,
                 f"c{manifest.version + 1:06d}",
                 self.ctx.staging.max_rows_per_file,
+                fmt=self.ctx.staging.format,
             )
 
         # --- E1: schema migration decided once, driver-side ----------------

@@ -27,6 +27,7 @@ def stage_change_batch(
     table_prefix: str,
     cycle_id: str,
     max_rows_per_file: int = 10_000,
+    fmt: str = "parquet",
 ):
     """Write the polled batch to a unique staging dir; returns
     ``(staged_dataset, staging_dir)`` where *staged_dataset* re-reads the
@@ -34,15 +35,66 @@ def stage_change_batch(
     reference merging from the staging table).  *staging_dir* is
     ``"<staging_root>|<name>"`` — an opaque token ``dispose_staging``
     resolves back through the lake filesystem (the staging root may be
-    an object store)."""
+    an object store).
+
+    *fmt* mirrors the CRD's stagingDataSettings.format
+    (``…stream.yaml:230-236``, PARQUET|ORC|AVRO): "parquet" stages via
+    ``Dataset.write_parquet``; "orc" writes one ``pyarrow.orc`` file per
+    ~*max_rows_per_file* rows inside ``map_batches`` (Ray has no native
+    ORC writer) and re-reads them distributed via ``read_binary_files``
+    + a per-task ORC decode; "avro" raises (no avro codec in this
+    environment)."""
     import ray.data
 
     fs = lakefs(staging_root)
     name = f"{table_prefix}{cycle_id}-{uuid.uuid4().hex[:8]}"
     fs.makedirs(name)
-    ds.write_parquet(fs.full(name), filesystem=fs.pafs,
-                     max_rows_per_file=max_rows_per_file)
-    staged = ray.data.read_parquet(fs.full(name), filesystem=fs.pafs)
+    if fmt == "parquet":
+        ds.write_parquet(fs.full(name), filesystem=fs.pafs,
+                         max_rows_per_file=max_rows_per_file)
+        staged = ray.data.read_parquet(fs.full(name), filesystem=fs.pafs)
+    elif fmt == "orc":
+        root = staging_root  # capture the string, workers rebuild the facade
+
+        def write_orc(batch):
+            import io
+
+            import pyarrow as pa
+            import pyarrow.orc as orc
+
+            buf = io.BytesIO()
+            orc.write_table(batch, buf)
+            rel = f"{name}/block-{uuid.uuid4().hex}.orc"
+            lakefs(root).write_bytes(rel, buf.getvalue())
+            return pa.table({"file": pa.array([rel])})
+
+        n_files = (
+            ds.map_batches(
+                write_orc, batch_format="pyarrow", batch_size=max_rows_per_file
+            ).count()
+        )
+        assert n_files >= 0
+
+        def decode_orc(batch):
+            import io
+
+            import pyarrow as pa
+            import pyarrow.orc as orc
+
+            tables = [
+                orc.ORCFile(io.BytesIO(b.as_py())).read()
+                for b in batch["bytes"]
+            ]
+            return pa.concat_tables(tables) if tables else pa.table({})
+
+        staged = ray.data.read_binary_files(
+            fs.full(name), filesystem=fs.pafs
+        ).map_batches(decode_orc, batch_format="pyarrow")
+    else:
+        raise NotImplementedError(
+            f"staging format {fmt!r} not supported (no {fmt} codec in this "
+            "environment); use 'parquet' or 'orc'"
+        )
     return staged, f"{staging_root}|{name}"
 
 
