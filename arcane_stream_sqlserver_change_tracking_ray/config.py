@@ -230,6 +230,12 @@ class ObservabilitySettings:
 
     metric_tags: dict[str, str] = field(default_factory=dict)
     log_level: str = "INFO"
+    #: external metrics push (reference DataDog.UdsPublisher,
+    #: main.scala:116): "uds://<abspath>" (DogStatsD over a Unix
+    #: datagram socket) or "udp://<host>:<port>"; "" disables the push
+    #: (cycle metrics are ALWAYS persisted in the manifest regardless)
+    statsd_target: str = ""
+    metrics_prefix: str = "arcane.stream"
 
 
 @dataclass

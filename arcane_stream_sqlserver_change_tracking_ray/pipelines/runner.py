@@ -185,12 +185,20 @@ class StreamRunner:
         self._pool = None  # lazy ActorMergePool (merge_strategy == "actors")
         self._transform = TransformStage(ctx, self.casts)
         self.retry = RetryPolicy.from_sink(ctx.sink)
+        from arcane_stream_sqlserver_change_tracking_ray.state.telemetry import (
+            StatsdPublisher,
+        )
+
+        self._telemetry = StatsdPublisher.from_ctx(ctx.observability)
 
     def close(self) -> None:
         """Release the persistent merge-actor pool (if any)."""
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
+        if self._telemetry is not None:
+            self._telemetry.close()
+            self._telemetry = None
 
     def _merge(self, ds, cycle_id: str, manifest: Manifest, schema: pa.Schema) -> list[dict]:
         """Dispatch one change batch to the configured merge strategy."""
@@ -487,6 +495,9 @@ class StreamRunner:
             backfill=self.ctx.stream_mode.backfill,
         )
         self.tailer.advance(hi)
+        if self._telemetry is not None:
+            # push half of F4 (fire-and-forget; manifest holds the durable copy)
+            self._telemetry.publish_cycle(metrics)
 
         # --- K3: dispose staging ------------------------------------------
         if staging_dir:
