@@ -13,15 +13,19 @@ processes over the SAME cached synthetic feed:
   route      + precombine hash + pid argsort + gather (CPU + memcpy)
   write      + pid-aligned zstd delta write [+fsync]  (CPU + disk BW)
 
-Stage cost = adjacent difference; per-stage 8→32 efficiency =
-(tput32 / tput8) / 4.  Result: BENCH/stage_scaling.json + the table in
-BENCH/BASELINE.md.  An engine-side serialization would show up as a
-non-scaling CPU stage; a host bandwidth ceiling shows up as the read /
-write stages pinning while the CPU stages scale.
+Per-stage 8→32 efficiency = (tput32 / tput8) / 4.  The host's
+deliverable capacity swings 2-3x on a timescale of MINUTES, so all four
+stage variants run back-to-back INSIDE one pinned process (one window)
+and the 8/32 pair runs adjacently within each rep; the pair is scored
+per-rep (same window) and by best-per-level.  Result:
+BENCH/stage_scaling.json + the table in BENCH/BASELINE.md.  An
+engine-side serialization would show up as a non-scaling CPU stage; a
+host bandwidth ceiling shows up as the read / write stages pinning
+while the CPU stages scale.
 
 Usage:
-  python BENCH/stage_scaling.py                 # orchestrate + write json
-  python BENCH/stage_scaling.py --stage read --cpus 8   # one measurement
+  python BENCH/stage_scaling.py             # orchestrate + write json
+  python BENCH/stage_scaling.py --cpus 8    # one process, all stages
 """
 
 from __future__ import annotations
@@ -42,6 +46,18 @@ LEVELS = tuple(
 )
 REPS = int(os.environ.get("GRAFT_STAGE_REPS", "2"))
 N_EVENTS = int(os.environ.get("GRAFT_BENCH_EVENTS", "10000000"))
+
+
+def measure_all(cpus: int) -> dict:
+    """All four cumulative stage variants, back-to-back in THIS pinned
+    process (one host window); returns {stage: events_per_sec}."""
+    out = {}
+    measure("read", cpus)  # untimed warmup: page-cache the feed so the
+    # first timed variant isn't the only one paying cold IO
+    for stage in STAGES:
+        r = measure(stage, cpus)
+        out[stage] = r["events_per_sec"]
+    return out
 
 
 def measure(stage: str, cpus: int) -> dict:
@@ -147,23 +163,23 @@ def orchestrate() -> None:
     }
     here = os.path.abspath(__file__)
     for rep in range(REPS):
-        # interleave levels within a rep (time-varying shared host)
-        for stage in STAGES:
-            for cpus in LEVELS:
-                out = subprocess.run(
-                    [sys.executable, here, "--stage", stage, "--cpus", str(cpus)],
-                    capture_output=True,
-                    text=True,
-                    timeout=1800,
-                )
-                line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
-                try:
-                    r = json.loads(line)
-                except ValueError:
-                    print(f"FAILED {stage}@{cpus}: {out.stderr[-500:]}", file=sys.stderr)
-                    continue
-                runs[stage][str(cpus)].append(r["events_per_sec"])
-                print(f"rep{rep} {stage}@{cpus}: {r['events_per_sec']:.0f} ev/s", flush=True)
+        # the 8/32 pair runs ADJACENTLY within a rep (same host window)
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, here, "--cpus", str(cpus)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+            try:
+                r = json.loads(line)
+            except ValueError:
+                print(f"FAILED @{cpus}: {out.stderr[-500:]}", file=sys.stderr)
+                continue
+            for stage, tput in r.items():
+                runs[stage][str(cpus)].append(tput)
+            print(f"rep{rep} @{cpus}: " + " ".join(f"{s}={r[s]:.0f}" for s in r), flush=True)
 
     best = {s: {c: max(v) if v else None for c, v in lv.items()} for s, lv in runs.items()}
     lo, hi = str(LEVELS[0]), str(LEVELS[-1])
@@ -174,7 +190,17 @@ def orchestrate() -> None:
         else None
         for s in STAGES
     }
-    # per-INCREMENT wall share: time of stage k minus stage k-1, per level
+    # per-rep pair efficiency (both levels from the SAME window)
+    n_pairs = min(len(runs[STAGES[0]][lo]), len(runs[STAGES[0]][hi]))
+    per_rep = {
+        s: [
+            round(runs[s][hi][i] / runs[s][lo][i] / factor, 3)
+            for i in range(n_pairs)
+            if i < len(runs[s][lo]) and i < len(runs[s][hi])
+        ]
+        for s in STAGES
+    }
+    # per-INCREMENT wall share within each level's best window
     incr = {}
     for c in (lo, hi):
         walls = {s: N_EVENTS / best[s][c] for s in STAGES if best[s][c]}
@@ -192,11 +218,13 @@ def orchestrate() -> None:
         "best_events_per_sec": best,
         "all_reps": runs,
         "cumulative_efficiency": cum_eff,
+        "per_rep_pair_efficiency": per_rep,
         "incremental_wall_s": incr,
         "protocol": (
-            f"{REPS} interleaved reps, fresh pinned process per "
-            "(stage, level), same cached feed; cumulative pipeline per "
-            "stage, best rep scores"
+            f"{REPS} reps; per rep, the four cumulative stage variants "
+            "run back-to-back in ONE fresh pinned process per level and "
+            "the levels run adjacently (same host window); same cached "
+            "feed; best-per-level + per-rep pair efficiencies reported"
         ),
     }
     out_path = os.path.join(os.path.dirname(here), "stage_scaling.json")
@@ -210,5 +238,8 @@ if __name__ == "__main__":
         stage = sys.argv[sys.argv.index("--stage") + 1]
         cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
         print(json.dumps(measure(stage, cpus)))
+    elif "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        print(json.dumps(measure_all(cpus)))
     else:
         orchestrate()
