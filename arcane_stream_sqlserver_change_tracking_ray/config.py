@@ -76,8 +76,8 @@ class StagingSettings:
     table_prefix: str = "staging_"
     max_rows_per_file: int = 10_000
     #: staging file format (CRD ``…stream.yaml:230-236`` offers
-    #: PARQUET|ORC|AVRO): "parquet" (default) or "orc" (pyarrow.orc);
-    #: "avro" raises — no avro codec ships in this environment
+    #: PARQUET|ORC|AVRO): "parquet" (default), "orc" (pyarrow.orc) or
+    #: "avro" (polars' Avro codec)
     format: str = "parquet"
 
 

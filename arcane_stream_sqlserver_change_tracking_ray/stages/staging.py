@@ -21,6 +21,27 @@ import uuid
 from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 
 
+def _unlarge(table):
+    """Cast polars' large_* arrow types back to the standard widths the
+    parquet staging path produces, so downstream merge sees one schema
+    regardless of staging format."""
+    import pyarrow as pa
+
+    def fix(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_large_string(t):
+            return pa.string()
+        if pa.types.is_large_binary(t):
+            return pa.binary()
+        if pa.types.is_large_list(t):
+            return pa.list_(fix(t.value_type))
+        if pa.types.is_list(t):
+            return pa.list_(fix(t.value_type))
+        return t
+
+    target = pa.schema([f.with_type(fix(f.type)) for f in table.schema])
+    return table.cast(target) if target != table.schema else table
+
+
 def stage_change_batch(
     ds,
     staging_root: str,
@@ -39,11 +60,10 @@ def stage_change_batch(
 
     *fmt* mirrors the CRD's stagingDataSettings.format
     (``…stream.yaml:230-236``, PARQUET|ORC|AVRO): "parquet" stages via
-    ``Dataset.write_parquet``; "orc" writes one ``pyarrow.orc`` file per
+    ``Dataset.write_parquet``; "orc" and "avro" write one file per
     ~*max_rows_per_file* rows inside ``map_batches`` (Ray has no native
-    ORC writer) and re-reads them distributed via ``read_binary_files``
-    + a per-task ORC decode; "avro" raises (no avro codec in this
-    environment)."""
+    writer for either; avro rides polars' Avro codec) and re-read them
+    distributed via ``read_binary_files`` + a per-task decode."""
     import ray.data
 
     fs = lakefs(staging_root)
@@ -90,10 +110,47 @@ def stage_change_batch(
         staged = ray.data.read_binary_files(
             fs.full(name), filesystem=fs.pafs
         ).map_batches(decode_orc, batch_format="pyarrow")
+    elif fmt == "avro":
+        root = staging_root
+
+        def write_avro(batch):
+            import io
+
+            import polars as pl
+            import pyarrow as pa
+
+            buf = io.BytesIO()
+            pl.from_arrow(batch).write_avro(buf)
+            rel = f"{name}/block-{uuid.uuid4().hex}.avro"
+            lakefs(root).write_bytes(rel, buf.getvalue())
+            return pa.table({"file": pa.array([rel])})
+
+        n_files = (
+            ds.map_batches(
+                write_avro, batch_format="pyarrow", batch_size=max_rows_per_file
+            ).count()
+        )
+        assert n_files >= 0
+
+        def decode_avro(batch):
+            import io
+
+            import polars as pl
+            import pyarrow as pa
+
+            tables = [
+                _unlarge(pl.read_avro(io.BytesIO(b.as_py())).to_arrow())
+                for b in batch["bytes"]
+            ]
+            return pa.concat_tables(tables) if tables else pa.table({})
+
+        staged = ray.data.read_binary_files(
+            fs.full(name), filesystem=fs.pafs
+        ).map_batches(decode_avro, batch_format="pyarrow")
     else:
         raise NotImplementedError(
             f"staging format {fmt!r} not supported (no {fmt} codec in this "
-            "environment); use 'parquet' or 'orc'"
+            "environment); use 'parquet', 'orc' or 'avro'"
         )
     return staged, f"{staging_root}|{name}"
 

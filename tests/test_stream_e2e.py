@@ -175,8 +175,8 @@ def test_staging_orc_format_parity(tmp_lake):
     """CRD stagingDataSettings.format=ORC (…stream.yaml:230-236): the
     ORC staging path (pyarrow.orc per-block writes + distributed ORC
     decode on re-read) yields the identical end state, actually writes
-    .orc files, and disposes them after merge; AVRO raises (no codec
-    shipped here)."""
+    .orc files, and disposes them after merge; an unknown format
+    raises."""
     import glob
 
     import pytest
@@ -214,11 +214,57 @@ def test_staging_orc_format_parity(tmp_lake):
     dispose_staging(token)
     assert not glob.glob(os.path.join(staging_root, "staging_probe-*"))
 
-    with pytest.raises(NotImplementedError, match="avro"):
+    with pytest.raises(NotImplementedError, match="protobuf"):
         stage_change_batch(
             ray.data.from_arrow(pa.table({"a": pa.array([1], pa.int64())})),
-            staging_root, "staging_", "probe2", fmt="avro",
+            staging_root, "staging_", "probe2", fmt="protobuf",
         )
+
+
+def test_staging_avro_format_parity(tmp_lake):
+    """CRD stagingDataSettings.format=AVRO (…stream.yaml:230-236): the
+    AVRO staging path (polars Avro per-block writes + distributed decode
+    on re-read, large_* types cast back to the parquet path's widths)
+    yields the identical end state, actually writes .avro files, and
+    disposes them after merge."""
+    import glob
+
+    from arcane_stream_sqlserver_change_tracking_ray.stages.staging import (
+        stage_change_batch,
+    )
+
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    ctx = make_ctx(
+        ct, tgt,
+        staging={"enabled": True, "max_rows_per_file": 100, "format": "avro"},
+    )
+    StreamRunner(ctx).run()
+    assert_tables_equal(read_target_table(tgt), expected_final_state(ct))
+    staging_root = os.path.join(tgt, "staging")
+    assert not os.path.isdir(staging_root) or os.listdir(staging_root) == []
+
+    # the writer really produces Avro files and the re-read casts the
+    # decoded large_string back to string (one schema either path)
+    import pyarrow as pa
+    import ray.data
+
+    staged, token = stage_change_batch(
+        ray.data.from_arrow(
+            pa.table({"a": pa.array([str(i) for i in range(250)], pa.string())})
+        ),
+        staging_root, "staging_", "probe", max_rows_per_file=100, fmt="avro",
+    )
+    assert staged.schema().base_schema.field("a").type == pa.string()
+    got = staged.take_all()
+    assert sorted(int(r["a"]) for r in got) == list(range(250))
+    assert glob.glob(os.path.join(staging_root, "staging_probe-*", "*.avro"))
+    from arcane_stream_sqlserver_change_tracking_ray.stages.staging import (
+        dispose_staging,
+    )
+    dispose_staging(token)
+    assert not glob.glob(os.path.join(staging_root, "staging_probe-*"))
 
 
 def test_field_selection_pushdown(tmp_lake):
