@@ -28,6 +28,10 @@ import pyarrow.compute as pc
 
 from arcane_stream_sqlserver_change_tracking_ray.types import VERSION_COL
 
+#: don't split a poll finer than this many rows per read block — below
+#: it, per-task scheduling (~3 ms) outweighs the parallelism gained
+MIN_ROWS_PER_BLOCK = 16_384
+
 _SEG_RE = re.compile(r"^v(\d{12})-(\d{12})\.parquet$")
 
 
@@ -257,7 +261,17 @@ class ChangeFeedTailer:
         )
         kwargs = {}
         if self.target_blocks:
-            kwargs["override_num_blocks"] = max(len(paths), self.target_blocks)
+            blocks = self.target_blocks
+            # Cap by the planned row count (free — footers are already
+            # cached for the memoryBound shaper): a tiny poll shattered
+            # into 4×CPU blocks pays ~3 ms scheduling per task for rows
+            # that fit in one, which dominates small-cycle wall time.
+            # At production cycle sizes rows/MIN_ROWS_PER_BLOCK exceeds
+            # 4×CPUs and this cap never binds.
+            total_rows = sum(self._segment_meta(p)[0] for p in paths)
+            if total_rows > 0:
+                blocks = min(blocks, -(-total_rows // MIN_ROWS_PER_BLOCK))
+            kwargs["override_num_blocks"] = max(len(paths), blocks)
         ds = ray.data.read_parquet(
             paths,
             columns=self.columns,
