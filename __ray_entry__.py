@@ -172,11 +172,19 @@ def cdc_lww_upsert(sf_dir: str) -> pa.Table:
 def cdc_lww_rank1(sf_dir: str):
     """M2 within-batch dedup as a standalone operator: rank-1 per key by
     version (groupby + vectorized LWW kernel)."""
+    import pyarrow.parquet as pq
+
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import lww_table
 
     from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
 
     ds = _read(sf_dir, "events").map_batches(_EventsAsChanges(), batch_format="pyarrow")
+    # coarse-bucket count scaled to the feed (~256 rows/bucket, capped at
+    # 4096): per-group UDF slicing costs ~1 ms each, so 4096 buckets over
+    # a 10k-row feed is pure overhead while 4096 over 1M+ rows is the
+    # sweet spot the round-2 profile found
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    n_buckets = np.uint64(min(4096, max(16, n_events // 256)))
 
     def precombine(batch: pa.Table) -> pa.Table:
         # prune to the output columns BEFORE the shuffle: less payload, and
@@ -189,7 +197,7 @@ def cdc_lww_rank1(sf_dir: str):
         # coarse shuffle bucket: grouping on the raw merge key would invoke
         # the group UDF once per distinct key; a few thousand buckets move
         # the (pre-combined) rows and the LWW kernel vectorizes per bucket
-        b = hash_keys(batch[MERGE_KEY_COL], "polars") % np.uint64(4096)
+        b = hash_keys(batch[MERGE_KEY_COL], "polars") % n_buckets
         return batch.append_column("_kb", pa.array(b.astype(np.int64)))
 
     ds = ds.map_batches(precombine, batch_format="pyarrow")
@@ -2678,8 +2686,6 @@ def cms_heavy_hitters(sf_dir: str):
     fingerprint-oracle technique; tokens are ASCII so codepoint ==
     byte), 10-bit-field positions, per-cell sums, min across rows —
     so the hash match certifies estimates, not just plumbing."""
-    from ray.data.aggregate import Sum
-
     from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
         cms_estimate,
         count_min_sketch,
@@ -2688,28 +2694,45 @@ def cms_heavy_hitters(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["text"])
     sketch = count_min_sketch(ds)
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        return token_count_partials(batch["text"])
+    # Probe-set discovery without a corpus-wide shuffle: the global 16
+    # lexicographically-smallest long tokens are a subset of the union of
+    # each batch's 16 smallest, so per-batch candidates (≤16 rows/task)
+    # bound the answer and the driver folds a candidate set instead of
+    # the whole vocabulary (the groupby+sort it replaces moved every
+    # distinct token through two all-to-all exchanges).
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        t = token_count_partials(batch["text"])
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["token"]), 6))
+        order = pc.sort_indices(t["token"])[:16]
+        return t.take(order).select(["token"])
 
-    def keep_long(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(pc.utf8_length(batch["token"]), 6))
-
-    probe = (
+    cand = (
         _read(sf_dir, "documents", columns=["text"])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .map_batches(keep_long, batch_format="pyarrow")
-        .sort("token")
-        .limit(16)
+        .map_batches(local_candidates, batch_format="pyarrow")
         .take_all()
     )
-    tokens = [r["token"] for r in probe]
+    tokens = sorted({r["token"] for r in cand})[:16]
+
+    # Exact counts for just the probe set: per-batch partial sums over a
+    # broadcast 16-token filter (≤16 rows/task), folded on the driver.
+    probe_set = pa.array(tokens, pa.string())
+
+    def probe_counts(batch: pa.Table) -> pa.Table:
+        t = token_count_partials(batch["text"])
+        return t.filter(pc.is_in(t["token"], value_set=probe_set))
+
+    counts: dict[str, int] = {t: 0 for t in tokens}
+    for r in (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(probe_counts, batch_format="pyarrow")
+        .take_all()
+    ):
+        counts[r["token"]] += int(r["cnt"])
     est = cms_estimate(sketch, tokens)
     return pa.table(
         {
             "token": pa.array(tokens, pa.string()),
-            "cnt": pa.array([int(r["cnt"]) for r in probe], pa.int64()),
+            "cnt": pa.array([counts[t] for t in tokens], pa.int64()),
             "est": pa.array(est, pa.int64()),
         }
     )
