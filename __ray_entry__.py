@@ -101,6 +101,14 @@ def _read(sf_dir: str, table: str, **kw):
     cols = kw.get("columns")
     if cols:
         schema = pa.schema([schema.field(c) for c in cols])
+    # Don't let min_parallelism shatter a tiny table into dozens of
+    # near-empty blocks — every downstream stage then runs a task per
+    # block for ~ms of work (at sf0.01 a 500-row documents read split
+    # into 64 blocks made span_dedup 7 stages x 64 tasks of overhead).
+    # ~128 rows/block keeps full 32-way parallelism from sf0.1 up.
+    if "override_num_blocks" not in kw:
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        kw["override_num_blocks"] = max(1, min(128, -(-n_rows // 128)))
     return ray.data.read_parquet(path, schema=schema, **kw)
 
 
@@ -1621,12 +1629,17 @@ def span_dedup(sf_dir: str, window: int = 16):
     granular approximation of suffix-array substring dedup).  Shuffle #1
     moves 24-byte chunk triples; shuffle #2 is one doc-bucketed rebuild
     exchange — text crosses the wire exactly once."""
+    import pyarrow.parquet as pq
+
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
         span_dedup as _span,
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return _span(ds, window=window)
+    # ~8 chunks/doc at the synthetic doc length; size the detection
+    # exchange to ~64 chunks per bucket, capped at the 4096 scale default
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return _span(ds, window=window, hash_buckets=min(4096, max(16, n_docs // 8)))
 
 
 def dedup_ngram_jaccard(sf_dir: str):

@@ -1290,7 +1290,8 @@ def _doc_bucket_i64(doc: np.ndarray, mod: int = 256) -> pa.Array:
     return pa.array(b.astype(np.int64))
 
 
-def span_dedup(ds, window: int = 16, text_col: str = "text", id_col: str = "doc_id"):
+def span_dedup(ds, window: int = 16, text_col: str = "text", id_col: str = "doc_id",
+               hash_buckets: int = 4096):
     """Corpus-wide duplicate-passage removal at chunk granularity (the
     scalable approximation of suffix-array substring dedup, Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"):
@@ -1304,13 +1305,18 @@ def span_dedup(ds, window: int = 16, text_col: str = "text", id_col: str = "doc_
     never moves); the rebuild is ONE doc-bucketed exchange of the corpus
     + the (small) drop list, i.e. the same cost as a repartition.  Both
     groupbys use coarse buckets so the per-group Python overhead
-    amortizes and every kernel vectorizes across the bucket."""
+    amortizes and every kernel vectorizes across the bucket
+    (``hash_buckets`` sizes the duplicate-detection exchange — callers
+    with a tiny corpus should pass fewer so per-group slicing doesn't
+    dominate)."""
     import ray.data
+
+    hash_mod = np.uint64(max(16, hash_buckets))
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
         _, _, doc_rep, cidx, _, _, h = _span_chunk_meta(batch[text_col], window)
-        hb = (h % np.uint64(4096)).astype(np.int64)
+        hb = (h % hash_mod).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(ids[doc_rep], pa.int64()),
