@@ -134,6 +134,12 @@ class SinkSettings:
     #: storm defusal).  > 1.0 disables the combiner (raw per-op counters
     #: become exact), 0.0 combines every batch.
     precombine_dup_threshold: float = 0.25
+    #: startup-sweep grace window (seconds): uncommitted cycle/staging
+    #: dirs YOUNGER than this survive the bootstrap sweep.  0 (default)
+    #: sweeps everything, the single-writer semantics; HA deployments
+    #: running a standby writer set it above the longest expected cycle
+    #: so a standby's bootstrap can't delete the primary's in-flight dir
+    sweep_grace_seconds: float = 0.0
     #: confine schema migration to stream bootstrap; later batch-schema
     #: drift FAILS the cycle instead of migrating inline (reference
     #: isUnifiedSchema, docs/crd.md:59-61 — "reduce pressure on the

@@ -44,6 +44,7 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.schema_evo import (
 )
 from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs as _lakefs
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    CommitConflictError,
     Manifest,
     ManifestLog,
     prepare_watermark,
@@ -311,7 +312,9 @@ class StreamRunner:
         the reference's fail-fast negative test (StreamRunner.scala:167-185).
         """
         manifest = self.log.require_watermark()
-        swept = self.log.sweep_uncommitted()
+        swept = self.log.sweep_uncommitted(
+            grace_seconds=self.ctx.sink.sweep_grace_seconds
+        )
         if self.ctx.staging.enabled and self.ctx.staging.staging_root:
             # custom staging roots live outside <target_root>/staging, which
             # sweep_uncommitted covers; sweep them by prefix like the
@@ -534,6 +537,7 @@ class StreamRunner:
         self.bootstrap()
         out: list[dict] = []
         t0 = time.monotonic()
+        conflicts = 0
         try:
             while True:
                 if stop_check is not None and stop_check():
@@ -542,7 +546,31 @@ class StreamRunner:
                     break
                 if max_seconds is not None and time.monotonic() - t0 >= max_seconds:
                     break
-                m = self.run_cycle()
+                try:
+                    m = self.run_cycle()
+                except CommitConflictError as e:
+                    # Another writer won the CAS race (an HA standby
+                    # racing the primary, or a split-brain restart).  The
+                    # losing cycle never became visible (its dir is swept
+                    # at the next bootstrap) and the feed replay is
+                    # idempotent LWW, so the correct response is to adopt
+                    # the winner's snapshot and re-plan from its
+                    # watermark — not to die.  16 consecutive lost races
+                    # without a single committed cycle means something
+                    # is systematically wrong; re-raise then.
+                    conflicts += 1
+                    if conflicts > 16:
+                        raise
+                    latest = self.log.require_watermark()
+                    logger.warning(
+                        "commit conflict (%s); resyncing to v%d @ watermark %d",
+                        e, latest.version, latest.watermark,
+                    )
+                    self.tailer.watermark = max(
+                        self.tailer.watermark, latest.watermark
+                    )
+                    continue
+                conflicts = 0
                 if m is None:
                     if self.ctx.source.change_capture_interval > 0 and (
                         max_seconds is not None or stop_check is not None

@@ -123,6 +123,12 @@ class LakeFS:
     def getsize(self, rel: str) -> int:
         raise NotImplementedError
 
+    def getmtime(self, rel: str) -> float:
+        """Last-modified of a file/dir entry as a POSIX timestamp; used by
+        the startup sweep's grace window.  Backends without mtimes may
+        return 0.0 (= always past the grace window)."""
+        raise NotImplementedError
+
     # -- parquet data files ---------------------------------------------------
     def write_table(self, table: pa.Table, rel: str, *, durable: bool = True, **pq_kw) -> int:
         """Write one parquet data file; returns its byte size.
@@ -247,6 +253,12 @@ class LocalLakeFS(LakeFS):
 
     def getsize(self, rel: str) -> int:
         return os.path.getsize(self.full(rel))
+
+    def getmtime(self, rel: str) -> float:
+        try:
+            return os.path.getmtime(self.full(rel))
+        except OSError:
+            return 0.0
 
     def write_table(self, table, rel, *, durable=True, **pq_kw) -> int:
         path = self.full(rel)
@@ -406,6 +418,11 @@ class ArrowLakeFS(LakeFS):
     def getsize(self, rel: str) -> int:
         return self._fs.get_file_info(self.full(rel)).size
 
+    def getmtime(self, rel: str) -> float:
+        info = self._fs.get_file_info(self.full(rel))
+        mtime = getattr(info, "mtime", None)
+        return mtime.timestamp() if mtime is not None else 0.0
+
     def write_table(self, table, rel, *, durable=True, **pq_kw) -> int:
         path = self.full(rel)
         self._fs.create_dir(posixpath.dirname(path), recursive=True)
@@ -558,6 +575,12 @@ class ObjectStoreFS(LakeFS):
 
     def getsize(self, rel: str) -> int:  # HEAD content-length
         return os.path.getsize(self._key(rel))
+
+    def getmtime(self, rel: str) -> float:  # HEAD last-modified
+        try:
+            return os.path.getmtime(self._key(rel))
+        except OSError:
+            return 0.0
 
     # -- parquet: one object per file (write = one PUT) ----------------------
     def write_table(self, table, rel, *, durable=True, **pq_kw) -> int:

@@ -32,6 +32,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -438,10 +439,16 @@ class ManifestLog:
         return out
 
     # ------------------------------------------------------------- cleanup
-    def sweep_uncommitted(self) -> list[str]:
+    def sweep_uncommitted(self, grace_seconds: float = 0.0) -> list[str]:
         """Startup sweep (reference drops leftover staging tables by prefix,
         ``docs/crd.md:45-48``): delete ``cycles/*`` and ``staging/*`` dirs
-        whose files are not referenced by ANY committed manifest."""
+        whose files are not referenced by ANY committed manifest.
+
+        *grace_seconds* > 0 skips dirs modified within the window — the
+        guard for HA deployments where a standby writer may bootstrap
+        while the primary has a cycle in flight (an unreferenced-but-live
+        dir the standby must not delete); a truly orphaned dir ages past
+        any grace window and is collected at the next bootstrap."""
         # data files are stored as "cycles/<cycle-id>/...": keep any cycle
         # dir referenced by at least one committed manifest
         live_cycle_dirs = {p.split("/", 2)[1]
@@ -465,14 +472,27 @@ class ManifestLog:
                     for rel in files:
                         if rel.startswith(CYCLES_DIR + "/"):
                             live_cycle_dirs.add(rel.split("/", 2)[1])
+        now = time.time()
+
+        def _in_grace(rel: str) -> bool:
+            if grace_seconds <= 0:
+                return False
+            try:
+                return now - self.fs.getmtime(rel) < grace_seconds
+            except Exception:
+                return False
+
         removed: list[str] = []
         for name in self.fs.listdir(CYCLES_DIR):
-            if name not in live_cycle_dirs:
-                self.fs.delete_dir(f"{CYCLES_DIR}/{name}")
-                removed.append(f"{CYCLES_DIR}/{name}")
+            rel = f"{CYCLES_DIR}/{name}"
+            if name not in live_cycle_dirs and not _in_grace(rel):
+                self.fs.delete_dir(rel)
+                removed.append(rel)
         for name in self.fs.listdir(STAGING_DIR):
-            self.fs.delete_dir(f"{STAGING_DIR}/{name}")
-            removed.append(f"{STAGING_DIR}/{name}")
+            rel = f"{STAGING_DIR}/{name}"
+            if not _in_grace(rel):
+                self.fs.delete_dir(rel)
+                removed.append(rel)
         return removed
 
     def expire_versions(self, keep: int) -> list[int]:
