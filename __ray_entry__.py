@@ -3751,9 +3751,15 @@ def oracle_sql() -> dict[str, str]:
               FROM f1
             ), f3 AS (SELECT xor(h, h // 4294967296) AS h FROM f2
             ), u AS (SELECT DISTINCT h FROM f3)
-            SELECT (row_number() OVER (ORDER BY h) - 1)::BIGINT AS rank,
-                   CAST(h AS VARCHAR) AS h
-            FROM u ORDER BY h LIMIT 256
+            -- ORDER BY u.h (the HUGEINT), NOT the bare name: a bare h in
+            -- the outer ORDER BY binds to the VARCHAR output alias and
+            -- LIMIT would take the LEXICOGRAPHICALLY smallest strings —
+            -- wrong whenever more than k distinct hashes exist (caught
+            -- by the sf0.1 pre-flight; invisible at sf<=0.01 where the
+            -- LIMIT never binds)
+            SELECT (row_number() OVER (ORDER BY u.h) - 1)::BIGINT AS rank,
+                   CAST(u.h AS VARCHAR) AS h
+            FROM u ORDER BY u.h LIMIT 256
         """,
         "semi_join_buyers": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
