@@ -34,7 +34,7 @@ Backends, selected by the root's scheme:
   give — so a full engine run over ``mock://`` proves the commit
   protocol needs nothing POSIX.
 
-Facades are pure functions of the root string (``lru_cache``), so Ray
+Facades are pure functions of the root string (dict-memoized), so Ray
 workers — which receive ``target_root`` strings, never fs objects —
 reconstruct them per process for free.
 """
@@ -45,19 +45,30 @@ import os
 import posixpath
 import shutil
 import uuid
-from functools import lru_cache
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+#: facade memo — a PLAIN dict on purpose: an ``lru_cache`` wrapper
+#: pickles BY REFERENCE (its __reduce__ returns the qualified name) even
+#: when this module is registered by value with Ray's cloudpickle, so
+#: any worker-shipped closure that referenced the cached factory failed
+#: with ModuleNotFoundError on workers that can't import the package
+#: (foreign-cwd drivers).  A dict global serializes by value with the
+#: function, and facades are cheap stateless handles either way.
+_FS_CACHE: dict[str, "LakeFS"] = {}
+
+
 def lakefs(root: str) -> "LakeFS":
-    """Resolve a lake root string to its filesystem facade (cached)."""
-    return _lakefs_cached(root)
+    """Resolve a lake root string to its filesystem facade (memoized)."""
+    fs = _FS_CACHE.get(root)
+    if fs is None:
+        fs = _FS_CACHE.setdefault(root, _make_lakefs(root))
+    return fs
 
 
-@lru_cache(maxsize=64)
-def _lakefs_cached(root: str) -> "LakeFS":
+def _make_lakefs(root: str) -> "LakeFS":
     scheme, sep, rest = root.partition("://")
     if not sep:
         return LocalLakeFS(root)
