@@ -3228,65 +3228,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry order = the driver's 50-entry sample order. Queries that
+    # have never had a driver-side CORRECTNESS row come first (the r1-r3
+    # samples only reached the first 50 entries); queries with banked
+    # green rounds follow, most-recently-checked last. Every entry is
+    # identical regardless of position — this is sampling order only.
     return {
-        # CDC core
-        "cdc_lww_upsert": cdc_lww_upsert,
-        "cdc_lww_rank1": cdc_lww_rank1,
-        "changefeed_window": changefeed_window,
-        "watermark_after_replay": watermark_after_replay,
-        "backfill_snapshot": backfill_snapshot,
-        "cdc_stream_replay": cdc_stream_replay,
-        "cdc_engine_events_replay": cdc_engine_events_replay,
-        "cdc_time_travel": cdc_time_travel,
-        "cdc_change_feed": cdc_change_feed,
-        "cdc_change_feed_all": cdc_change_feed_all,
-        "cdc_snapshot_export": cdc_snapshot_export,
-        "cdc_replica_sync": cdc_replica_sync,
-        "range_join_bands": range_join_bands,
-        "cms_heavy_hitters": cms_heavy_hitters,
-        "hll_distinct_users": hll_distinct_users,
-        "cdc_incremental_matview": cdc_incremental_matview,
-        "cdc_backfill_then_stream": cdc_backfill_then_stream,
-        "cdc_schema_evolution": cdc_schema_evolution,
-        "cdc_net_changes": cdc_net_changes,
-        "cdc_point_lookup": cdc_point_lookup,
-        "cdc_cycle_metrics": cdc_cycle_metrics,
-        "cdc_unordered_feed": cdc_unordered_feed,
-        "cdc_maintenance_fold": cdc_maintenance_fold,
-        "cdc_repartition": cdc_repartition,
-        "cdc_predicate_delete": cdc_predicate_delete,
-        "cdc_equality_delete": cdc_equality_delete,
-        "cdc_rollback": cdc_rollback,
-        "cdc_filtered_read": cdc_filtered_read,
-        "cdc_tagged_read": cdc_tagged_read,
-        "cdc_history": cdc_history,
-        "cdc_composite_key": cdc_composite_key,
-        "scd2_history": scd2_history,
-        # transforms
-        "field_filter_include": field_filter_include,
-        "normalize_colnames": normalize_colnames,
-        "merge_key_synth": merge_key_synth,
-        "type_cast": type_cast,
-        "column_stats": column_stats,
-        "pruned_agg": pruned_agg,
-        # joins (M3)
-        "broadcast_join": broadcast_join,
-        "partitioned_join": partitioned_join,
-        "asof_join": asof_join,
-        "revenue_by_nation": revenue_by_nation,
-        "semi_join_buyers": semi_join_buyers,
-        "anti_join_customers": anti_join_customers,
-        "fuzzy_join_parts": fuzzy_join_parts,
-        "bloom_membership": bloom_membership,
-        "bm25_topk": bm25_topk,
-        # text analysis
-        "windowed_agg": windowed_agg,
-        "hopping_window": hopping_window,
-        "distinct_count": distinct_count,
+        # --- never driver-checked (r1-r3): text / corpus ---
         "top_docs_by_len": top_docs_by_len,
-        "token_count": token_count,
         "extract_text": extract_text,
-        "quality_score": quality_score,
         "repetition_score": repetition_score,
         "ngram_repetition": ngram_repetition,
         "corpus_prep": corpus_prep,
@@ -3308,11 +3258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": length_quantiles,
         "url_normalize": url_normalize,
         "domain_stats": domain_stats,
-        "lang_id": lang_id,
         "doc_fingerprint": doc_fingerprint,
-        "topk_tokens": topk_tokens,
-        # dedup
-        "dedup_exact": dedup_exact,
+        # --- never driver-checked: dedup ---
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -3322,15 +3269,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": dedup_keep_best,
         "inverted_index": inverted_index,
         "span_dedup": span_dedup,
-        # similarity
-        "ann_cosine_topk": ann_cosine_topk,
+        # --- never driver-checked: similarity / multimodal ---
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "neardup_cosine_exact": neardup_cosine_exact,
         "embedding_neardup": embedding_neardup,
-        # multimodal
-        "multimodal_meta": multimodal_meta,
         "multimodal_decode": multimodal_decode,
+        # --- driver-green in r1 only (refresh) ---
+        "token_count": token_count,
+        "quality_score": quality_score,
+        "lang_id": lang_id,
+        "topk_tokens": topk_tokens,
+        "dedup_exact": dedup_exact,
+        "ann_cosine_topk": ann_cosine_topk,
+        "multimodal_meta": multimodal_meta,
+        # --- CDC flagships (green r2-r3; keep one fresh row each) ---
+        "cdc_lww_upsert": cdc_lww_upsert,
+        "cdc_stream_replay": cdc_stream_replay,
+        "cdc_engine_events_replay": cdc_engine_events_replay,
+        "cdc_schema_evolution": cdc_schema_evolution,
+        "cdc_backfill_then_stream": cdc_backfill_then_stream,
+        # --- CDC core (green r3) ---
+        "cdc_lww_rank1": cdc_lww_rank1,
+        "changefeed_window": changefeed_window,
+        "watermark_after_replay": watermark_after_replay,
+        "backfill_snapshot": backfill_snapshot,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_change_feed": cdc_change_feed,
+        "cdc_change_feed_all": cdc_change_feed_all,
+        "cdc_snapshot_export": cdc_snapshot_export,
+        "cdc_replica_sync": cdc_replica_sync,
+        "range_join_bands": range_join_bands,
+        "cms_heavy_hitters": cms_heavy_hitters,
+        "hll_distinct_users": hll_distinct_users,
+        "cdc_incremental_matview": cdc_incremental_matview,
+        "cdc_net_changes": cdc_net_changes,
+        "cdc_point_lookup": cdc_point_lookup,
+        "cdc_cycle_metrics": cdc_cycle_metrics,
+        "cdc_unordered_feed": cdc_unordered_feed,
+        "cdc_maintenance_fold": cdc_maintenance_fold,
+        "cdc_repartition": cdc_repartition,
+        "cdc_predicate_delete": cdc_predicate_delete,
+        "cdc_equality_delete": cdc_equality_delete,
+        "cdc_rollback": cdc_rollback,
+        "cdc_filtered_read": cdc_filtered_read,
+        "cdc_tagged_read": cdc_tagged_read,
+        "cdc_history": cdc_history,
+        "cdc_composite_key": cdc_composite_key,
+        "scd2_history": scd2_history,
+        # transforms (green r3)
+        "field_filter_include": field_filter_include,
+        "normalize_colnames": normalize_colnames,
+        "merge_key_synth": merge_key_synth,
+        "type_cast": type_cast,
+        "column_stats": column_stats,
+        "pruned_agg": pruned_agg,
+        # joins (green r3)
+        "broadcast_join": broadcast_join,
+        "partitioned_join": partitioned_join,
+        "asof_join": asof_join,
+        "revenue_by_nation": revenue_by_nation,
+        "semi_join_buyers": semi_join_buyers,
+        "anti_join_customers": anti_join_customers,
+        "fuzzy_join_parts": fuzzy_join_parts,
+        "bloom_membership": bloom_membership,
+        "bm25_topk": bm25_topk,
+        # windows / distinct (green r3)
+        "windowed_agg": windowed_agg,
+        "hopping_window": hopping_window,
+        "distinct_count": distinct_count,
     }
 
 

@@ -320,7 +320,9 @@ class StreamRunner:
             # sweep_uncommitted covers; sweep them by prefix like the
             # reference sweeps staging tables (docs/crd.md:45-48)
             swept += G.sweep_staging(
-                self.ctx.staging.staging_root, self.ctx.staging.table_prefix
+                self.ctx.staging.staging_root,
+                self.ctx.staging.table_prefix,
+                grace_seconds=self.ctx.sink.sweep_grace_seconds,
             )
         if swept:
             logger.info("startup sweep removed %d uncommitted dirs", len(swept))
@@ -559,7 +561,7 @@ class StreamRunner:
                     # without a single committed cycle means something
                     # is systematically wrong; re-raise then.
                     conflicts += 1
-                    if conflicts > 16:
+                    if conflicts >= 16:
                         raise
                     latest = self.log.require_watermark()
                     logger.warning(

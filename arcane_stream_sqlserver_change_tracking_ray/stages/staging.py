@@ -161,12 +161,33 @@ def dispose_staging(staging_dir: str) -> None:
     lakefs(root).delete_dir(name)
 
 
-def sweep_staging(staging_root: str, table_prefix: str) -> list[str]:
-    """Startup sweep by prefix (``docs/crd.md:45-48``)."""
+def sweep_staging(
+    staging_root: str, table_prefix: str, grace_seconds: float = 0.0
+) -> list[str]:
+    """Startup sweep by prefix (``docs/crd.md:45-48``).
+
+    ``grace_seconds`` mirrors ``ManifestLog.sweep_uncommitted``: with a
+    grace window configured (the HA standby posture) a bootstrapping
+    standby must not delete the primary's in-flight staging dirs, so
+    dirs whose mtime falls inside the window — or whose mtime cannot be
+    read at all — are skipped and collected by a later zero-grace sweep.
+    """
+    import time
+
     fs = lakefs(staging_root)
+    now = time.time()
     removed = []
     for nm in fs.listdir(""):
-        if nm.startswith(table_prefix):
-            fs.delete_dir(nm)
-            removed.append(nm)
+        if not nm.startswith(table_prefix):
+            continue
+        if grace_seconds > 0:
+            try:
+                if now - fs.getmtime(nm) < grace_seconds:
+                    continue
+            except Exception:
+                # fail safe: unreadable mtime while HA grace is active
+                # means "possibly live" — leave it for the next sweep
+                continue
+        fs.delete_dir(nm)
+        removed.append(nm)
     return removed

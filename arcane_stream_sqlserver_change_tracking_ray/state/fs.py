@@ -60,10 +60,19 @@ import pyarrow.parquet as pq
 _FS_CACHE: dict[str, "LakeFS"] = {}
 
 
+#: cap the memo so a long-lived driver touching many distinct roots
+#: (test sessions, multi-table runners) can't accumulate facades — and
+#: their live client handles — forever; eviction just recreates a cheap
+#: stateless handle on next use.
+_FS_CACHE_MAX = 64
+
+
 def lakefs(root: str) -> "LakeFS":
     """Resolve a lake root string to its filesystem facade (memoized)."""
     fs = _FS_CACHE.get(root)
     if fs is None:
+        if len(_FS_CACHE) >= _FS_CACHE_MAX:
+            _FS_CACHE.pop(next(iter(_FS_CACHE)))
         fs = _FS_CACHE.setdefault(root, _make_lakefs(root))
     return fs
 

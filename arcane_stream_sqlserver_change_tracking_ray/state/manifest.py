@@ -480,7 +480,11 @@ class ManifestLog:
             try:
                 return now - self.fs.getmtime(rel) < grace_seconds
             except Exception:
-                return False
+                # fail safe: when an HA grace window is configured, an
+                # unreadable mtime means "possibly a live primary's dir" —
+                # skip it; it will be collected once mtime is readable or
+                # at a zero-grace sweep.
+                return True
 
         removed: list[str] = []
         for name in self.fs.listdir(CYCLES_DIR):

@@ -151,3 +151,67 @@ def test_sixteen_straight_conflicts_reraise(tmp_lake, monkeypatch):
     monkeypatch.setattr(r, "run_cycle", always_conflict)
     with pytest.raises(CommitConflictError, match="peer always wins"):
         r.run()
+
+
+def test_custom_staging_root_sweep_honors_grace(tmp_lake, tmp_path):
+    """ADVICE r3: a bootstrapping standby with sweep_grace_seconds set
+    must not delete the primary's in-flight dirs in a CUSTOM staging
+    root either (bootstrap() forwards the grace to sweep_staging)."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.staging import (
+        sweep_staging,
+    )
+
+    root = str(tmp_path / "custom_staging")
+    import os
+
+    os.makedirs(os.path.join(root, "staging_fresh"), exist_ok=True)
+    with open(os.path.join(root, "staging_fresh", "f.parquet"), "wb") as f:
+        f.write(b"x")
+    os.makedirs(os.path.join(root, "other_prefix"), exist_ok=True)
+
+    # grace window: the fresh prefix-matched dir survives
+    assert sweep_staging(root, "staging_", grace_seconds=300) == []
+    assert os.path.isdir(os.path.join(root, "staging_fresh"))
+    # zero grace (single-writer): swept
+    swept = sweep_staging(root, "staging_", grace_seconds=0)
+    assert swept == ["staging_fresh"]
+    assert not os.path.isdir(os.path.join(root, "staging_fresh"))
+    # non-prefix dirs are never touched
+    assert os.path.isdir(os.path.join(root, "other_prefix"))
+
+
+def test_grace_fails_safe_on_mtime_error(tmp_lake, monkeypatch):
+    """ADVICE r3: with a grace window configured, an unreadable mtime
+    must be treated as in-grace (skip deletion), not deleted."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec())
+    prepare_watermark(tgt, version=0, num_partitions=8)
+    log = ManifestLog(tgt)
+    log.fs.write_bytes("cycles/c998-inflight/part-0.parquet", b"x")
+
+    def broken_getmtime(rel):
+        raise OSError("synthetic: stat raced a concurrent rename")
+
+    monkeypatch.setattr(log.fs, "getmtime", broken_getmtime)
+    assert log.sweep_uncommitted(grace_seconds=300) == []
+    assert log.fs.exists("cycles/c998-inflight/part-0.parquet")
+    # zero grace still sweeps regardless of mtime readability
+    assert "cycles/c998-inflight" in log.sweep_uncommitted(grace_seconds=0)
+
+
+def test_fs_cache_is_bounded(tmp_path):
+    """ADVICE r3: the facade memo evicts instead of growing forever."""
+    from arcane_stream_sqlserver_change_tracking_ray.state import fs as fsmod
+
+    before = dict(fsmod._FS_CACHE)
+    try:
+        fsmod._FS_CACHE.clear()
+        for i in range(fsmod._FS_CACHE_MAX + 10):
+            fsmod.lakefs(str(tmp_path / f"root{i}"))
+        assert len(fsmod._FS_CACHE) <= fsmod._FS_CACHE_MAX
+        # memoization still works for a live root
+        a = fsmod.lakefs(str(tmp_path / "stable"))
+        assert fsmod.lakefs(str(tmp_path / "stable")) is a
+    finally:
+        fsmod._FS_CACHE.clear()
+        fsmod._FS_CACHE.update(before)
