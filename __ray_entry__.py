@@ -1876,12 +1876,15 @@ def ann_lsh_topk(sf_dir: str):
 
 def ann_ivf_topk(sf_dir: str):
     """IVF ANN (distributed k-means coarse quantizer + probed-cluster
-    scan) — the inverted-file scale path; recall vs brute force is
-    pytest-asserted (rows-only here: ANN output is approximate)."""
+    scan) — the inverted-file scale path.  nprobe=8 of 16 clusters is
+    tuned for recall@10 = 1.0 on this corpus, making the EXACT
+    brute-force top-k SQL a hashable oracle: a quantizer or probing
+    regression that loses a true neighbor breaks the hash, while the
+    scan still touches only the probed half of the clusters."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=6)
+    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=8)
 
 
 def neardup_cosine_exact(sf_dir: str):
@@ -4924,6 +4927,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
         """,
-        # rows-only (non-SQL-expressible): ann_ivf_topk (distributed
-        # k-means; recall-gated vs brute force in pytest instead)
+        # ann_ivf_topk's contract: the coarse quantizer + nprobe=8/16
+        # probing is tuned for recall@10 = 1.0 on this corpus (pytest-
+        # asserted at sf0.001/0.01/0.1), so the EXACT brute-force top-k
+        # *is* the oracle — any k-means/probing regression that drops a
+        # true neighbor breaks the hash.  The scan still touches only
+        # the probed half of the clusters (the IVF scale path).
+        "ann_ivf_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) DESC,
+                                e.vec_id ASC
+                     ) rn
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
+        """,
     }

@@ -555,6 +555,29 @@ def test_ivf_topk_recall_vs_bruteforce():
     assert set(map(tuple, full[["query_id", "vec_id"]].values)) == want
 
 
+def test_ann_ivf_entry_contract_exact_recall():
+    """Pin the ann_ivf_topk oracle contract: at the entry's tuned
+    nprobe=8/16 the IVF result is IDENTICAL to brute force on the
+    driver corpus (recall@10 = 1.0), which is what lets the exact
+    top-k SQL serve as the hash oracle."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    iv = (
+        e.ann_ivf_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    br = (
+        e.ann_cosine_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert iv.equals(br), "IVF at nprobe=8 must match brute force exactly"
+
+
 def test_connected_components_topologies():
     import numpy as np
     from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
