@@ -1135,8 +1135,30 @@ def connected_components(a: np.ndarray, b: np.ndarray):
     return nodes, lbl
 
 
+def _cc_bucket(x: np.ndarray, buckets: int) -> np.ndarray:
+    """Coarse shuffle bucket of a node id (same splitmix multiply as
+    ``exact_dedup``'s ``_chb``): routes every group keyed by the node to
+    ONE bucket while keeping the group-UDF count bounded by *buckets*
+    instead of by the number of graph nodes."""
+    with np.errstate(over="ignore"):
+        b = (
+            (x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        ) % np.uint64(buckets)
+    return b.astype(np.int64)
+
+
+def _dedup_pairs(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if u.size == 0:
+        return u.astype(np.int64), v.astype(np.int64)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    return u[keep].astype(np.int64), v[keep].astype(np.int64)
+
+
 def connected_components_ds(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
-                            max_rounds: int = 64):
+                            max_rounds: int = 64, buckets: int = 1024,
+                            stats: dict | None = None):
     """DISTRIBUTED connected components over an edge Dataset — the
     100-TB path for pair lists too big for one node (the r2 verdict's
     remaining driver-side materialization).
@@ -1149,14 +1171,18 @@ def connected_components_ds(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
     - small-star: group edges directed max→min by the max endpoint u;
       with m = min(Γ(u) ∪ {u}), rewire Γ(u) ∪ {u} (minus m) to m
 
-    Each round is ONE ``groupby(node).map_groups`` exchange whose
-    payload is the (node, neighbor) edge table itself — no label join,
-    no driver materialization; the driver folds only a per-round
+    Each round is ONE exchange keyed by a COARSE BUCKET of the node
+    (``hash(u) % buckets`` — the ``exact_dedup`` shuffle shape, r3
+    verdict fix #2): a bucket's group UDF resolves ALL of its node
+    groups in one vectorized ``sort + minimum.reduceat`` pass, so the
+    per-round Python-call count is ≤ *buckets* regardless of graph
+    size (the previous shape invoked the UDF once per graph NODE per
+    round — a per-row Python loop at 10^8 nodes).  No label join, no
+    driver materialization; the driver folds only a per-round
     (edge_count, checksum) pair for the convergence test.  Converges in
     O(log n) rounds to star graphs rooted at each component's min node.
     Returns a Dataset with columns ``(node, label)`` covering every
     node that appears in some edge (roots map to themselves)."""
-    import ray.data
 
     def undirect(batch: pa.Table) -> pa.Table:
         u = batch[col_a].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1165,34 +1191,57 @@ def connected_components_ds(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
         u, v = u[keep], v[keep]
         return pa.table({"u": np.r_[u, v], "v": np.r_[v, u]})
 
-    def star(group: pa.Table, large: bool) -> pa.Table:
-        u = int(group["u"][0].as_py())
-        nbrs = group["v"].to_numpy(zero_copy_only=False)
-        m = min(u, int(nbrs.min()))
+    def _grouped(group: pa.Table):
+        """Sort a bucket's edges by u; return per-u-group geometry."""
+        order = np.lexsort(
+            (
+                group["v"].to_numpy(zero_copy_only=False),
+                group["u"].to_numpy(zero_copy_only=False),
+            )
+        )
+        u = group["u"].to_numpy(zero_copy_only=False)[order]
+        v = group["v"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        grp = np.cumsum(np.r_[False, u[1:] != u[:-1]])  # row -> group idx
+        uu = u[starts]  # distinct nodes in this bucket
+        m = np.minimum(uu, np.minimum.reduceat(v, starts))  # min(Γ(u) ∪ {u})
+        return u, v, grp, uu, m
+
+    def star_bucket(group: pa.Table, large: bool) -> pa.Table:
+        # ALL node groups of one coarse bucket, resolved vectorized
+        u, v, grp, uu, m = _grouped(group.drop_columns(["_ccb"]))
         if large:
             # large-star sees the full undirected adjacency of u and
             # rewires every STRICTLY LARGER neighbor to m; u's own link
             # to m survives via m's (or a smaller neighbor's) group
-            out = np.unique(nbrs[nbrs > u])
+            mask = v > u
+            ou, ov = v[mask], m[grp[mask]]
         else:
-            # small-star sees only max->min directed edges (all nbrs < u)
+            # small-star sees only max->min directed edges (all v < u)
             # and rewires Γ(u) ∪ {u} minus the root itself
-            out = np.unique(np.r_[nbrs, u])
-            out = out[out != m]
-        return pa.table(
-            {
-                "u": pa.array(out.astype(np.int64)),
-                "v": pa.array(np.full(len(out), m, dtype=np.int64)),
-            }
-        )
+            cand = np.r_[v, uu]
+            mm = m[np.r_[grp, np.arange(len(uu))]]
+            mask = cand != mm
+            ou, ov = cand[mask], mm[mask]
+        ou, ov = _dedup_pairs(ou, ov)
+        return pa.table({"u": pa.array(ou), "v": pa.array(ov)})
 
-    def canon(batch: pa.Table) -> pa.Table:
-        # small-star wants edges directed max -> min, deduplicated
+    def canon(batch: pa.Table, large_next: bool) -> pa.Table:
+        # direct edges max -> min and attach the bucket of the NEXT
+        # grouping key (large-star groups the mirrored adjacency, so
+        # both endpoints' rows are emitted; small-star groups by max)
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
         hi, lo = np.maximum(u, v), np.minimum(u, v)
         keep = hi != lo
-        return pa.table({"u": hi[keep], "v": lo[keep]})
+        hi, lo = hi[keep], lo[keep]
+        if large_next:
+            gu, gv = np.r_[hi, lo], np.r_[lo, hi]
+        else:
+            gu, gv = hi, lo
+        return pa.table(
+            {"u": gu, "v": gv, "_ccb": pa.array(_cc_bucket(gu, buckets))}
+        )
 
     def checksum_part(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -1202,31 +1251,30 @@ def connected_components_ds(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
         return pa.table({"n": pa.array([len(u)], pa.int64()),
                          "s": pa.array([s % (1 << 63)], pa.int64())})
 
-    def mirror(batch: pa.Table) -> pa.Table:
-        u = batch["u"].to_numpy(zero_copy_only=False)
-        v = batch["v"].to_numpy(zero_copy_only=False)
-        return pa.table({"u": np.r_[u, v], "v": np.r_[v, u]})
-
-    # canonical max->min edge set (the state between rounds)
-    edges = pairs_ds.map_batches(undirect, batch_format="pyarrow").map_batches(
-        canon, batch_format="pyarrow"
-    )
+    # canonical max->min edge set (the state between rounds), mirrored
+    # + bucketed for the first large-star grouping
+    edges = pairs_ds.map_batches(undirect, batch_format="pyarrow")
     prev_sig = None
     for _ in range(max_rounds):
         # one large-star (over the mirrored adjacency) + one small-star
         # (over max->min directed edges ONLY — Kiveris et al. §3)
         edges = (
-            edges.map_batches(mirror, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(lambda g: star(g, large=True), batch_format="pyarrow")
-            .map_batches(canon, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(lambda g: star(g, large=False), batch_format="pyarrow")
-            .map_batches(canon, batch_format="pyarrow")
+            edges.map_batches(
+                lambda b: canon(b, large_next=True), batch_format="pyarrow"
+            )
+            .groupby("_ccb")
+            .map_groups(lambda g: star_bucket(g, large=True), batch_format="pyarrow")
+            .map_batches(lambda b: canon(b, large_next=False), batch_format="pyarrow")
+            .groupby("_ccb")
+            .map_groups(lambda g: star_bucket(g, large=False), batch_format="pyarrow")
             .materialize()
         )
         parts = edges.map_batches(checksum_part, batch_format="pyarrow").take_all()
         sig = (sum(r["n"] for r in parts), sum(r["s"] for r in parts) % (1 << 63))
+        if stats is not None:
+            stats.setdefault("round_edges", []).append(sig[0])
+            stats["rounds"] = len(stats["round_edges"])
+            stats["buckets"] = buckets
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -1235,22 +1283,39 @@ def connected_components_ds(pairs_ds, col_a: str = "id_a", col_b: str = "id_b",
         # star edges are (node, root); roots also label themselves
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
-        return pa.table({"node": np.r_[u, v], "label": np.r_[v, v]})
+        node = np.r_[u, v]
+        return pa.table(
+            {
+                "node": node,
+                "label": np.r_[v, v],
+                "_ccb": pa.array(_cc_bucket(node, buckets)),
+            }
+        )
+
+    def label_bucket(group: pa.Table) -> pa.Table:
+        # min label per node, all of the bucket's nodes in one pass
+        order = np.lexsort(
+            (
+                group["label"].to_numpy(zero_copy_only=False),
+                group["node"].to_numpy(zero_copy_only=False),
+            )
+        )
+        n = group["node"].to_numpy(zero_copy_only=False)[order]
+        l = group["label"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(n[starts].astype(np.int64)),
+                "label": pa.array(
+                    np.minimum.reduceat(l, starts).astype(np.int64)
+                ),
+            }
+        )
 
     return (
         edges.map_batches(emit_labels, batch_format="pyarrow")
-        .groupby("node")
-        .map_groups(
-            lambda g: pa.table(
-                {
-                    "node": g["node"][:1],
-                    "label": pa.array(
-                        [int(pc.min(g["label"]).as_py())], pa.int64()
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("_ccb")
+        .map_groups(label_bucket, batch_format="pyarrow")
     )
 
 
