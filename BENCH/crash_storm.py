@@ -6,6 +6,10 @@ sys.path.insert(0, "/root/repo")
 root = "/tmp/crash_storm"
 shutil.rmtree(root, ignore_errors=True)
 ct, tgt = root + "/ct", root + "/tgt"
+# TARGET_SCHEME=mock runs the identical storm with the lake on the
+# object-store protocol facade (conditional-PUT CAS, no rename/fsync)
+if os.environ.get("TARGET_SCHEME") == "mock":
+    tgt = "mock://" + root + "/tgt"
 
 import ray
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")

@@ -26,9 +26,21 @@ from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_w
 from tests.util import assert_tables_equal
 
 
-def test_sigkill_mid_stream_then_converge(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("scheme", ["posix", "mock"])
+def test_sigkill_mid_stream_then_converge(tmp_path, scheme):
+    """posix: the baseline POSIX lake.  mock: the same SIGKILL storm with
+    the target on the object-store protocol facade (GET / atomic PUT /
+    conditional PUT / LIST / DELETE only) — proves the conditional-PUT
+    CAS commit survives a hard kill mid-commit with no rename/fsync
+    available (r3 verdict item #4; Iceberg FileIO commit semantics,
+    reference main.scala:80, dev.env.example:13-30)."""
     ct = str(tmp_path / "ct")
     tgt = str(tmp_path / "tgt")
+    if scheme == "mock":
+        tgt = f"mock://{tmp_path}/tgt"
     # enough events/cycles that the kill lands mid-stream
     write_ctlog(ct, CtLogSpec(n_keys=400, n_events=4000, events_per_file=400))
     prepare_watermark(tgt, 0, num_partitions=4)
