@@ -9,3221 +9,135 @@ columns by name).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
+
+This file is a FACADE (r3 verdict #5 split): the query implementations
+live in the ``entry/`` package (queries_cdc / queries_text / queries_rel
+/ queries_dedup, oracles) and are re-exported here by name so the
+driver contract and every external import path are unchanged.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-import sys
-import tempfile
+import os as _os
+import sys as _sys
 from collections.abc import Callable
 from typing import Any
 
-import numpy as np
-import pyarrow as pa
-import pyarrow.compute as pc
+# the driver may load this file by absolute path (spec_from_file_location)
+# without the repo on sys.path — make the sibling entry/ package importable
+_here = _os.path.dirname(_os.path.abspath(__file__))
+if _here not in _sys.path:
+    _sys.path.insert(0, _here)
 
-from arcane_stream_sqlserver_change_tracking_ray.functions import transforms as T
-from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-    BPE_ISH_PATTERN,
-    PUNCT_PATTERN,
-    STOPWORDS,
-    UPPER_PATTERN,
-    WORD_PATTERN,
-    FingerprintStage,
-    LangIdStage,
-    QualityScoreStage,
-    TfidfTopKStage,
-    TokenCountStage,
-    _stopword_regex,
-    contamination_counts,
-    token_count_partials,
-    escape_html_text,
-    rolling_window_hashes,
+# importing the package registers every module by value with Ray's
+# cloudpickle (foreign-cwd workers) — see entry/common.py
+from entry.common import _read, _register_package_by_value  # noqa: F401
+from entry.oracles import oracle_sql  # noqa: F401
+from entry.queries_cdc import (  # noqa: F401
+    backfill_snapshot,
+    cdc_backfill_then_stream,
+    cdc_change_feed,
+    cdc_change_feed_all,
+    cdc_composite_key,
+    cdc_cycle_metrics,
+    cdc_engine_events_replay,
+    cdc_equality_delete,
+    cdc_filtered_read,
+    cdc_history,
+    cdc_incremental_matview,
+    cdc_lww_rank1,
+    cdc_lww_upsert,
+    cdc_maintenance_fold,
+    cdc_net_changes,
+    cdc_point_lookup,
+    cdc_predicate_delete,
+    cdc_repartition,
+    cdc_replica_sync,
+    cdc_rollback,
+    cdc_schema_evolution,
+    cdc_snapshot_export,
+    cdc_stream_replay,
+    cdc_tagged_read,
+    cdc_time_travel,
+    cdc_unordered_feed,
+    changefeed_window,
+    cms_heavy_hitters,
+    hll_distinct_users,
+    range_join_bands,
+    scd2_history,
+    watermark_after_replay,
 )
-from arcane_stream_sqlserver_change_tracking_ray.types import (
-    MERGE_KEY_COL,
-    OP_COL,
-    VERSION_COL,
+from entry.queries_dedup import (  # noqa: F401
+    _query_vectors,
+    ann_cosine_topk,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    containment_join,
+    dedup_clusters,
+    dedup_exact,
+    dedup_keep_best,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    embedding_neardup,
+    inverted_index,
+    kmv_distinct,
+    multimodal_decode,
+    multimodal_meta,
+    neardup_cosine_exact,
+    span_dedup,
+)
+from entry.queries_rel import (  # noqa: F401
+    anti_join_customers,
+    asof_join,
+    bloom_membership,
+    bm25_topk,
+    broadcast_join,
+    column_stats,
+    distinct_count,
+    field_filter_include,
+    funnel_users,
+    fuzzy_join_parts,
+    hopping_window,
+    merge_key_synth,
+    normalize_colnames,
+    partitioned_join,
+    per_domain_topk,
+    pruned_agg,
+    revenue_by_nation,
+    semi_join_buyers,
+    top_docs_by_len,
+    type_cast,
+    windowed_agg,
+)
+from entry.queries_text import (  # noqa: F401
+    corpus_prep,
+    corpus_shuffle,
+    decontaminate,
+    doc_chunk,
+    doc_fingerprint,
+    domain_stats,
+    domain_temperature_sample,
+    extract_text,
+    grouped_quantiles,
+    lang_id,
+    length_percentile_filter,
+    length_quantiles,
+    ngram_repetition,
+    pii_redact,
+    quality_score,
+    repetition_score,
+    seq_pack,
+    session_stats,
+    sessionize,
+    stratified_sample,
+    tfidf_topk,
+    token_count,
+    topk_tokens,
+    train_eval_split,
+    url_normalize,
 )
 
-
-def _register_package_by_value() -> None:
-    """Ship this repo's code to Ray workers BY VALUE.
-
-    The driver calls ``ray.init`` before importing this module, possibly
-    from a cwd where ``/root/repo`` is not importable by worker processes
-    (workers inherit the raylet's cwd/PYTHONPATH, not the driver's
-    ``sys.path``).  Registering every package module with Ray's
-    cloudpickle makes all map_batches callables, closures and the merge
-    owner actor self-contained — no import needed on workers."""
-    try:
-        from ray import cloudpickle
-
-        import arcane_stream_sqlserver_change_tracking_ray  # noqa: F401
-        # import the submodules queries() relies on so they are registered
-        from arcane_stream_sqlserver_change_tracking_ray.functions import (  # noqa: F401
-            dedup, join, multimodal, similarity, text, transforms, web,
-        )
-        from arcane_stream_sqlserver_change_tracking_ray.pipelines import runner  # noqa: F401
-        from arcane_stream_sqlserver_change_tracking_ray.stages import (  # noqa: F401
-            maintenance, merge, schema_evo, staging,
-        )
-
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("arcane_stream_sqlserver_change_tracking_ray"):
-                cloudpickle.register_pickle_by_value(mod)
-        # this module defines map_batches callables of its own
-        this = sys.modules.get(__name__)
-        if this is not None:
-            cloudpickle.register_pickle_by_value(this)
-    except Exception:
-        pass  # ray not importable yet / vendored API changed: fall back to
-        # normal by-reference pickling (works whenever workers share the cwd)
-
-
-_register_package_by_value()
-
-
-def _read(sf_dir: str, table: str, **kw):
-    """read_parquet with the file's schema minus its pandas metadata: a
-    pa.Schema carrying metadata is UNHASHABLE (hash(schema) raises on the
-    metadata dict), which defeats Ray Data's schema-dedup at every
-    unify/groupby boundary and spams 'Failed to hash the schemas'
-    warnings.  (Pre-projected to the column subset — read_parquet
-    requires schema and columns to agree.)"""
-    import pyarrow.parquet as pq
-    import ray.data
-
-    path = f"{sf_dir}/{table}.parquet"
-    schema = pq.read_schema(path).remove_metadata()
-    cols = kw.get("columns")
-    if cols:
-        schema = pa.schema([schema.field(c) for c in cols])
-    # Don't let min_parallelism shatter a tiny table into dozens of
-    # near-empty blocks — every downstream stage then runs a task per
-    # block for ~ms of work (at sf0.01 a 500-row documents read split
-    # into 64 blocks made span_dedup 7 stages x 64 tasks of overhead).
-    # ~128 rows/block keeps full 32-way parallelism from sf0.1 up.
-    if "override_num_blocks" not in kw:
-        n_rows = pq.ParquetFile(path).metadata.num_rows
-        kw["override_num_blocks"] = max(1, min(128, -(-n_rows // 128)))
-    return ray.data.read_parquet(path, schema=schema, **kw)
-
-
-# ===========================================================================
-# CDC core (SURVEY.md §2.1/2.4/2.6): events.parquet as the CT-feed analog —
-# key = user_id, version = event_id, op = 'D' when event_type = 'error'
-# ===========================================================================
-class _EventsAsChanges:
-    """events rows -> change events for the merge engine."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        op = pc.if_else(
-            pc.equal(batch["event_type"], "error"),
-            pa.scalar("D"),
-            pa.scalar("U"),
-        )
-        batch = batch.append_column(VERSION_COL, batch["event_id"])
-        batch = batch.append_column(OP_COL, op)
-        return T.synthesize_merge_key(batch, ("user_id",))
-
-
-def _events_change_schema(sf_dir: str) -> pa.Schema:
-    import pyarrow.parquet as pq
-
-    base = pq.read_schema(f"{sf_dir}/events.parquet")
-    fields = list(base) + [
-        pa.field(VERSION_COL, pa.int64()),
-        pa.field(OP_COL, pa.string()),
-        pa.field(MERGE_KEY_COL, pa.string()),
-    ]
-    return pa.schema(fields)
-
-
-def cdc_lww_upsert(sf_dir: str) -> pa.Table:
-    """Full merge path (M1): hash-partitioned copy-on-write LWW upsert of
-    the events feed into a fresh target table, then read it back."""
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import apply_change_batch
-    from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
-    import pyarrow.parquet as pq
-    import os
-
-    ds = _read(sf_dir, "events").map_batches(_EventsAsChanges(), batch_format="pyarrow")
-    schema = _events_change_schema(sf_dir)
-    tmp = tempfile.mkdtemp(prefix="cdc_lww_")
-    try:
-        stats = apply_change_batch(
-            ds,
-            target_root=tmp,
-            cycle_id="q",
-            partition_files={},
-            schema=schema,
-            num_partitions=8,
-            hash_algo="polars",  # ephemeral table: fast routing hash
-        )
-        import json
-
-        tables = []
-        for s in stats:
-            for rel in json.loads(s["files_json"]):
-                tables.append(cast_to_schema(pq.read_table(os.path.join(tmp, rel)), schema))
-        out = pa.concat_tables(tables) if tables else schema.empty_table()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_lww_rank1(sf_dir: str):
-    """M2 within-batch dedup as a standalone operator: rank-1 per key by
-    version (groupby + vectorized LWW kernel)."""
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import lww_table
-
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
-
-    ds = _read(sf_dir, "events").map_batches(_EventsAsChanges(), batch_format="pyarrow")
-    # coarse-bucket count scaled to the feed (~256 rows/bucket, capped at
-    # 4096): per-group UDF slicing costs ~1 ms each, so 4096 buckets over
-    # a 10k-row feed is pure overhead while 4096 over 1M+ rows is the
-    # sweet spot the round-2 profile found
-    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    n_buckets = np.uint64(min(4096, max(16, n_events // 256)))
-
-    def precombine(batch: pa.Table) -> pa.Table:
-        # prune to the output columns BEFORE the shuffle: less payload, and
-        # dropping the map-typed `props` silences Ray's per-block schema-hash
-        # warnings on the reduce path (map schemas are unhashable).
-        batch = batch.select([MERGE_KEY_COL, "user_id", VERSION_COL, "event_type", "value"])
-        # local rank-1 first: the feed is a heavy-duplicate upsert stream, so
-        # the per-batch combine collapses most rows before they move
-        batch = lww_table(batch)
-        # coarse shuffle bucket: grouping on the raw merge key would invoke
-        # the group UDF once per distinct key; a few thousand buckets move
-        # the (pre-combined) rows and the LWW kernel vectorizes per bucket
-        b = hash_keys(batch[MERGE_KEY_COL], "polars") % n_buckets
-        return batch.append_column("_kb", pa.array(b.astype(np.int64)))
-
-    ds = ds.map_batches(precombine, batch_format="pyarrow")
-
-    def rank1(group: pa.Table) -> pa.Table:
-        # one call per coarse bucket; lww_table ranks ALL the bucket's keys
-        # in a single (key, version) projection sort
-        return lww_table(group)
-
-    out = ds.groupby("_kb").map_groups(rank1, batch_format="pyarrow")
-    return out.select_columns(["user_id", VERSION_COL, "event_type", "value"])
-
-
-def changefeed_window(sf_dir: str):
-    """S1 tailer semantics: version-range predicate pushed into the read.
-
-    Bounds are scale-relative (30%..60% of the feed head) so the window
-    is non-empty at every sf."""
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
-    col_idx = pf.schema_arrow.get_field_index("event_id")
-    md = pf.metadata
-    head = max(
-        md.row_group(i).column(col_idx).statistics.max for i in range(md.num_row_groups)
-    )
-    lo, hi = head * 3 // 10, head * 6 // 10
-    predicate = (pc.field("event_id") > lo) & (pc.field("event_id") <= hi)
-    ds = _read(sf_dir, "events", filter=predicate, columns=["event_id", "user_id", "event_type", "value"])
-
-    def stamp(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(VERSION_COL, batch["event_id"])
-        return batch.drop_columns(["event_id"])
-
-    return ds.map_batches(stamp, batch_format="pyarrow")
-
-
-def watermark_after_replay(sf_dir: str):
-    """K2: the watermark equals the feed's current max version."""
-    from ray.data.aggregate import Max
-
-    ds = _read(sf_dir, "events", columns=["event_id"])
-    res = ds.aggregate(Max("event_id", alias_name="watermark"))
-    return pa.table({k: [v] for k, v in res.items()})
-
-
-def backfill_snapshot(sf_dir: str):
-    """S2: full-table snapshot re-read (Ray file/block sharding)."""
-    from arcane_stream_sqlserver_change_tracking_ray.sources.ctlog import read_snapshot
-
-    return read_snapshot(f"{sf_dir}/orders.parquet")
-
-
-# ===========================================================================
-# Transforms T1-T5
-# ===========================================================================
-def field_filter_include(sf_dir: str):
-    cols = T.resolve_selected_columns(
-        ["doc_id", "text", "lang", "source", "n_chars"],
-        rule="include",
-        fields=("text", "lang"),
-        essential=("doc_id",),
-    )
-    return _read(sf_dir, "documents", columns=cols)
-
-
-def normalize_colnames(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-
-    def weird_then_normalize(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(["Doc$Id", "N-Chars"])  # simulate dirty source names
-        return T.normalize_column_names(batch)
-
-    return ds.map_batches(weird_then_normalize, batch_format="pyarrow")
-
-
-def merge_key_synth(sf_dir: str):
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def synth(batch: pa.Table) -> pa.Table:
-        batch = T.synthesize_merge_key(batch, ("o_orderkey", "o_custkey"))
-        return batch.select([MERGE_KEY_COL, "o_totalprice"])
-
-    return ds.map_batches(synth, batch_format="pyarrow")
-
-
-def type_cast(sf_dir: str):
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
-
-    def cast(batch: pa.Table) -> pa.Table:
-        return T.cast_columns(
-            batch,
-            {"l_orderkey": "LongType", "l_linenumber": "IntType", "l_quantity": "DoubleType"},
-        )
-
-    return ds.map_batches(cast, batch_format="pyarrow")
-
-
-def column_stats(sf_dir: str):
-    """T5/K4 ANALYZE: per-column min/max/count over the included subset."""
-    from ray.data.aggregate import Count, Max, Min
-
-    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_shipdate"])
-    res = ds.aggregate(
-        Min("l_quantity", alias_name="min_l_quantity"),
-        Max("l_quantity", alias_name="max_l_quantity"),
-        Min("l_extendedprice", alias_name="min_l_extendedprice"),
-        Max("l_extendedprice", alias_name="max_l_extendedprice"),
-        Min("l_shipdate", alias_name="min_l_shipdate"),
-        Max("l_shipdate", alias_name="max_l_shipdate"),
-        Count("l_quantity", alias_name="n"),
-    )
-    return pa.table({k: [v] for k, v in res.items()})
-
-
-def pruned_agg(sf_dir: str):
-    """Pre-aggregated groupby over the volume table, columns pruned at the
-    read.  The combiner runs INSIDE map_batches: each block collapses to
-    <= |distinct flags| partial rows before anything moves, so the global
-    groupby folds ~blocks x 3 rows instead of shuffling the table."""
-    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        gb = batch.group_by("l_returnflag").aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")]
-        )
-        return pa.table(
-            {
-                "l_returnflag": gb["l_returnflag"],
-                "sum_qty": gb["l_quantity_sum"],
-                "n": pc.cast(gb["l_quantity_count"], pa.int64()),
-            }
-        )
-
-    def fold(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": group["l_returnflag"][:1],
-                "sum_qty": pa.array(
-                    [round(pc.sum(group["sum_qty"]).as_py(), 4)], pa.float64()
-                ),
-                "n": pa.array([pc.sum(group["n"]).as_py()], pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .map_groups(fold, batch_format="pyarrow")
-    )
-
-
-# ===========================================================================
-# Joins (M3 mechanism: change-event x base-row equi-join)
-# ===========================================================================
-def broadcast_join(sf_dir: str):
-    """Small-side broadcast lookup join: orders x customer, no shuffle."""
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        broadcast_lookup_join,
-    )
-
-    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    out = broadcast_lookup_join(ds, customer, on="o_custkey", right_on="c_custkey")
-    return out.select_columns(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
-
-
-def partitioned_join(sf_dir: str):
-    """Both-sides-large partitioned hash join (explicit bucket shuffle);
-    same oracle as broadcast_join."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        partitioned_equi_join,
-    )
-
-    left = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    right = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
-        lambda b: b.rename_columns(["o_custkey", "c_name"]), batch_format="pyarrow"
-    )
-    out = partitioned_equi_join(left, right, on="o_custkey", num_buckets=16)
-    return out.select_columns(["o_orderkey", "o_custkey", "c_name", "o_totalprice"])
-
-
-# ===========================================================================
-# Training-data operators: text analysis
-# ===========================================================================
-def token_count(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(TokenCountStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "n_tokens_ws", "n_tokens_bpe"]
-    )
-
-
-class _PageHtmlBuilder:
-    """Render each document as a Common-Crawl-style page (escape text,
-    wrap in markup with attributes + a content-bearing meta tag) — the
-    query scaffolding that lets ``ExtractTextStage`` be oracle-checked as
-    an exact round trip (input_hint: byte-identical extracted text)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        esc = escape_html_text(batch["text"])
-        doc_s = pc.cast(batch["doc_id"], pa.string())
-        html = pc.binary_join_element_wise(
-            pa.array(['<html lang="'] * n, pa.string()),
-            batch["lang"].combine_chunks() if isinstance(batch["lang"], pa.ChunkedArray) else batch["lang"],
-            pa.array(['"><head><meta name="title" content="doc '] * n, pa.string()),
-            doc_s,
-            pa.array(['"/></head><body><p>'] * n, pa.string()),
-            esc,
-            pa.array(["</p></body></html>"] * n, pa.string()),
-            "",
-        ).cast(pa.binary())
-        return batch.append_column("html", html)
-
-
-def extract_text(sf_dir: str):
-    """html->text extraction (input_hint invariant): build a page per
-    document, extract, and return the extracted text.  The oracle is the
-    ORIGINAL text column — a hash match proves the extraction is a
-    byte-identical round trip, not merely self-consistent."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import ExtractTextStage
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    ds = ds.map_batches(_PageHtmlBuilder(), batch_format="pyarrow")
-    ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
-    return ds.select_columns(["doc_id", "text_extracted"])
-
-
-def quality_score(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(QualityScoreStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "n_chars_actual", "n_words", "punct_ratio", "upper_ratio",
-         "stopword_ratio", "mean_word_len"]
-    )
-
-
-def repetition_score(sf_dir: str):
-    """Gopher repetition filters (duplicate-line fraction + duplicate-line
-    char fraction) — boilerplate detection over the web corpus."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import RepetitionStage
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(RepetitionStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "dup_line_frac", "dup_char_frac"]
-    )
-
-
-def ngram_repetition(sf_dir: str):
-    """Gopher word-n-gram repetition signals: heaviest-2-gram char
-    fraction + duplicated-5-gram char fraction (boilerplate/spam
-    detection — the corpus has no newlines, so the word-level signals
-    are the discriminating ones here)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        NgramRepetitionStage,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(NgramRepetitionStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "top2_char_frac", "dup5_char_frac"]
-    )
-
-
-def corpus_prep(sf_dir: str):
-    """Composed training-corpus curation pipeline: token count ->
-    n-gram repetition -> quality gate (>= 40 words, top-2-gram fraction
-    < 0.05) -> corpus-wide exact dedup keeping the lowest doc_id.  Every
-    stage streams; the only shuffle is the dedup's 8-byte-key exchange."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import exact_dedup
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        NgramRepetitionStage,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
-    ds = ds.map_batches(NgramRepetitionStage(), batch_format="pyarrow")
-    ds = ds.filter(expr="n_tokens_ws >= 40 and top2_char_frac < 0.05")
-    return exact_dedup(ds, "text", "doc_id").select_columns(
-        ["doc_id", "n_tokens_ws", "top2_char_frac"]
-    )
-
-
-def _tfidf_apply(batch: pa.Table, df_ref=None, n_docs: int = 0, k: int = 3) -> pa.Table:
-    return TfidfTopKStage(df_ref, n_docs=n_docs, k=k)(batch)
-
-
-def tfidf_topk(sf_dir: str):
-    """Top-3 TF-IDF terms per document.  Two streaming passes over the
-    corpus: (1) per-batch (doc_id, token, tf) counts -> vocab-sized
-    partial-DF combine -> tiny groupby sum (only (token, count) rows
-    ever shuffle); (2) the DF table (vocabulary-sized) is broadcast via
-    ``ray.put`` into an actor pool that scores and keeps each doc's
-    top-3 — no corpus-sized shuffle anywhere.  idf = n_docs/df (no log)
-    so every double matches the SQL oracle bit-for-bit."""
-    import pyarrow.parquet as pq
-    import ray
-    from ray.data.aggregate import Sum
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        TfidfTopKStage,
-        doc_token_counts,
-    )
-
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    tf = ds.map_batches(doc_token_counts, batch_format="pyarrow")
-
-    def partial_df(batch: pa.Table) -> pa.Table:
-        g = batch.select(["token"]).group_by("token").aggregate([([], "count_all")])
-        return g.rename_columns(["token", "pdf"])
-
-    df_ds = (
-        tf.map_batches(partial_df, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("pdf", alias_name="df"))
-    )
-    df_tbl = pa.Table.from_pandas(df_ds.to_pandas())  # vocabulary-sized
-    df_ref = ray.put(df_tbl)
-    # task-based (not an actor pool): ray.get(df_ref) is plasma-local and
-    # zero-copy after the first task on each worker, and tasks skip the
-    # actor-pool spin-up cost per query invocation
-    return tf.map_batches(
-        _tfidf_apply,
-        fn_kwargs={"df_ref": df_ref, "n_docs": n_docs, "k": 3},
-        batch_format="pyarrow",
-    )
-
-
-def seq_pack(sf_dir: str, bin_tokens: int = 512, bucket: int = 256):
-    """Sequence packing for LLM pre-training: assign each document to a
-    fixed-token-budget bin by GLOBAL running token count in doc_id
-    order — a distributed prefix sum.  Pass A reduces per-batch
-    bucket-granular partial sums (tiny shuffle); the driver prefix-sums
-    the bucket table (vocabulary of buckets, not docs) and broadcasts
-    the exclusive offsets; pass B co-locates each bucket with one
-    groupby and finishes the cumsum locally.  No corpus-wide sort, no
-    driver-side row loop."""
-    import ray
-    from ray.data.aggregate import Sum
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        assign_bins_in_bucket,
-        bucket_token_sums,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "n_tokens_ws"]
-    )
-    sums = (
-        t.map_batches(bucket_token_sums, fn_kwargs={"bucket": bucket}, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("bn", alias_name="bn"))
-        .to_pandas()
-        .sort_values("bucket")
-    )
-    buckets = sums["bucket"].to_numpy()
-    totals = sums["bn"].to_numpy()
-    offsets = np.zeros(int(buckets.max()) + 1 if len(buckets) else 1, np.int64)
-    offsets[buckets] = np.cumsum(totals) - totals  # exclusive prefix per bucket
-    off_ref = ray.put(offsets)
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column("bucket", pa.array(ids // bucket, pa.int64()))
-
-    def finish(group: pa.Table) -> pa.Table:
-        return assign_bins_in_bucket(group, ray.get(off_ref), bin_tokens)
-
-    return (
-        t.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(finish, batch_format="pyarrow")
-    )
-
-
-def train_eval_split(sf_dir: str, eval_pct: int = 5):
-    """Deterministic content-hash train/eval split: a document lands in
-    the same split no matter how the corpus is sharded, re-ordered or
-    re-ingested (whole-text polynomial hash mod 2^64, then mod 100 —
-    the property that prevents train/eval leakage when the corpus is
-    rebuilt).  Embarrassingly parallel; the oracle replays the exact
-    hash in DuckDB HUGEINT arithmetic."""
-
-    def assign(batch: pa.Table) -> pa.Table:
-        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
-        out = np.zeros(len(offs) - 1, np.uint64)
-        out[np.diff(offs) > 0] = h  # empty docs hash to 0
-        pct = (out % np.uint64(100)).astype(np.int64)
-        split = np.where(pct < eval_pct, "eval", "train")
-        ids = batch["doc_id"]
-        return pa.table(
-            {
-                "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
-                "hash_pct": pa.array(pct, pa.int64()),
-                "split": pa.array(split.astype(object), pa.string()),
-            }
-        )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(assign, batch_format="pyarrow")
-
-
-def stratified_sample(sf_dir: str, per_group: int = 5):
-    """Deterministic stratified sampling: per language, keep the
-    ``per_group`` documents with the smallest whole-text content hash
-    (ties by doc_id) — a reshard-stable "random" sample per stratum
-    (the hash is uniform; sampling by hash order is the standard
-    reproducible-sample trick).  One lang-keyed groupby; the hash is
-    replayed in DuckDB HUGEINT arithmetic (uint64 and non-negative
-    HUGEINT sort identically)."""
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
-        out = np.zeros(len(offs) - 1, np.uint64)
-        out[np.diff(offs) > 0] = h
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].combine_chunks()
-                if isinstance(batch["doc_id"], pa.ChunkedArray)
-                else batch["doc_id"],
-                "lang": batch["lang"].combine_chunks()
-                if isinstance(batch["lang"], pa.ChunkedArray)
-                else batch["lang"],
-                "hv": pa.array(out, pa.uint64()),
-            }
-        )
-
-    def top_per_lang(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("hv", "ascending"), ("doc_id", "ascending")]
-        )
-        g = group.take(order).slice(0, per_group)
-        n = g.num_rows
-        return pa.table(
-            {
-                "lang": g["lang"],
-                "doc_id": g["doc_id"],
-                "rnk": pa.array(np.arange(1, n + 1), pa.int64()),
-            }
-        )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(top_per_lang, batch_format="pyarrow")
-    )
-
-
-def domain_temperature_sample(sf_dir: str):
-    """Temperature-flattened domain sampling (the multilingual/domain
-    rebalancing step of corpus mixing, cf. XLM-R's alpha-sampling): keep
-    ``floor(sqrt(n_d))`` docs per source — big domains are downsampled
-    sublinearly, tiny ones kept nearly whole.  Two passes: a tiny
-    per-source count groupby decides each quota driver-side (broadcast
-    via ``ray.put``); pass B keeps each source's quota by content-hash
-    order (reshard-stable).  ``floor(sqrt())`` is IEEE-exact on int64
-    counts, so the SQL oracle reproduces every quota."""
-    import ray
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.select(["source"]).group_by("source").aggregate([([], "count_all")])
-        return g.rename_columns(["source", "c"])
-
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # domain-cardinality table, tiny
-    )
-    quota = {
-        s: int(np.floor(np.sqrt(c)))
-        for s, c in zip(counts["source"], counts["c"].astype(np.int64))
-    }
-    q_ref = ray.put(quota)
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
-        out = np.zeros(len(offs) - 1, np.uint64)
-        out[np.diff(offs) > 0] = h
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].combine_chunks()
-                if isinstance(batch["doc_id"], pa.ChunkedArray)
-                else batch["doc_id"],
-                "source": batch["source"].combine_chunks()
-                if isinstance(batch["source"], pa.ChunkedArray)
-                else batch["source"],
-                "hv": pa.array(out, pa.uint64()),
-            }
-        )
-
-    def keep_quota(group: pa.Table) -> pa.Table:
-        k = ray.get(q_ref).get(group["source"][0].as_py(), 0)
-        order = pc.sort_indices(
-            group, sort_keys=[("hv", "ascending"), ("doc_id", "ascending")]
-        )
-        g = group.take(order).slice(0, k)
-        return pa.table(
-            {
-                "source": g["source"],
-                "doc_id": g["doc_id"],
-                "rnk": pa.array(np.arange(1, g.num_rows + 1), pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(keep_quota, batch_format="pyarrow")
-    )
-
-
-def grouped_quantiles(sf_dir: str):
-    """EXACT per-language token-count quantiles (p50/p90 per lang): the
-    per-stratum variant of ``length_quantiles``.  Per-batch (lang, count)
-    value-count partials → a groupby over the per-lang histograms (only
-    distinct (lang, length) pairs shuffle) → driver-side cumsum per lang
-    over the tiny histogram table."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["lang", "n_tokens_ws"])
-            .group_by(["lang", "n_tokens_ws"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["lang", "v", "c"])
-
-    hist = (
-        t.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby(["lang", "v"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values(["lang", "v"])
-    )
-    rows = []
-    for lang, grp in hist.groupby("lang", sort=True):
-        v = grp["v"].to_numpy(np.int64)
-        cum = np.cumsum(grp["c"].to_numpy(np.int64))
-        n = int(cum[-1])
-        row = {"lang": lang, "n_docs": n}
-        for p in (50, 90):
-            rank = (p * n + 99) // 100
-            row[f"p{p}"] = int(v[np.searchsorted(cum, rank)])
-        rows.append(row)
-    return pd.DataFrame(rows)
-
-
-def corpus_shuffle(sf_dir: str, bucket_bits: int = 8):
-    """Deterministic global training-order shuffle with CONTIGUOUS ranks:
-    order docs by (whole-text content hash, doc_id) — the reshard-stable
-    "random" permutation used to fix an LLM data order.  NO corpus-wide
-    ``ds.sort``: the hash's top bits give ordered buckets, pass A reduces
-    a bucket histogram (the only driver materialization), the exclusive
-    prefix offsets broadcast via ``ray.put``, and pass B finishes each
-    bucket locally (one groupby, local sort, rank = offset + local idx).
-    ``bucket_bits`` scales bucket count to the cluster."""
-    import ray
-    from ray.data.aggregate import Sum
-
-    shift = np.uint64(64 - bucket_bits)
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h, offs = rolling_window_hashes(batch["text"], k=1 << 31)
-        out = np.zeros(len(offs) - 1, np.uint64)
-        out[np.diff(offs) > 0] = h  # empty docs hash to 0
-        ids = batch["doc_id"]
-        return pa.table(
-            {
-                "doc_id": ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
-                "hv": pa.array(out, pa.uint64()),
-                "hb": pa.array((out >> shift).astype(np.int64), pa.int64()),
-            }
-        )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.select(["hb"]).group_by("hb").aggregate([([], "count_all")])
-        return g.rename_columns(["hb", "c"])
-
-    hist = (
-        hashed.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("hb")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("hb")
-    )
-    offsets = np.zeros(1 << bucket_bits, np.int64)
-    bs = hist["hb"].to_numpy(np.int64)
-    cs = hist["c"].to_numpy(np.int64)
-    offsets[bs] = np.cumsum(cs) - cs
-    off_ref = ray.put(offsets)
-
-    def rank_bucket(group: pa.Table) -> pa.Table:
-        hv = group["hv"].to_numpy(zero_copy_only=False)
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, hv))
-        off = int(ray.get(off_ref)[int(group["hb"][0].as_py())])
-        rank = np.empty(len(order), np.int64)
-        rank[order] = off + np.arange(len(order), dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": group["doc_id"],
-                "shuffle_rank": pa.array(rank, pa.int64()),
-            }
-        )
-
-    return hashed.groupby("hb").map_groups(rank_bucket, batch_format="pyarrow")
-
-
-def doc_chunk(sf_dir: str, size: int = 32, stride: int = 24):
-    """Fixed-token-window chunking with overlap (LLM pre-training prep):
-    one row per 32-word window starting every 24 words.  A row-expanding
-    ``map_batches`` — each doc's chunks are produced inside its own
-    batch, no shuffle, no per-row Python (one Arrow split + numpy window
-    arithmetic + one vectorized gather/join per batch)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import chunk_docs
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        chunk_docs, fn_kwargs={"size": size, "stride": stride}, batch_format="pyarrow"
-    )
-
-
-def _contamination_apply(batch: pa.Table, bench_ref=None, n: int = 8) -> pa.Table:
-    # NOTE: contamination_counts is imported at module level on purpose —
-    # worker-executed runtime `from arcane_...` imports break under a
-    # foreign cwd (by-value registration doesn't cover name-based imports)
-    keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 10) != 7
-    return contamination_counts(batch.filter(pa.array(keep)), bench_ref=bench_ref, n=n)
-
-
-def decontaminate(sf_dir: str, n: int = 8):
-    """Benchmark decontamination (GPT-3 §C-style n-gram overlap): flag
-    every training doc sharing a word-8-gram with the held-out benchmark
-    slice (here: doc_id % 10 == 7 stands in for the benchmark corpus).
-
-    Scale shape: the benchmark side is tiny by definition — its distinct
-    gram hashes are reduced once and broadcast via ``ray.put`` (sorted
-    uint64 array, plasma-local per worker); the corpus side streams
-    through one ``searchsorted`` per batch.  No shuffle anywhere."""
-    import ray
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        bench_gram_table,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        keep = (batch["doc_id"].to_numpy(zero_copy_only=False) % 10) == 7
-        return bench_gram_table(batch.filter(pa.array(keep)), n=n)
-
-    gh = (
-        ds.map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["gh"]
-        .to_numpy(dtype=np.uint64)
-    )
-    bench_ref = ray.put(np.unique(gh))
-    return ds.map_batches(
-        _contamination_apply,
-        fn_kwargs={"bench_ref": bench_ref, "n": n},
-        batch_format="pyarrow",
-    )
-
-
-def length_quantiles(sf_dir: str):
-    """Exact distributed quantiles of the per-doc whitespace token count
-    (p25/p50/p75/p90/p99 by the rank rule ``value at row ceil(p*n/100)``
-    of the sorted counts).  Shape: per-batch value-count partials →
-    groupby over DISTINCT count values (a shuffle of the value histogram,
-    not the corpus) → driver-side cumsum over the histogram.  The only
-    materialization is the histogram (cardinality = distinct lengths)."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    t = ds.map_batches(TokenCountStage(), batch_format="pyarrow")
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["n_tokens_ws"])
-            .group_by("n_tokens_ws")
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["v", "c"])
-
-    hist = (
-        t.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("v")
-    )
-    v = hist["v"].to_numpy(np.int64)
-    cum = np.cumsum(hist["c"].to_numpy(np.int64))
-    n = int(cum[-1]) if len(cum) else 0
-    row: dict[str, int] = {"n_docs": n}
-    for p in (25, 50, 75, 90, 99):
-        rank = (p * n + 99) // 100
-        row[f"p{p}"] = int(v[np.searchsorted(cum, rank)]) if n else 0
-    return pd.DataFrame([row])
-
-
-def url_normalize(sf_dir: str):
-    """URL canonicalization over the web corpus — the key-normalization
-    step in front of the url-keyed CDC merge (lowercase scheme/host,
-    strip www. and default port, drop tracking params + fragment).
-    Embarrassingly parallel Arrow re2 kernels; the synthetic messy url
-    is built deterministically from (source, doc_id, lang) because the
-    test corpus carries no url column."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.web import (
-        normalize_urls,
-        synth_urls,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
-
-    def norm(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column("url", synth_urls(batch))
-        return normalize_urls(batch).select(
-            ["doc_id", "url", "url_norm", "host", "path"]
-        )
-
-    return ds.map_batches(norm, batch_format="pyarrow")
-
-
-def domain_stats(sf_dir: str):
-    """Per-domain corpus statistics (docs + chars per registered host):
-    the standard crawl-health rollup.  Pre-aggregated inside each batch
-    (partial count/sum per host) before the global groupby, so only
-    (host, n, chars) rows — domain cardinality, not corpus cardinality —
-    ever shuffle."""
-    from ray.data.aggregate import Sum
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.web import (
-        normalize_urls,
-        synth_urls,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column("url", synth_urls(batch))
-        t = normalize_urls(batch).select(["host", "n_chars"])
-        g = t.group_by("host").aggregate([([], "count_all"), ("n_chars", "sum")])
-        return g.rename_columns(["host", "n", "chars"])
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Sum("n", alias_name="n_docs"), Sum("chars", alias_name="sum_chars"))
-    )
-
-
-def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Gap-based session windows over the event stream (the classic
-    streaming-window operator): one groupby co-locates each user's
-    events, the per-group kernel sorts by (ts, event_id) and cuts a new
-    session when the gap exceeds 30 minutes.  The shuffle moves only
-    (event_id, user_id, ts) — payload columns are pruned at the read."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        sessionize_user,
-    )
-
-    gap_us = gap_minutes * 60 * 1_000_000
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-
-    def per_user(group: pa.Table) -> pa.Table:
-        return sessionize_user(group, gap_us)
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-
-
-def session_stats(sf_dir: str, gap_minutes: int = 30):
-    """Per-session rollups on top of gap-based sessionization: one
-    co-shuffle of the pruned (event_id, ts, user_id) columns, then a
-    single vectorized sort + run-length pass per user resolves session
-    cuts AND their aggregates (count, span) — sessions never exist as
-    intermediate rows."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import session_cuts
-
-    gap_us = gap_minutes * 60 * 1_000_000
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-
-    def per_user(group: pa.Table) -> pa.Table:
-        g, ts, new = session_cuts(group, gap_us)
-        n = len(ts)
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.r_[starts, n])
-        ends = np.r_[starts[1:], n] - 1
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    np.full(len(starts), g["user_id"][0].as_py(), np.int64)
-                ),
-                "session_id": pa.array(np.arange(1, len(starts) + 1, dtype=np.int64)),
-                "n_events": pa.array(counts.astype(np.int64)),
-                "start_ts": pa.array(ts[starts].view("datetime64[us]")),
-                "end_ts": pa.array(ts[ends].view("datetime64[us]")),
-                "duration_us": pa.array(ts[ends] - ts[starts]),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-
-
-def length_percentile_filter(sf_dir: str, lo_p: int = 5, hi_p: int = 95):
-    """Length-outlier filtering (the classic webtext drop rule): keep
-    docs whose n_chars lies within the corpus's exact [p05, p95].
-    Two streaming passes over a 2-column projection: pass 1 builds the
-    length HISTOGRAM (per-batch value-count partials, a groupby over
-    distinct lengths only), thresholds come from a driver-side cumsum
-    over that tiny table; pass 2 filters with the broadcast scalars.
-    Same rank rule as length_quantiles (value at row ceil(p*n/100))."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        g = batch.select(["n_chars"]).group_by("n_chars").aggregate([([], "count_all")])
-        return g.rename_columns(["v", "c"])
-
-    hist = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("v")
-    )
-    v = hist["v"].to_numpy(np.int64)
-    cum = np.cumsum(hist["c"].to_numpy(np.int64))
-    n = int(cum[-1]) if len(cum) else 0
-    if n == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())})
-    lo = int(v[np.searchsorted(cum, (lo_p * n + 99) // 100)])
-    hi = int(v[np.searchsorted(cum, (hi_p * n + 99) // 100)])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        c = batch["n_chars"]
-        return batch.filter(
-            pc.and_(
-                pc.greater_equal(c, pa.scalar(lo, pa.int64())),
-                pc.less_equal(c, pa.scalar(hi, pa.int64())),
-            )
-        )
-
-    return ds.map_batches(keep, batch_format="pyarrow")
-
-
-def pii_redact(sf_dir: str):
-    """PII scrub (C4/CCNet-style): plant a deterministic contact block
-    per document (the corpus itself carries no PII), then mask emails /
-    IPv4s / phone-like runs with typed placeholders and count each
-    class.  Arrow and DuckDB both run RE2, so the oracle's nested
-    regexp_replace reproduces the redacted text byte-for-byte."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import (
-        PiiRedactStage,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def augment(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        aug = pc.binary_join_element_wise(
-            batch["text"],
-            " contact user",
-            pa.array(ids.astype("U"), pa.string()),
-            "@example.com or call +1 555 000 ",
-            pa.array((ids % 10000).astype("U"), pa.string()),
-            " from ",
-            pa.array((ids % 256).astype("U"), pa.string()),
-            ".0.0.1",
-            "",
-        )
-        return pa.table({"doc_id": batch["doc_id"].combine_chunks(), "text": aug})
-
-    stage = PiiRedactStage()
-    return (
-        ds.map_batches(augment, batch_format="pyarrow")
-        .map_batches(stage, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"])
-    )
-
-
-def lang_id(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(LangIdStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "lang_pred"]
-    )
-
-
-def doc_fingerprint(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(FingerprintStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "fingerprint"]
-    )
-
-
-def topk_tokens(sf_dir: str):
-    """flat_map tokens -> per-batch partial counts (vectorized Arrow
-    group_by combiner) -> global groupby sum -> deterministic top-20."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "documents", columns=["text"])
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        return token_count_partials(batch["text"])
-
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    return counts.sort(["cnt", "token"], descending=[True, False]).limit(20)
-
-
-def asof_join(sf_dir: str):
-    """Backward as-of join: every click event picks up the user's latest
-    purchase at-or-before it (the event×slowly-changing-dimension
-    operator Ray Data lacks a primitive for).  One key-bucketed
-    co-shuffle; inside each bucket a single lexsort + maximum.accumulate
-    merge resolves all matches in O(n).  Nulls (no earlier purchase)
-    are filled to sentinel values so the oracle compare stays typed."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        asof_join as _asof,
-    )
-
-    ev = _read(
-        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
-    )
-    left = ev.filter(expr="event_type == 'click'").select_columns(
-        ["event_id", "user_id", "ts"]
-    )
-    right = ev.filter(expr="event_type == 'purchase'").select_columns(
-        ["event_id", "user_id", "ts", "value"]
-    )
-    out = _asof(
-        left,
-        right,
-        key_col="user_id",
-        ts_col="ts",
-        tie_col="event_id",
-        payload_cols=["event_id", "value"],
-        # bucket count is the parallelism knob: sized to this corpus
-        # (150 users); at cluster scale raise it with the key cardinality
-        num_buckets=16,
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_id": batch["event_id"],
-                "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "matched_event_id": pc.fill_null(
-                    batch["matched_event_id"], pa.scalar(-1, pa.int64())
-                ),
-                "matched_value": pc.fill_null(
-                    batch["matched_value"], pa.scalar(0.0, pa.float64())
-                ),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
-
-
-def cdc_net_changes(sf_dir: str, buckets: int = 32):
-    """MSSQL ``CHANGETABLE(CHANGES t, @since)`` analog: the NET change
-    per key since a baseline version (here max(event_id)//2, read from
-    the parquet footer statistics — no extra scan).  This is the exact
-    contract the reference's change-tracking source consumes upstream
-    of the merge (reference ``docs/merge.md`` CT semantics).
-
-    Shape: each batch PRE-COMBINES to <=2 rows per key (max-version row
-    on the baseline side and on the post side) before any movement, the
-    shuffle is key-bucketed over those partials only, and the per-bucket
-    fold resolves net ops vectorized over all keys at once."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.cdc_ops import (
-        last_per_key_side,
-        net_changes_fold,
-    )
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
-    names = [md.schema.column(j).name for j in range(md.num_columns)]
-    ci = names.index("event_id")
-    stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
-    since = max(s.max for s in stats) // 2 if all(s and s.has_min_max for s in stats) else None
-    ds = _read(
-        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
-    )
-    if since is None:  # fallback: one pruned-column pass
-        since = ds.max("event_id") // 2
-
-    def partial(batch: pa.Table) -> pa.Table:
-        op = pc.if_else(
-            pc.equal(batch["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
-        )
-        t = pa.table(
-            {
-                "user_id": batch["user_id"],
-                "side": pc.cast(pc.greater(batch["event_id"], since), pa.int64()),
-                "version": batch["event_id"],
-                "op": op,
-                "ts": batch["ts"],
-                "event_type": batch["event_type"],
-                "value": batch["value"],
-            }
-        )
-        t = last_per_key_side(t)
-        return t.append_column(
-            "kb", pc.bit_wise_and(t["user_id"], pa.scalar(buckets - 1, pa.int64()))
-        )
-
-    def fold(group: pa.Table) -> pa.Table:
-        return net_changes_fold(group.drop_columns(["kb"]))
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("kb")
-        .map_groups(fold, batch_format="pyarrow")
-    )
-
-
-def scd2_history(sf_dir: str, buckets: int = 32):
-    """Type-2 slowly-changing-dimension build from the change feed: per
-    key, each non-delete event opens an interval [version, next_version)
-    with the newest one current; deletes close intervals without opening
-    one.  The classic warehouse consumer of a CDC feed downstream of the
-    LWW merge.  Shape: the pruned feed co-shuffles once by key bucket,
-    then one vectorized sort + shift per bucket resolves every key's
-    interval chain (no per-key Python calls)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.cdc_ops import scd2_intervals
-
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
-
-    def add(batch: pa.Table) -> pa.Table:
-        op = pc.if_else(
-            pc.equal(batch["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
-        )
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "version": batch["event_id"],
-                "op": op,
-                "event_type": batch["event_type"],
-                "value": batch["value"],
-                "kb": pc.bit_wise_and(
-                    batch["user_id"], pa.scalar(buckets - 1, pa.int64())
-                ),
-            }
-        )
-
-    def fold(group: pa.Table) -> pa.Table:
-        return scd2_intervals(group.drop_columns(["kb"]))
-
-    return (
-        ds.map_batches(add, batch_format="pyarrow")
-        .groupby("kb")
-        .map_groups(fold, batch_format="pyarrow")
-    )
-
-
-def funnel_users(sf_dir: str):
-    """Conversion-funnel membership (view -> later purchase) — a pure
-    pre-aggregable pattern: per-batch Arrow hash-aggregate collapses to
-    one (user, min_view_ts, max_purchase_ts) row per key per batch
-    (sentinel-filled, so the global Min/Max fold never sees nulls), then
-    a tiny groupby folds partials and a final filter keeps converting
-    users.  The events payload never shuffles."""
-    from ray.data.aggregate import Min, Max
-
-    I64MAX, I64MIN = 2**63 - 1, -(2**63)
-    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch["ts"], pa.int64())
-        fv = pc.if_else(
-            pc.equal(batch["event_type"], "view"), ts, pa.scalar(I64MAX, pa.int64())
-        )
-        lp = pc.if_else(
-            pc.equal(batch["event_type"], "purchase"), ts, pa.scalar(I64MIN, pa.int64())
-        )
-        t = pa.table({"user_id": batch["user_id"], "fv": fv, "lp": lp})
-        g = t.group_by("user_id").aggregate([("fv", "min"), ("lp", "max")])
-        return g.rename_columns(["user_id", "fv", "lp"])
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("fv", alias_name="fv"), Max("lp", alias_name="lp"))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        fv, lp = batch["fv"], batch["lp"]
-        keep = pc.and_(
-            pc.and_(
-                pc.not_equal(fv, pa.scalar(I64MAX, pa.int64())),
-                pc.not_equal(lp, pa.scalar(I64MIN, pa.int64())),
-            ),
-            pc.less(fv, lp),
-        )
-        t = pa.table(
-            {
-                "user_id": batch["user_id"],
-                "first_view": pc.cast(fv, pa.timestamp("us")),
-                "last_purchase": pc.cast(lp, pa.timestamp("us")),
-            }
-        )
-        return t.filter(keep)
-
-    return out.map_batches(finish, batch_format="pyarrow")
-
-
-def per_domain_topk(sf_dir: str, k: int = 3):
-    """Top-k documents per source domain by length (grouped top-k, the
-    per-stratum ranking primitive): per-batch vectorized top-k per
-    source runs BEFORE the shuffle, so at most k rows per (source,
-    batch) move; the per-source finish re-ranks the partials."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-    keys = [("source", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.take(pc.sort_indices(batch, sort_keys=keys))
-        src = g["source"].to_numpy(zero_copy_only=False)
-        n = len(src)
-        if n == 0:
-            return g
-        starts = np.r_[True, src[1:] != src[:-1]]
-        idx = np.flatnonzero(starts)
-        counts = np.diff(np.r_[idx, n])
-        rank = np.arange(n) - np.repeat(idx, counts)
-        return g.filter(pa.array(rank < k))
-
-    def finish(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
-        )
-        return group.take(order[:k])
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
-        .map_groups(finish, batch_format="pyarrow")
-    )
-
-
-def revenue_by_nation(sf_dir: str):
-    """TPC-H Q5-lite: revenue by customer nation for orders placed in
-    1996 — the classic fact×fact×dimension chain.  Scale shape: revenue
-    pre-aggregates per (orderkey) INSIDE each lineitem batch before any
-    movement (the fact table collapses ~4:1 and payload columns drop to
-    one int64); the lineitem×orders join is the explicit partitioned
-    hash join (both sides huge); customer⋈nation collapses to a
-    custkey->n_name lookup broadcast once via ray.put (at extreme scale
-    this becomes a second partitioned join on custkey — same operator).
-    Revenue is integer 1e-4 units (price cents × (100 - discount
-    cents)) so sums compare bit-for-bit with the SQL oracle."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        broadcast_lookup_join,
-        partitioned_equi_join,
-    )
-    from ray.data.aggregate import Sum
-    import pyarrow.parquet as pq
-
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def li_partial(batch: pa.Table) -> pa.Table:
-        # half_towards_infinity matches DuckDB round() on exact .5 cents
-        price_c = pc.cast(
-            pc.round(pc.multiply(batch["l_extendedprice"], 100.0), 0,
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        disc_c = pc.cast(
-            pc.round(pc.multiply(batch["l_discount"], 100.0), 0,
-                     round_mode="half_towards_infinity"),
-            pa.int64(),
-        )
-        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
-        t = pa.table({"o_orderkey": batch["l_orderkey"], "rev_u": rev})
-        g = t.group_by("o_orderkey").aggregate([("rev_u", "sum")])
-        return g.rename_columns(["o_orderkey", "rev_u"])
-
-    from datetime import datetime
-
-    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
-    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
-        )
-        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
-
-    fact = li.map_batches(li_partial, batch_format="pyarrow")
-    orders = _read(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(od_filter, batch_format="pyarrow")
-    joined = partitioned_equi_join(fact, orders, on="o_orderkey", num_buckets=16)
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    lookup = cust.join(
-        nat, keys=["c_nationkey"], right_keys=["n_nationkey"], join_type="inner"
-    ).select(["c_custkey", "n_name"])
-    with_nation = broadcast_lookup_join(
-        joined, lookup, on="o_custkey", right_on="c_custkey", small_columns=["n_name"]
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["n_name", "rev_u"])
-            .group_by("n_name")
-            .aggregate([("rev_u", "sum")])
-        )
-        return g.rename_columns(["n_name", "rev_u"])
-
-    return (
-        with_nation.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("rev_u", alias_name="revenue_u"))
-    )
-
-
-def windowed_agg(sf_dir: str):
-    """Tumbling-window aggregate over event time (the streaming-window
-    operator the reference lacks): per (event_type, hour) row counts and
-    value sums.  Shape: per-batch PARTIAL aggregation with Arrow's
-    hash group_by inside map_batches, then a small global groupby over
-    (type, window) partials — the full events payload never shuffles."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        w = pc.floor_temporal(batch["ts"], unit="hour")
-        t = pa.table(
-            {"event_type": batch["event_type"], "w": w, "value": batch["value"]}
-        )
-        g = t.group_by(["event_type", "w"]).aggregate(
-            [("value", "sum"), ("value", "count")]
-        )
-        return g.rename_columns(["event_type", "w", "sv", "n"])
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "w"])
-        .aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        # sum as integer 1e-4 units: float-sum low bits differ between
-        # engines by summation order, and round() ulp behavior differs
-        # between Arrow and DuckDB — integer units compare exactly
-        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0,
-                                round_mode="half_towards_infinity"), pa.int64())
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "w": pc.cast(batch["w"], pa.timestamp("us")),
-                "n": pc.cast(batch["n"], pa.int64()),
-                "sv_u": sv_u,
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
-
-
-def hopping_window(sf_dir: str):
-    """Hopping (overlapping) window aggregate: 2-hour windows advancing
-    hourly — each event lands in TWO windows.  The window expansion is a
-    row-duplicating map_batches (event → its two window starts) with
-    in-batch partial aggregation BEFORE the global (type, window)
-    groupby, so the shuffle carries window partials, never the doubled
-    event stream."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-    hour = pa.scalar(3_600_000_000, pa.duration("us"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        w0 = pc.floor_temporal(batch["ts"], unit="hour")
-        t = pa.concat_tables(
-            [
-                pa.table(
-                    {"event_type": batch["event_type"], "w": w, "value": batch["value"]}
-                )
-                for w in (w0, pc.subtract(w0, hour))
-            ]
-        )
-        g = t.group_by(["event_type", "w"]).aggregate(
-            [("value", "sum"), ("value", "count")]
-        )
-        return g.rename_columns(["event_type", "w", "sv", "n"])
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "w"])
-        .aggregate(Sum("sv", alias_name="sv"), Sum("n", alias_name="n"))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        sv_u = pc.cast(pc.round(pc.multiply(batch["sv"], 10000.0), 0,
-                                round_mode="half_towards_infinity"), pa.int64())
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "w": pc.cast(batch["w"], pa.timestamp("us")),
-                "n": pc.cast(batch["n"], pa.int64()),
-                "sv_u": sv_u,
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
-
-
-def distinct_count(sf_dir: str):
-    """Exact COUNT(DISTINCT) at scale: distinct users per event type via
-    the standard two-level groupby — level 1 dedups (type, user) pairs
-    (per-batch pre-distinct shrinks the exchange to unique pairs), level
-    2 counts pairs per type with another partial/sum.  No sketches, no
-    driver-side set."""
-    from ray.data.aggregate import Count, Sum
-
-    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-
-    def pre_distinct(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["event_type", "user_id"]).aggregate([])
-
-    uniq = (
-        ds.map_batches(pre_distinct, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def count_per_type(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["event_type"])
-            .group_by("event_type")
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["event_type", "pn"])
-
-    out = (
-        uniq.map_batches(count_per_type, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("pn", alias_name="n_users"))
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "n_users": pc.cast(batch["n_users"], pa.int64()),
-            }
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
-
-
-def top_docs_by_len(sf_dir: str):
-    """Global sort + limit surface: top-50 documents by mean word length
-    (rounded quality metric), doc_id tie-break — a distributed sort whose
-    output is deterministic and SQL-oracle-checkable."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(QualityScoreStage(), batch_format="pyarrow").select_columns(
-        ["doc_id", "mean_word_len"]
-    )
-    return scored.sort(["mean_word_len", "doc_id"], descending=[True, False]).limit(50)
-
-
-# ===========================================================================
-# Training-data operators: dedup
-# ===========================================================================
-def dedup_exact(sf_dir: str):
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import exact_dedup
-
-    return exact_dedup(_read(sf_dir, "documents"), "text", "doc_id").select_columns(
-        ["doc_id", "text", "lang", "source", "n_chars"]
-    )
-
-
-def dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs, verified with true shingle Jaccard
-    (verification is a distributed join by doc id — no corpus broadcast).
-    Oracle-checked against the sketch-free all-pairs Jaccard SQL: a hash
-    match means exact verified values AND LSH recall 1.0 on this corpus."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import minhash_dedup_pairs
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.5, text_col="text", id_col="doc_id")
-
-
-def dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming <= 3) with the SQL-reproducible
-    polynomial word hash: the 4x16-bit chunk banding is pigeonhole-EXACT
-    at this cutoff, so the all-pairs DuckDB oracle certifies the whole
-    distributed pipeline (signatures, banding, in-bucket verify,
-    cross-bucket pair dedup) bit-for-bit."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import simhash_dedup_pairs
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup_pairs(ds, max_hamming=3, hash_impl="poly")
-
-
-def span_dedup(sf_dir: str, window: int = 16):
-    """Duplicate-passage removal: keep the corpus-wide first occurrence
-    of every distinct 16-word chunk and reassemble docs (the chunk-
-    granular approximation of suffix-array substring dedup).  Shuffle #1
-    moves 24-byte chunk triples; shuffle #2 is one doc-bucketed rebuild
-    exchange — text crosses the wire exactly once."""
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
-        span_dedup as _span,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # ~8 chunks/doc at the synthetic doc length; size the detection
-    # exchange to ~64 chunks per bucket, capped at the 4096 scale default
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return _span(ds, window=window, hash_buckets=min(4096, max(16, n_docs // 8)))
-
-
-def dedup_ngram_jaccard(sf_dir: str):
-    """EXACT n-gram Jaccard similarity join (inverted shingle index:
-    explode → groupby(shingle) pair emission → pair-count groupby →
-    Jaccard from exact set sizes).  Unlike the MinHash path this is
-    sketch-free, so a plain SQL oracle can hash-verify it."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
-        exact_jaccard_pairs,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_jaccard_pairs(ds, threshold=0.2, text_col="text", id_col="doc_id")
-
-
-# ===========================================================================
-# Training-data operators: similarity search
-# ===========================================================================
-def _query_vectors(sf_dir: str) -> np.ndarray:
-    import duckdb
-
-    con = duckdb.connect()
-    try:
-        q = con.sql(
-            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
-            "WHERE vec_id IN (0, 1) ORDER BY vec_id"
-        ).fetchall()
-    finally:
-        con.close()
-    return np.array([row[0] for row in q], dtype=np.float64)
-
-
-#: pair counts up to this solve on the driver (numpy pointer jumping:
-#: two int64 arrays, trivially fits); beyond it the edge list itself is
-#: treated as distributed data and components run as groupby rounds
-_CC_DRIVER_MAX_PAIRS = 2_000_000
-
-
-def dedup_clusters(sf_dir: str, distributed: bool | None = None):
-    """Near-dup canonicalization: exact-Jaccard pairs -> connected
-    components -> ``cluster_id`` = min doc_id in the component (the
-    standard keep-one-per-cluster step after a similarity join).  The
-    pair list is the similarity join's SPARSE output (orders of
-    magnitude smaller than the corpus — the distributed work already
-    happened inside ``exact_jaccard_pairs``); below
-    ``_CC_DRIVER_MAX_PAIRS`` components solve driver-side with
-    vectorized min-label propagation + pointer jumping, and above it
-    (or with ``distributed=True``) they run FULLY DISTRIBUTED as
-    alternating large-star/small-star ``groupby`` rounds
-    (``connected_components_ds``) — the edge list never lands on the
-    driver, closing the r2 verdict's last data-dependent driver
-    materialization."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
-        connected_components,
-        connected_components_ds,
-    )
-
-    pairs_ds = dedup_ngram_jaccard(sf_dir).select_columns(["id_a", "id_b"]).materialize()
-    if distributed is None:
-        distributed = pairs_ds.count() > _CC_DRIVER_MAX_PAIRS
-    if distributed:
-        lab = connected_components_ds(pairs_ds)
-        rows = lab.take_all()  # pair-bounded (node, label) map — the RESULT
-        rows.sort(key=lambda r: r["node"])
-        return pa.table(
-            {
-                "doc_id": pa.array([r["node"] for r in rows], pa.int64()),
-                "cluster_id": pa.array([r["label"] for r in rows], pa.int64()),
-            }
-        )
-    pairs = pairs_ds.to_pandas()
-    nodes, lbl = connected_components(
-        pairs["id_a"].to_numpy(np.int64), pairs["id_b"].to_numpy(np.int64)
-    )
-    return pa.table(
-        {
-            "doc_id": pa.array(nodes, pa.int64()),
-            "cluster_id": pa.array(lbl, pa.int64()),
-        }
-    )
-
-
-def dedup_keep_best(sf_dir: str):
-    """Canonical-doc selection after near-dup clustering: every doc maps
-    to its cluster (singletons to themselves), and the LONGEST doc per
-    cluster wins (tie -> min doc_id) — the standard keep-one step that
-    turns a near-dup join into an actual dedup.  The sparse cluster map
-    (only docs that appear in some pair) is broadcast via ``ray.put``;
-    the corpus streams through one vectorized lookup + per-batch
-    best-per-cluster partial, then a tiny per-cluster finish."""
-    import ray
-
-    cl = dedup_clusters(sf_dir)
-    lut_ref = ray.put(
-        (cl["doc_id"].to_numpy(), cl["cluster_id"].to_numpy())
-    )
-
-    def assign(batch: pa.Table, lut=lut_ref) -> pa.Table:
-        nodes, lbl = (ray.get(lut) if isinstance(lut, ray.ObjectRef) else lut)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(nodes, ids)
-        pos = np.clip(pos, 0, max(len(nodes) - 1, 0))
-        cid = ids.copy()
-        if len(nodes):
-            hit = nodes[pos] == ids
-            cid[hit] = lbl[pos[hit]]
-        t = pa.table(
-            {
-                "cluster_id": pa.array(cid, pa.int64()),
-                "doc_id": batch["doc_id"],
-                "n_chars": batch["n_chars"],
-            }
-        )
-        # per-batch partial: best row per cluster before the shuffle
-        g = t.take(
-            pc.sort_indices(
-                t,
-                sort_keys=[
-                    ("cluster_id", "ascending"),
-                    ("n_chars", "descending"),
-                    ("doc_id", "ascending"),
-                ],
-            )
-        )
-        c = g["cluster_id"].to_numpy(zero_copy_only=False)
-        return g.filter(pa.array(np.r_[True, c[1:] != c[:-1]]))
-
-    def best(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")],
-        )
-        return group.take(order[:1])
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster_id")
-        .map_groups(best, batch_format="pyarrow")
-    )
-
-
-def inverted_index(sf_dir: str, min_df: int = 2, max_postings: int = 64, buckets: int = 512):
-    """Inverted-index build (the retrieval-side primitive): token ->
-    document frequency + ordered posting list.  Per-batch: tokenize with
-    Arrow's split kernel, DISTINCT (token, doc_id) via Arrow hash
-    group-by — so the shuffle carries one row per (token, doc) and the
-    texts never move.  Tokens co-shuffle by a coarse hash bucket (NOT
-    one group per token — hot stopword tokens would serialize); the
-    per-bucket finish resolves every token's df and postings in one
-    vectorized sort + run-length pass.  Posting lists are capped at
-    ``max_postings`` ids (df stays exact over the full set — the cap is
-    part of the contract and the oracle applies the same slice)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
-
-    from arcane_stream_sqlserver_change_tracking_ray.stages.merge import hash_keys
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat, offsets = words_flat(batch["text"])
-        n_words = np.diff(offsets)
-        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_words)
-        t = pa.table({"token": flat, "doc_id": pa.array(ids, pa.int64())})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        t = t.group_by(["token", "doc_id"]).aggregate([])
-        tb = hash_keys(t["token"], "polars") % np.uint64(buckets)
-        return t.append_column("tb", pa.array(tb.astype(np.int64)))
-
-    def finish(group: pa.Table) -> pa.Table:
-        g = group.take(
-            pc.sort_indices(
-                group,
-                sort_keys=[("token", "ascending"), ("doc_id", "ascending")],
-            )
-        )
-        tok = g["token"].to_numpy(zero_copy_only=False)
-        n = len(tok)
-        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
-        counts = np.diff(np.r_[starts, n])
-        keep = counts >= min_df
-        rank = np.arange(n) - np.repeat(starts, counts)
-        take_mask = (rank < max_postings) & np.repeat(keep, counts)
-        ids_str = pc.cast(g["doc_id"], pa.string()).combine_chunks()
-        kept_counts = np.minimum(counts[keep], max_postings)
-        kept = ids_str.filter(pa.array(take_mask))
-        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offs), kept)
-        postings = pc.binary_join(lists, ",")
-        first = g.filter(pa.array(np.r_[True, tok[1:] != tok[:-1]])).filter(
-            pa.array(keep)
-        )
-        return pa.table(
-            {
-                "token": first["token"],
-                "df": pa.array(counts[keep].astype(np.int64)),
-                "postings": postings,
-            }
-        )
-
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("tb")
-        .map_groups(lambda g: finish(g.drop_columns(["tb"])), batch_format="pyarrow")
-    )
-
-
-def ann_cosine_topk(sf_dir: str):
-    """Brute-force cosine top-10 vs the embeddings of vec_id 0 and 1
-    (query matrix broadcast once; per-batch matmul + local top-k)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import brute_force_topk
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return brute_force_topk(ds, _query_vectors(sf_dir), k=10)
-
-
-def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed ANN under the VALUE-HASH gate: ±1 (Rademacher)
-    hyperplanes from a splitmix-style integer hash over fixed-point
-    (1e-4) quantized embeddings make every bucket bit an exact integer
-    sign — the DuckDB oracle replays bucketing, radius-1 probing and the
-    cosine ranking bit-for-bit (gaussian planes + float dots cannot
-    guarantee the sign of a near-zero float sum across engines).  Scan
-    cost is still ~2^planes below brute force; the probed candidates'
-    scores use the same float64 path `ann_cosine_topk` already proved
-    engine-equal at 6-decimal rounding."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import lsh_topk
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(
-        ds, _query_vectors(sf_dir), k=10, probe_radius=1, plane_kind="rademacher"
-    )
-
-
-def ann_ivf_topk(sf_dir: str):
-    """IVF ANN (distributed k-means coarse quantizer + probed-cluster
-    scan) — the inverted-file scale path.  nprobe=8 of 16 clusters is
-    tuned for recall@10 = 1.0 on this corpus, making the EXACT
-    brute-force top-k SQL a hashable oracle: a quantizer or probing
-    regression that loses a true neighbor breaks the hash, while the
-    scan still touches only the probed half of the clusters."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import ivf_topk
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=16, nprobe=8)
-
-
-def neardup_cosine_exact(sf_dir: str):
-    """EXACT all-pairs embedding near-dup (broadcast matrix, per-batch
-    matmul, pairs emitted once via id_a < id_b) — SQL-oracle-verified;
-    the LSH `embedding_neardup` below is the approximate scale path."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
-        exact_cosine_pairs,
-    )
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return exact_cosine_pairs(ds, threshold=0.45)
-
-
-def embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via LSH bucketing, under the
-    VALUE-HASH gate: exact integer Rademacher bucketing (see
-    ``ann_lsh_topk``) + float64 in-bucket cosine — the oracle self-joins
-    on the same buckets and must produce the identical pair set."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
-        embedding_neardup_pairs,
-    )
-
-    # the synthetic embeddings have no true near-dups (max pairwise cosine
-    # ~0.51), so use a threshold that surfaces the closest pairs
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(
-        ds, threshold=0.4, planes=4, plane_kind="rademacher"
-    )
-
-
-# ===========================================================================
-# Multimodal plumbing
-# ===========================================================================
-def multimodal_meta(sf_dir: str):
-    """Binary-column plumbing with an oracle: text re-encoded as an opaque
-    binary media column; n_bytes must equal the utf8 byte length."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.multimodal import DecodeImageStage
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        media = pc.cast(batch["text"], pa.binary())
-        return pa.table({"doc_id": batch["doc_id"], "media": media})
-
-    out = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
-        DecodeImageStage, batch_format="pyarrow", batch_size=256, concurrency=2
-    )
-    return out.select_columns(["doc_id", "n_bytes"])
-
-
-def multimodal_decode(sf_dir: str):
-    """Full fake-decode chain: decode -> resize -> feature-extract as
-    actor-pool stages (rows-only: the stubbed decode is not SQL)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.multimodal import media_pipeline
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def to_media(batch: pa.Table) -> pa.Table:
-        media = pc.cast(batch["text"], pa.binary())
-        return pa.table({"doc_id": batch["doc_id"], "media": media})
-
-    out = media_pipeline(ds.map_batches(to_media, batch_format="pyarrow"))
-    return out.select_columns(
-        ["doc_id", "n_bytes", "decoded_h", "decoded_w", "channels", "resized_h", "resized_w"]
-    )
-
-
-def cdc_stream_replay(sf_dir: str):
-    """Flagship end-to-end UNDER THE HASH GATE: the driver's events table
-    replayed as the change feed through the FULL engine with the G1
-    STAGING path enabled (grouper -> staged parquet -> merge -> dispose;
-    reference ``docs/crd.md:39-73``) — the one hash-gated query that
-    exercises staging end-to-end.  Converges to plain LWW SQL over
-    `events`, so the driver hash-compares the whole staged engine.  (The
-    synthetic-CT-log-generator variant of this replay lives in pytest:
-    tests/test_runner_e2e.py.)"""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-
-    _, tgt, _ = _events_lake(
-        sf_dir, extra={"staging": {"enabled": True, "maxRowsPerFile": 2000}}
-    )
-    out = read_target_table(tgt)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_engine_events_replay(sf_dir: str):
-    """Full-engine end-to-end WITH a hash-checked SQL oracle: the change
-    feed is the driver's own `events` table (version = event_id, op = 'D'
-    for event_type 'error' else 'U'), chunked into CT-log segments and
-    replayed through the REAL engine — tailer plan/poll, transforms,
-    direct MoR merge, manifest commits, merge-on-read final read.  The
-    converged table equals plain LWW SQL over `events`, so the driver
-    can hash-compare the whole engine, not just row counts."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-
-    _, tgt, _ = _events_lake(sf_dir)
-    out = read_target_table(tgt)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def _replay_events_to_target(
-    sf_dir: str,
-    root: str,
-    extra: dict | None = None,
-    shuffle_within: bool = False,
-    single_segment_cycles: bool = False,
-    max_cycles: int | None = None,
-):
-    """Replay the events table as a CT feed through the real engine into
-    ``root/target``; returns ``(target_root, ctx)`` (caller owns cleanup).
-    ``extra`` merges additional spec sections (camelCase keys ok);
-    ``shuffle_within`` permutes rows inside each segment;
-    ``single_segment_cycles`` sets rows_per_group to the segment size so
-    every poll cycle consumes exactly one segment (deterministic cuts);
-    ``max_cycles`` stops after N poll cycles (the stream resumes from
-    the committed watermark when the runner is re-invoked)."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import prepare_watermark
-
-    feed = _events_feed(sf_dir)
-    ct, tgt = f"{root}/ctlog", f"{root}/target"
-    _write_events_segments(feed, ct, shuffle_within=shuffle_within)
-    prepare_watermark(tgt, version=0, num_partitions=8)
-    ctx = _events_ctx(sf_dir, root, extra, single_segment_cycles)
-    StreamRunner(ctx).run(max_cycles=max_cycles)
-    return tgt, ctx
-
-
-def _events_ctx(sf_dir, root, extra=None, single_segment_cycles=False):
-    """The StreamContext for a (possibly cached/copied) events lake at
-    *root* — pure function of the recipe, safe to rebuild per call."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-
-    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    chunk = max(math.ceil(n / 8), 1)
-    spec = {
-        "source": {"ctlog_dir": f"{root}/ctlog", "key_columns": ["user_id"]},
-        "sink": {"target_root": f"{root}/target", "num_partitions": 8},
-        "throughput": {
-            "rows_per_group": chunk if single_segment_cycles else max(n // 3, 1)
-        },
-    }
-    for section, vals in (extra or {}).items():
-        spec.setdefault(section, {}).update(vals)
-    return StreamContext.from_dict(spec)
-
-
-_LAKE_CACHE_DIR = os.path.join(tempfile.gettempdir(), "arcane_lake_cache")
-_PKG_FINGERPRINT: str | None = None
-
-
-def _pkg_fingerprint() -> str:
-    """sha1 over the package sources + this file: ANY code edit
-    invalidates every cached lake, so a cache hit is bit-identical to a
-    fresh replay (the replay itself is deterministic — fixed rng seeds,
-    fixed segmentation, LWW by version)."""
-    global _PKG_FINGERPRINT
-    if _PKG_FINGERPRINT is None:
-        import hashlib
-
-        import arcane_stream_sqlserver_change_tracking_ray as pkg
-
-        h = hashlib.sha1()
-        pkg_dir = os.path.dirname(pkg.__file__)
-        for base, _dirs, names in sorted(os.walk(pkg_dir)):
-            for nm in sorted(names):
-                if nm.endswith(".py"):
-                    with open(os.path.join(base, nm), "rb") as f:
-                        h.update(nm.encode())
-                        h.update(f.read())
-        with open(__file__, "rb") as f:
-            h.update(f.read())
-        _PKG_FINGERPRINT = h.hexdigest()[:16]
-    return _PKG_FINGERPRINT
-
-
-def _events_lake(
-    sf_dir: str,
-    *,
-    extra: dict | None = None,
-    shuffle_within: bool = False,
-    single_segment_cycles: bool = False,
-    max_cycles: int | None = None,
-    mutate: bool = False,
-) -> tuple[str, str, Any]:
-    """Build-once on-disk cache of a replayed events lake.
-
-    Several queries replay the SAME recipe (feed + spec + cycle count)
-    into a fresh tmpdir only to read different projections of it; the
-    replay is deterministic, so one build serves them all — the fixture
-    trim the r2 verdict asked for, without touching a single oracle.
-    Returns ``(root, target_root, ctx)``.
-
-    ``mutate=False``: the shared cache dir itself (NEVER modify or
-    delete it).  ``mutate=True``: a private copy the caller owns (and
-    must ``shutil.rmtree``) — for queries that tag / delete / roll back
-    / drain further cycles.  Keyed by the package-source fingerprint, so
-    any engine edit rebuilds from scratch; concurrent builders race via
-    build-to-tmp + atomic dir rename (losers discard)."""
-    import hashlib
-    import json as _json
-    import uuid as _uuid
-
-    key_doc = _json.dumps(
-        {
-            "pkg": _pkg_fingerprint(),
-            "sf": os.path.abspath(sf_dir),
-            "extra": extra,
-            "sw": shuffle_within,
-            "ssc": single_segment_cycles,
-            "mc": max_cycles,
-        },
-        sort_keys=True,
-    )
-    final = os.path.join(
-        _LAKE_CACHE_DIR, hashlib.sha1(key_doc.encode()).hexdigest()[:20]
-    )
-    if not os.path.exists(os.path.join(final, "_CACHED")):
-        os.makedirs(_LAKE_CACHE_DIR, exist_ok=True)
-        tmp = f"{final}.build-{_uuid.uuid4().hex[:8]}"
-        _replay_events_to_target(
-            sf_dir,
-            tmp,
-            extra=extra,
-            shuffle_within=shuffle_within,
-            single_segment_cycles=single_segment_cycles,
-            max_cycles=max_cycles,
-        )
-        with open(os.path.join(tmp, "_CACHED"), "w", encoding="utf-8") as f:
-            f.write(key_doc)
-        try:
-            os.rename(tmp, final)  # atomic publish; loser of a race discards
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    root = final
-    if mutate:
-        root = tempfile.mkdtemp(prefix="lake_mut_")
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.copytree(final, root)
-    ctx = _events_ctx(sf_dir, root, extra, single_segment_cycles)
-    return root, f"{root}/target", ctx
-
-
-def cdc_repartition(sf_dir: str):
-    """FULL-ENGINE partition-spec evolution under the hash gate: replay
-    the first cycle of the events feed into an 8-partition table, run
-    the ``repartition_table`` maintenance action to P=5 (a non-divisor
-    rehash — every row re-buckets; no shuffle, write-side partitioned
-    output per old pid + one atomic manifest flip), then drain the
-    remaining segments under the new spec.  The merged table must equal
-    plain LWW SQL over all events — proving re-bucketing preserved the
-    visible state, folded pending deltas, and the stream continued
-    seamlessly across the spec change (the Iceberg
-    bucket(arcane_merge_key, P) spec-evolution analog,
-    docs/crd.md:114-119)."""
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
-        repartition_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        ManifestLog,
-        prepare_watermark,
-    )
-
-    root, tgt, ctx = _events_lake(sf_dir, max_cycles=1, mutate=True)
-    try:
-        repartition_table(ManifestLog(tgt), ctx, 5)
-        StreamRunner(ctx).run()
-        assert ManifestLog(tgt).latest().num_partitions == 5
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_predicate_delete(sf_dir: str):
-    """FULL-ENGINE merge-on-read predicate DELETE under the hash gate:
-    replay the first 4 single-segment cycles, commit ``DELETE WHERE
-    event_type = 'view' AND value < 30.0`` (ONE manifest write — no data
-    file touched; the GDPR-delete path), then drain the remaining
-    segments.  Keys are ``event_id`` (append-only rows), so the delete
-    must be point-in-time: matching rows already ingested at the delete
-    watermark are gone, matching rows arriving AFTER it survive.  (The
-    same-key re-upsert-survives side is pytest-covered in
-    tests/test_predicate_delete.py.)  The oracle replays the exact rule
-    over `events` (rn ≤ the 4-cycle cut AND predicate → dropped)."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        delete_where,
-        read_target_table,
-    )
-
-    root, tgt, ctx = _events_lake(
-        sf_dir,
-        extra={"source": {"key_columns": ["event_id"]}},
-        single_segment_cycles=True,
-        max_cycles=4,
-        mutate=True,
-    )
-    try:
-        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 30.0]])
-        StreamRunner(ctx).run()
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_equality_delete(sf_dir: str):
-    """FULL-ENGINE merge-on-read equality DELETE (the GDPR-by-key path)
-    under the hash gate: replay the first 4 single-segment cycles,
-    commit ``delete_keys`` with every event_id divisible by 7 (per-
-    partition hash-routed delete files, ONE manifest commit — no data
-    file touched), then drain the remaining segments.  Point-in-time:
-    matching keys ingested by the delete watermark are gone, matching
-    keys arriving AFTER it survive.  The oracle replays the exact rule
-    (rn ≤ the 4-cycle cut AND event_id % 7 = 0 → dropped)."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        delete_keys,
-        read_target_table,
-    )
-
-    root, tgt, ctx = _events_lake(
-        sf_dir,
-        extra={"source": {"key_columns": ["event_id"]}},
-        single_segment_cycles=True,
-        max_cycles=4,
-        mutate=True,
-    )
-    try:
-        ids = _events_feed(sf_dir)["event_id"].to_numpy()
-        delete_keys(tgt, [str(i) for i in ids[ids % 7 == 0]])
-        StreamRunner(ctx).run()
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_rollback(sf_dir: str):
-    """FULL-ENGINE snapshot rollback under the hash gate: replay 4 of 8
-    single-segment cycles, keep the version, drain the remaining 4 (the
-    'bad' range), ``rollback_to`` the 4-cycle snapshot (ONE manifest
-    commit restoring files + watermark), then drain again.  Because LWW
-    re-application is idempotent, the final state must be EXACTLY the
-    plain LWW winners — the oracle is the straight rank-1 query, so any
-    rollback corruption (lost rows, stale watermark, double-applied
-    tombstones) breaks the hash."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-        rollback_to,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    root, tgt, ctx = _events_lake(
-        sf_dir, single_segment_cycles=True, max_cycles=4, mutate=True
-    )
-    try:
-        v_good = ManifestLog(tgt).latest().version
-        StreamRunner(ctx).run()  # the range to be rolled back
-        rollback_to(tgt, v_good)
-        StreamRunner(ctx).run()  # idempotent re-drain
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_filtered_read(sf_dir: str):
-    """FULL-ENGINE filtered read under the hash gate: replay the events
-    feed (merge-on-read deltas left pending — the filter must apply
-    AFTER the LWW resolve, or an older matching version of a key whose
-    winner does not match would resurrect), then
-    ``read_target(where=[[event_type == 'click'], [value >= 10]])``.
-    The oracle filters the LWW winners with the same predicate."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target
-
-    _, tgt, _ = _events_lake(sf_dir, single_segment_cycles=True)
-    out = read_target(
-        tgt,
-        columns=["user_id", VERSION_COL, "ts", "event_type", "value", "props"],
-        where=[["event_type", "==", "click"], ["value", ">=", 10.0]],
-    )
-    return pa.concat_tables(
-        out.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
-
-
-def cdc_tagged_read(sf_dir: str):
-    """FULL-ENGINE named snapshot tags under the hash gate: replay 3 of
-    8 single-segment cycles, ``set_tag('baseline')``, drain the rest,
-    GC the log down to the newest snapshot (``expire_versions(keep=1)``
-    — the tag must PIN its manifest and data files), then read the
-    table BY TAG NAME.  The oracle reproduces the cycle-3 cut: a hash
-    match proves both tag resolution and GC pinning."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    root, tgt, ctx = _events_lake(
-        sf_dir, single_segment_cycles=True, max_cycles=3, mutate=True
-    )
-    try:
-        ManifestLog(tgt).set_tag("baseline")
-        StreamRunner(ctx).run()
-        expired = ManifestLog(tgt).expire_versions(keep=1)
-        assert expired, "GC should have dropped the untagged history"
-        out = read_target_table(tgt, version="baseline")
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_history(sf_dir: str):
-    """Hash-checked COMMIT HISTORY (the Iceberg `snapshots` metadata
-    table): replay 8 single-segment cycles, commit a predicate delete,
-    then `table_history` — one row per retained manifest with (version,
-    watermark, kind, changes_in).  Every column is deterministic under
-    the fixed segmentation, so the oracle rebuilds the exact table in
-    SQL: cycle k's watermark is the event_id at rank min(k*chunk, n)
-    and its changes_in is the segment's row count."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        delete_where,
-        table_history,
-    )
-
-    root, tgt, _ = _events_lake(sf_dir, single_segment_cycles=True, mutate=True)
-    try:
-        delete_where(tgt, [["event_type", "==", "view"], ["value", "<", 30.0]])
-        out = table_history(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
-
-
-_LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 1_000_000_007]
-
-
-def cdc_point_lookup(sf_dir: str):
-    """Point lookups against the engine-built target table — the
-    partition-pruned + bloom-sidecar read path (K-path) under the
-    value-hash gate: replay the events feed through the real engine,
-    then ``lookup_keys`` for a fixed key set (Fibonacci user ids plus
-    one absent key).  Deleted keys (last op 'D') and absent keys return
-    no row; the oracle is plain LWW SQL restricted to the same ids.
-    Only the keys' owning partitions are read, and inside a partition
-    per-file bloom sidecars skip files that cannot contain the keys."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import lookup_keys
-
-    _, tgt, _ = _events_lake(
-        sf_dir, extra={"sink": {"bloomFilterColumns": ["arcane_merge_key"]}}
-    )
-    out = lookup_keys(tgt, [str(k) for k in _LOOKUP_KEYS])
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def _events_feed(sf_dir: str) -> pa.Table:
-    """The driver's events table as a CT feed: version = event_id,
-    op = 'D' for event_type 'error' else 'U', sorted by version."""
-    import pyarrow.parquet as pq
-
-    # strip the pandas schema metadata: it survives into the CT-log
-    # segments and an unhashable schema (metadata dict) defeats Ray
-    # Data's schema dedup in every replay read ("Failed to hash" spam)
-    events = (
-        pq.read_table(f"{sf_dir}/events.parquet")
-        .replace_schema_metadata(None)
-        .sort_by([("event_id", "ascending")])
-    )
-    op = pc.if_else(
-        pc.equal(events["event_type"], "error"), pa.scalar("D"), pa.scalar("U")
-    )
-    return events.append_column(VERSION_COL, events["event_id"]).append_column(
-        OP_COL, op
-    )
-
-
-def _write_events_segments(
-    feed: pa.Table, ct: str, n_segments: int = 8, shuffle_within: bool = False
-) -> int:
-    """Write the feed as contiguous CT-log segments; returns the segment
-    row size (``ceil(n / n_segments)``).  ``shuffle_within`` permutes
-    each segment's ROWS (deterministically) while keeping its version
-    RANGE intact — the order SQL Server change tracking actually
-    guarantees (a version-range query, not a sorted stream)."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
-
-    os.makedirs(ct, exist_ok=True)
-    n = feed.num_rows
-    chunk = max(math.ceil(n / n_segments), 1)
-    rng = np.random.default_rng(42)
-    prev_hi = 0
-    for off in range(0, n, chunk):
-        sl = feed.slice(off, chunk)
-        hi = int(pc.max(sl[VERSION_COL]).as_py())
-        if shuffle_within:
-            sl = sl.take(pa.array(rng.permutation(sl.num_rows)))
-        pq.write_table(sl, segment_path(ct, prev_hi, hi))
-        prev_hi = hi
-    return chunk
-
-
-def cdc_composite_key(sf_dir: str):
-    """Composite merge-key replay (T3 in-engine, under the hash gate):
-    the same feed keyed by (user_id, event_type) — merge-key synthesis
-    concatenates the parts, routing hashes the synthesized key, and the
-    converged state is LWW per composite key.  The oracle partitions by
-    both columns; a hash match proves key synthesis, routing and the
-    read path all agree on the composite identity."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-
-    _, tgt, _ = _events_lake(
-        sf_dir, extra={"source": {"key_columns": ["user_id", "event_type"]}}
-    )
-    out = read_target_table(tgt)
-    return out.select(["user_id", VERSION_COL, "ts", "event_type", "value"])
-
-
-def cdc_maintenance_fold(sf_dir: str):
-    """K4 (OPTIMIZE + expire) under the hash gate: replay the feed, then
-    force a FULL maintenance pass — every partition's delta chain folds
-    into fresh base files (max_deltas_per_partition=0) and old manifest
-    versions expire — and read the table back.  The result must equal
-    the same LWW oracle, and the fold must actually have happened (no
-    pending deltas, one file set per partition) or the query raises."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import run_maintenance
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    root, tgt, ctx = _events_lake(
-        sf_dir,
-        extra={"maintenance": {"maxDeltasPerPartition": 0, "retentionVersions": 2}},
-        mutate=True,
-    )
-    try:
-        log = ManifestLog(tgt)
-        pre_versions = len(log.versions())
-        report = run_maintenance(log, ctx)
-        m = log.require_watermark()
-        if m.deltas:
-            raise AssertionError(f"OPTIMIZE left pending deltas: {m.deltas}")
-        if report["expired_versions"] == 0 and pre_versions > 2:
-            raise AssertionError("expire_snapshots removed nothing")
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_unordered_feed(sf_dir: str):
-    """ORDER-INDEPENDENCE of the whole engine under the hash gate: the
-    same events feed replayed with every segment's rows deterministically
-    SHUFFLED (SQL Server CT returns a version-range result set, not a
-    sorted stream) must converge to the identical LWW state — exercising
-    that pre-combine, routing, delta append order and the merge-on-read
-    resolve all order strictly by version, never by arrival."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-
-    _, tgt, _ = _events_lake(sf_dir, shuffle_within=True)
-    out = read_target_table(tgt)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_backfill_then_stream(sf_dir: str):
-    """Hash-checked BOOTSTRAP→STREAM (M4 Overwrite completion): snapshot
-    the source state as of the 3rd segment boundary, Overwrite-backfill
-    it (two key-disjoint shards; rows stamped with the snapshot version
-    from the shard filenames), then stream the remaining feed.  The end
-    state must equal plain LWW over ALL events — except that rows
-    untouched after the snapshot keep the backfill stamp as their
-    version (StreamRunner.scala:209-223 semantics), which the oracle
-    reproduces with a CASE on the cut version."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        prepare_watermark,
-    )
-
-    feed = _events_feed(sf_dir)
-    n = feed.num_rows
-    chunk = max(math.ceil(n / 8), 1)
-    cut_pos = min(3 * chunk, n)
-    cut_ver = int(feed[VERSION_COL][cut_pos - 1].as_py())
-
-    # snapshot = LWW state over the first cut_pos events, live rows only
-    pre = feed.slice(0, cut_pos)
-    order = pc.sort_indices(
-        pre,
-        sort_keys=[("user_id", "ascending"), (VERSION_COL, "descending")],
-    )
-    s = pre.take(order)
-    u = s["user_id"].to_numpy(zero_copy_only=False)
-    first = np.r_[True, u[1:] != u[:-1]] if len(u) else np.zeros(0, bool)
-    win = s.filter(pa.array(first))
-    live = win.filter(pc.not_equal(win[OP_COL], "D")).select(
-        ["user_id", "ts", "event_type", "value", "props"]
-    )
-
-    root = tempfile.mkdtemp(prefix="cdc_backfill_stream_")
-    try:
-        ct, tgt, snap = f"{root}/ctlog", f"{root}/target", f"{root}/snapshot"
-        _write_events_segments(feed, ct)
-        os.makedirs(snap, exist_ok=True)
-        half = max(-(-live.num_rows // 2), 1)
-        for i in range(2):  # key-disjoint shards (sliced from a sorted table)
-            pq.write_table(
-                live.slice(i * half, half),
-                f"{snap}/shard{i:04d}-snapshot-v{cut_ver:012d}.parquet",
-            )
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        base = {
-            "source": {
-                "ctlog_dir": ct,
-                "snapshot_dir": snap,
-                "key_columns": ["user_id"],
-            },
-            "sink": {"target_root": tgt, "num_partitions": 8},
-            "throughput": {"rows_per_group": chunk},
-        }
-        StreamRunner(
-            StreamContext.from_dict(
-                {
-                    **base,
-                    "stream_mode": {"backfill": True, "backfill_id": "drv"},
-                }
-            )
-        ).run_backfill()
-        StreamRunner(StreamContext.from_dict(base)).run()
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_schema_evolution(sf_dir: str):
-    """Hash-checked SCHEMA EVOLUTION through the full engine: the feed's
-    first 4 segments carry the base schema, the last 4 add a
-    ``source_region`` column mid-stream.  The engine's additive
-    migration widens the table at the first wide cycle (old rows null);
-    the oracle reproduces the widened LWW state with a CASE on the cut
-    position.  A hash match proves add-column migration preserves every
-    pre-migration row and stamps nulls exactly where the column did not
-    yet exist."""
-    import math
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        prepare_watermark,
-    )
-
-    feed = _events_feed(sf_dir)
-    n = feed.num_rows
-    # only the LAST 64 events carry the new column — the feed is dense
-    # (every user appears in every eighth), so an earlier cut would leave
-    # no pre-migration LWW winners and the null path would be invisible
-    tail = min(64, n)
-    cut_pos = n - tail
-    chunk = max(math.ceil(max(cut_pos, 1) / 8), 1)
-    wide = feed.append_column("source_region", pc.utf8_upper(feed["event_type"]))
-    root = tempfile.mkdtemp(prefix="cdc_schema_evo_")
-    try:
-        ct, tgt = f"{root}/ctlog", f"{root}/target"
-        os.makedirs(ct, exist_ok=True)
-        prev_hi = 0
-        for off in range(0, cut_pos, chunk):
-            sl = feed.slice(off, min(chunk, cut_pos - off))
-            hi = int(pc.max(sl[VERSION_COL]).as_py())
-            pq.write_table(sl, segment_path(ct, prev_hi, hi))
-            prev_hi = hi
-        if tail:
-            sl = wide.slice(cut_pos, tail)
-            hi = int(pc.max(sl[VERSION_COL]).as_py())
-            pq.write_table(sl, segment_path(ct, prev_hi, hi))
-        prepare_watermark(tgt, version=0, num_partitions=8)
-        ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": tgt, "num_partitions": 8},
-                "throughput": {"rows_per_group": chunk},
-            }
-        )
-        StreamRunner(ctx).run()
-        out = read_target_table(tgt)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out.select(
-        [
-            "user_id",
-            VERSION_COL,
-            "ts",
-            "event_type",
-            "value",
-            "props",
-            "source_region",
-        ]
-    )
-
-
-def cdc_time_travel(sf_dir: str):
-    """Hash-checked SNAPSHOT ISOLATION: replay the events feed through
-    the full engine in 8 single-segment cycles, then read the table AS
-    OF the manifest committed after cycle 3.  The poll cap admits whole
-    segments until rows >= rows_per_group, so with segment size ==
-    rows_per_group every cycle consumes exactly one segment and the
-    cycle-3 watermark is deterministically the 3*ceil(n/8)-th event —
-    the SQL oracle reproduces the cut by row_number and applies plain
-    LWW below it.  A hash match proves time-travel reads return exactly
-    the committed prefix (exactly-once, no leakage from later cycles)."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target_table
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    _, tgt, _ = _events_lake(sf_dir, single_segment_cycles=True)
-    versions = ManifestLog(tgt).versions()
-    out = read_target_table(tgt, version=versions[3])  # after cycle 3
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_change_feed(sf_dir: str):
-    """Hash-checked CHANGE-DATA-FEED read (the sink-side analog of the
-    ``CHANGETABLE(CHANGES …)`` net feed the reference consumes): replay
-    the events feed in 8 single-segment cycles, then ask the engine for
-    the NET row-level changes committed between the cycle-3 and cycle-6
-    snapshots.  The reader consumes ONLY the delta files appended in the
-    range (cost ∝ changes, not table size) and probes the FROM snapshot
-    just for the touched keys (bloom-assisted point lookups).  The SQL
-    oracle reproduces the two cuts by row_number, takes LWW winners
-    inside the range, and classifies insert/update/delete against the
-    cycle-3 alive set — keys born and deleted inside the range net out."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        read_change_feed_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    _, tgt, _ = _events_lake(sf_dir, single_segment_cycles=True)
-    versions = ManifestLog(tgt).versions()
-    out = read_change_feed_table(
-        tgt, from_version=versions[3], to_version=versions[6]
-    )
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props", "change_type"]
-    )
-
-
-_PRICE_BANDS = [
-    (0.0, 50_000.0, "small"),
-    (50_000.0, 150_000.0, "mid"),
-    (150_000.0, 300_000.0, "large"),
-    (300_000.0, 1e12, "jumbo"),
-]
-
-
-def cms_heavy_hitters(sf_dir: str):
-    """Count-min sketch under the VALUE-HASH gate: a 4×1024 mergeable
-    counter grid over every token occurrence (per-batch partial grids,
-    driver fold — the sketch shape that scales to 100 TB because only
-    32 KB per task ever moves), point-estimated for a deterministic
-    probe set (the 16 lexicographically smallest distinct tokens with
-    ≥ 6 chars) alongside their exact counts.  The oracle replays the
-    ENTIRE sketch in SQL: polynomial byte hash in HUGEINT (the
-    fingerprint-oracle technique; tokens are ASCII so codepoint ==
-    byte), 10-bit-field positions, per-cell sums, min across rows —
-    so the hash match certifies estimates, not just plumbing."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
-        cms_estimate,
-        count_min_sketch,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["text"])
-    sketch = count_min_sketch(ds)
-
-    # Probe-set discovery without a corpus-wide shuffle: the global 16
-    # lexicographically-smallest long tokens are a subset of the union of
-    # each batch's 16 smallest, so per-batch candidates (≤16 rows/task)
-    # bound the answer and the driver folds a candidate set instead of
-    # the whole vocabulary (the groupby+sort it replaces moved every
-    # distinct token through two all-to-all exchanges).
-    def local_candidates(batch: pa.Table) -> pa.Table:
-        t = token_count_partials(batch["text"])
-        t = t.filter(pc.greater_equal(pc.utf8_length(t["token"]), 6))
-        order = pc.sort_indices(t["token"])[:16]
-        return t.take(order).select(["token"])
-
-    cand = (
-        _read(sf_dir, "documents", columns=["text"])
-        .map_batches(local_candidates, batch_format="pyarrow")
-        .take_all()
-    )
-    tokens = sorted({r["token"] for r in cand})[:16]
-
-    # Exact counts for just the probe set: per-batch partial sums over a
-    # broadcast 16-token filter (≤16 rows/task), folded on the driver.
-    probe_set = pa.array(tokens, pa.string())
-
-    def probe_counts(batch: pa.Table) -> pa.Table:
-        t = token_count_partials(batch["text"])
-        return t.filter(pc.is_in(t["token"], value_set=probe_set))
-
-    counts: dict[str, int] = {t: 0 for t in tokens}
-    for r in (
-        _read(sf_dir, "documents", columns=["text"])
-        .map_batches(probe_counts, batch_format="pyarrow")
-        .take_all()
-    ):
-        counts[r["token"]] += int(r["cnt"])
-    est = cms_estimate(sketch, tokens)
-    return pa.table(
-        {
-            "token": pa.array(tokens, pa.string()),
-            "cnt": pa.array([counts[t] for t in tokens], pa.int64()),
-            "est": pa.array(est, pa.int64()),
-        }
-    )
-
-
-def hll_distinct_users(sf_dir: str):
-    """HyperLogLog under the VALUE-HASH gate: the 1024 int64 registers
-    over ``events.user_id`` (per-batch partials folded by max — 8 KB
-    per task at any corpus size).  Registers are a deterministic
-    integer function of the value SET, so the oracle replays them
-    exactly in SQL — HUGEINT polynomial hash of the decimal string,
-    bucket = low 10 bits, rank = 1 + trailing zeros of the rest — and
-    the hash gate certifies the sketch itself; the derived cardinality
-    estimate (±~3.25%) is pytest-asserted against the exact distinct
-    count in ``tests/test_sketch.py``."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
-        hll_registers,
-    )
-
-    ds = _read(sf_dir, "events", columns=["user_id"])
-    regs = hll_registers(ds, "user_id")
-    nz = np.nonzero(regs)[0]
-    return pa.table(
-        {
-            "bucket": pa.array(nz, pa.int64()),
-            "reg": pa.array(regs[nz], pa.int64()),
-        }
-    )
-
-
-def range_join_bands(sf_dir: str):
-    """Range (interval) join under the hash gate: every order picks up
-    the price band containing its total — the non-equi join Ray Data
-    has no primitive for, as one broadcast ``np.searchsorted`` per batch
-    (no shuffle, no row explosion; intervals validated non-overlapping).
-    The oracle is the literal BETWEEN-style join over the same bands."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        broadcast_range_join,
-    )
-
-    bands = pa.table(
-        {
-            "lo": pa.array([b[0] for b in _PRICE_BANDS], pa.float64()),
-            "hi": pa.array([b[1] for b in _PRICE_BANDS], pa.float64()),
-            "band": pa.array([b[2] for b in _PRICE_BANDS], pa.string()),
-        }
-    )
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    return broadcast_range_join(ds, bands, on="o_totalprice")
-
-
-def cdc_replica_sync(sf_dir: str):
-    """Hash-checked DOWNSTREAM REPLICATION: the events feed replays into
-    a PRIMARY lake table in single-segment cycles; a REPLICA (different
-    partition count — replication is logical) is synced by the CDF→CT-log
-    bridge TWICE, once mid-stream and once at the end, each hop shipping
-    only the net changes since the previous bridge.  The replica runs
-    the unmodified engine over the bridged segments; its final table
-    must equal plain LWW SQL over all events — proving the feed is a
-    complete, composable change source one hop downstream (the
-    reference's own topology: CHANGETABLE → engine → lake, repeated)."""
-    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.replicate import (
-        bridge_changes,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        StreamRunner,
-        read_target_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-        prepare_watermark,
-    )
-
-    # src @ 4 cycles comes from the shared replay cache (same recipe as
-    # the rollback prefix); the replica lives in a private tmp root
-    root, src, src_ctx = _events_lake(
-        sf_dir, single_segment_cycles=True, max_cycles=4, mutate=True
-    )
-    rep_root = tempfile.mkdtemp(prefix="cdc_replica_")
-    try:
-        n_events = _events_feed(sf_dir).num_rows
-        rep_ct, rep = f"{rep_root}/rep_ct", f"{rep_root}/rep"
-        prepare_watermark(rep, version=0, num_partitions=4)
-        rep_ctx = StreamContext.from_dict(
-            {
-                "source": {"ctlog_dir": rep_ct, "key_columns": ["user_id"]},
-                "sink": {"target_root": rep, "num_partitions": 4},
-                "throughput": {"rows_per_group": n_events},
-            }
-        )
-        bridge_changes(src, rep_ct)
-        StreamRunner(rep_ctx).run()
-        StreamRunner(src_ctx).run()  # the rest
-        bridge_changes(src, rep_ct)
-        StreamRunner(rep_ctx).run()
-        out = read_target_table(rep)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.rmtree(rep_root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_snapshot_export(sf_dir: str):
-    """Hash-checked RESUMABLE SNAPSHOT EXPORT: replay the events feed
-    through the full engine, then ``export_snapshot`` — a consistent
-    AS-OF publish to plain pid-partitioned parquet that consumers read
-    WITHOUT the manifest/MoR machinery (Iceberg snapshot-export analog;
-    per-partition atomic tmp→rename writes, finished partitions skipped
-    on re-run).  The query reads the EXPORTED files back, so a hash
-    match certifies the export path end-to-end against plain LWW SQL."""
-    import glob
-
-    import pyarrow.parquet as pq
-
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        export_snapshot,
-    )
-
-    _, tgt, _ = _events_lake(sf_dir)
-    exp_root = tempfile.mkdtemp(prefix="cdc_export_")
-    try:
-        out_dir = f"{exp_root}/export"
-        export_snapshot(tgt, out_dir)
-        parts = [
-            pq.read_table(p)
-            for p in sorted(glob.glob(f"{out_dir}/pid=*/part-0.parquet"))
-        ]
-        out = pa.concat_tables([t for t in parts if t.num_rows])
-    finally:
-        shutil.rmtree(exp_root, ignore_errors=True)
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
-    )
-
-
-def cdc_change_feed_all(sf_dir: str):
-    """Hash-checked ALL-CHANGES feed (``cdc.fn_cdc_get_all_changes``
-    analog): every persisted change row committed between the cycle-3
-    and cycle-6 snapshots, with its logged operation — per-change
-    history, not per-key winners.  The adaptive pre-combine is disabled
-    (``precombineDupThreshold`` > 1, the same knob the exact cycle
-    counters use) so the persisted history is raw per-event; the oracle
-    is simply the feed rows between the two row_number cuts."""
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        read_change_feed_table,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    _, tgt, _ = _events_lake(
-        sf_dir,
-        extra={"sink": {"precombineDupThreshold": 2.0}},
-        single_segment_cycles=True,
-    )
-    versions = ManifestLog(tgt).versions()
-    out = read_change_feed_table(
-        tgt, from_version=versions[3], to_version=versions[6], net=False
-    )
-    return out.select(
-        ["user_id", VERSION_COL, "ts", "event_type", "value", "props", "change_type"]
-    )
-
-
-def cdc_incremental_matview(sf_dir: str):
-    """Hash-checked INCREMENTAL VIEW MAINTENANCE — the canonical CDC
-    consumer: a per-event_type (n, sum(value_cents)) materialized view
-    built at the cycle-3 snapshot is advanced to cycle 6 using ONLY the
-    change feed with pre-images (insert applies, delete retracts the
-    pre-image, update retracts the pre-image and applies the post-image
-    — rows MOVE between groups when event_type changes).  The oracle
-    recomputes the aggregate directly at the cycle-6 cut; a hash match
-    proves feed-driven maintenance converges to full recompute without
-    rescanning the table.  Money stays in integer cents on both sides
-    (bit-exact sums)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.incremental import (
-        advance_matview,
-        grouped_agg_contribs,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
-        read_change_feed_table,
-        read_target,
-    )
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    _, tgt, _ = _events_lake(sf_dir, single_segment_cycles=True)
-    versions = ManifestLog(tgt).versions()
-    v_a, v_b = versions[3], versions[6]
-    # matview @ cycle 3: per-batch partial aggregates (distributed),
-    # folded from tiny (group, dn, dv) tables on the driver
-    base = read_target(tgt, version=v_a, columns=["event_type", "value"])
-    parts = base.map_batches(
-        lambda b: grouped_agg_contribs(b, "event_type", "value"),
-        batch_format="pyarrow",
-    ).take_all()
-    mv = pa.Table.from_pylist(parts, schema=pa.schema(
-        [("group", pa.string()), ("dn", pa.int64()), ("dv", pa.int64())]
-    ))
-    # advance with the pre-imaged net change feed (size ∝ changes)
-    feed = read_change_feed_table(
-        tgt, v_a, v_b, pre_image_columns=("event_type", "value")
-    )
-    folded = advance_matview(mv, feed, "event_type", "value")
-    return folded.rename_columns(["event_type", "n", "value_u"])
-
-
-def cdc_cycle_metrics(sf_dir: str):
-    """Per-cycle observability (F4) under the value-hash gate: replay
-    the events feed in 8 single-segment cycles with the adaptive
-    pre-combine DISABLED (``precombineDupThreshold`` > 1 makes the raw
-    per-op counters exact), then read each committed manifest's metrics.
-    changes_in / upserts / deletes / watermark per cycle must equal the
-    SQL oracle's segment cuts by row_number — proving the engine's
-    telemetry (not just its data) is correct."""
-    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import ManifestLog
-
-    _, tgt, _ = _events_lake(
-        sf_dir,
-        extra={"sink": {"precombineDupThreshold": 2.0}},
-        single_segment_cycles=True,
-    )
-    log = ManifestLog(tgt)
-    rows = []
-    for v in log.versions():
-        m = log.read(v)
-        if "changes_in" not in m.metrics:
-            continue  # prepared/maintenance manifests carry no cycle counters
-        rows.append(
-            {
-                "cycle": len(rows) + 1,
-                "watermark": int(m.watermark),
-                "changes_in": int(m.metrics["changes_in"]),
-                "upserts": int(m.metrics["upserts"]),
-                "deletes": int(m.metrics["deletes"]),
-            }
-        )
-    return pa.table(
-        {
-            "cycle": pa.array([r["cycle"] for r in rows], pa.int64()),
-            "watermark": pa.array([r["watermark"] for r in rows], pa.int64()),
-            "changes_in": pa.array([r["changes_in"] for r in rows], pa.int64()),
-            "upserts": pa.array([r["upserts"] for r in rows], pa.int64()),
-            "deletes": pa.array([r["deletes"] for r in rows], pa.int64()),
-        }
-    )
-
-
-def containment_join(sf_dir: str):
-    """Asymmetric near-CONTAINMENT similarity join: all doc pairs with
-    ``|A∩B| / min(|A|,|B|) >= 0.6`` over distinct word-3-shingle sets —
-    the quote/excerpt detector Jaccard misses (a short doc fully
-    embedded in a long one scores 1.0 where Jaccard stays tiny).  Same
-    inverted shingle index and 8-byte-key shuffles as
-    ``dedup_ngram_jaccard``; only the final exact integer ratio differs,
-    so the all-pairs SQL oracle hash-certifies it the same way."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.dedup import (
-        exact_jaccard_pairs,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_jaccard_pairs(
-        ds, threshold=0.6, text_col="text", id_col="doc_id", measure="containment"
-    )
-
-
-def kmv_distinct(sf_dir: str):
-    """KMV (k-minimum-values) sketch under the VALUE-HASH gate: the 256
-    smallest distinct finalized hashes of ``events.user_id`` (≤2 KB
-    idempotent-mergeable partials per task — and unlike HLL the sketch
-    supports set algebra: union = merge, intersection by
-    inclusion–exclusion).  The min-set is an exact integer function of
-    the value SET, so the oracle replays it verbatim in SQL — the same
-    HUGEINT polynomial-hash + splitmix chain as the HLL/bloom oracles,
-    then ``ORDER BY h LIMIT 256`` — and the hash gate certifies the
-    sketch itself; the derived ±~6.3% cardinality estimate is
-    pytest-asserted against the exact distinct count."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
-        kmv_sketch,
-    )
-
-    ds = _read(sf_dir, "events", columns=["user_id"])
-    mins = kmv_sketch(ds, "user_id")
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(len(mins)), pa.int64()),
-            "h": pa.array([str(int(v)) for v in mins], pa.string()),
-        }
-    )
-
-
-# ===========================================================================
-# Semi/anti joins, Bloom membership, BM25 retrieval, fuzzy string join
-# ===========================================================================
-def semi_join_buyers(sf_dir: str):
-    """Bucketed LEFT SEMI join (the fact×fact shape): customers with at
-    least one order.  Both sides co-shuffle by key hash once and
-    pyarrow's C++ 'left semi' join runs inside each bucket — duplicate
-    right keys never multiply output rows, and only the right side's
-    8-byte key column crosses the wire."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        partitioned_equi_join,
-    )
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
-    okeys = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
-        lambda b: b.rename_columns(["c_custkey"]), batch_format="pyarrow"
-    )
-    return partitioned_equi_join(
-        cust, okeys, on="c_custkey", num_buckets=16, join_type="left semi"
-    )
-
-
-def anti_join_customers(sf_dir: str):
-    """Broadcast ANTI join: customers with NO jumbo (≥300k) order.  The
-    key side is thinned to its distinct set distributedly (per-batch
-    Arrow DISTINCT, tiny fold), broadcast once via ``ray.put``, and the
-    probe side streams through one ``np.searchsorted`` per batch — no
-    shuffle."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        broadcast_semi_join,
-    )
-
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
-    jumbo = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        lambda b: b.filter(pc.greater_equal(b["o_totalprice"], 300000.0)).select(
-            ["o_custkey"]
-        ),
-        batch_format="pyarrow",
-    )
-    return broadcast_semi_join(
-        cust, jumbo, on="c_custkey", right_on="o_custkey", anti=True
-    )
-
-
-def fuzzy_join_parts(sf_dir: str):
-    """Blocked approximate-string self-join (record linkage): all
-    distinct part-name pairs at Levenshtein distance ≤ 3 sharing the
-    same last word.  Only distinct short strings shuffle (per-batch
-    DISTINCT first); each block solves its pair-distance matrix with a
-    numpy-VECTORIZED Wagner–Fischer DP (pair axis vectorized — no
-    per-pair Python).  The oracle replays the identical blocking and
-    DuckDB's own ``levenshtein``, so the hash gate certifies the DP."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.join import (
-        fuzzy_self_join,
-    )
-
-    ds = _read(sf_dir, "part", columns=["p_name"])
-    return fuzzy_self_join(ds, "p_name", max_distance=3)
-
-
-def bloom_membership(sf_dir: str):
-    """Bloom filter under the VALUE-HASH gate: an 8192-bit / 4-hash
-    filter built over the custkeys of 'F'-status orders — per-batch
-    1 KB packed-word partials folded by OR (the mergeable sketch shape:
-    corpus size never touches the driver) — probed with every customer
-    key next to exact membership.  The oracle replays the whole filter
-    in SQL (HUGEINT polynomial hash + splitmix finalize, 13-bit-field
-    positions, distinct-bit set, all-4-positions-set test), so the hash
-    match certifies the filter's exact false-positive behavior; the
-    no-false-negatives invariant is pytest-asserted too."""
-    import ray
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.sketch import (
-        bloom_build,
-        bloom_probe,
-    )
-
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
-    fo = orders.map_batches(
-        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_custkey"]),
-        batch_format="pyarrow",
-    )
-    bits = bloom_build(fo, "o_custkey")
-    parts = fo.map_batches(
-        lambda b: b.group_by(["o_custkey"]).aggregate([]), batch_format="pyarrow"
-    ).take_all()
-    exact = np.unique(np.array([r["o_custkey"] for r in parts], dtype=np.int64))
-    ref = ray.put((bits, exact))
-
-    def probe(batch: pa.Table) -> pa.Table:
-        bits_, exact_ = ray.get(ref)
-        maybe = bloom_probe(bits_, batch["c_custkey"])
-        v = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        if len(exact_):
-            pos = np.searchsorted(exact_, v)
-            act = (pos < len(exact_)) & (exact_[np.clip(pos, 0, len(exact_) - 1)] == v)
-        else:
-            act = np.zeros(len(v), dtype=bool)
-        return pa.table(
-            {
-                "c_custkey": batch["c_custkey"],
-                "maybe": pa.array(maybe.astype(np.int64)),
-                "actual": pa.array(act.astype(np.int64)),
-            }
-        )
-
-    return _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
-        probe, batch_format="pyarrow"
-    )
-
-
-_BM25_TERMS = ("merge", "stream", "vector")
-
-
-def bm25_topk(sf_dir: str, k: int = 10):
-    """BM25 retrieval over the corpus (k1=1.2, b=0.75, raw-ratio idf —
-    no transcendental ``ln``, so every double is the same IEEE
-    expression tree in numpy and the SQL oracle and the hash gate
-    certifies the scores bit-for-bit).  Two passes: (1) global stats as
-    a 5-integer partial per task (N, total tokens, per-term df); (2)
-    per-batch vectorized tf/dl scoring + LOCAL top-k, so only ≤k rows
-    per batch ever reach the driver — the corpus never moves."""
-    import ray
-
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import words_flat
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def stats_partial(batch: pa.Table) -> pa.Table:
-        flat, offsets = words_flat(batch["text"])
-        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        di = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
-        dfs = {}
-        for t in _BM25_TERMS:
-            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
-            dfs[t] = len(np.unique(di[eq]))
-        cols = {"n": [batch.num_rows], "total": [int(ne.sum())]}
-        cols.update({f"df{i}": [dfs[t]] for i, t in enumerate(_BM25_TERMS)})
-        return pa.table(cols)
-
-    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
-    n_docs = sum(r["n"] for r in parts)
-    total = sum(r["total"] for r in parts)
-    dfs = [sum(r[f"df{i}"] for r in parts) for i in range(len(_BM25_TERMS))]
-    gref = ray.put((float(n_docs), float(total), [float(d) for d in dfs]))
-
-    def score_batch(batch: pa.Table) -> pa.Table:
-        n_, total_, dfs_ = ray.get(gref)
-        avgdl = total_ / n_
-        flat, offsets = words_flat(batch["text"])
-        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        di = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
-        dl = np.bincount(di[ne], minlength=batch.num_rows).astype(np.float64)
-        score = np.zeros(batch.num_rows, dtype=np.float64)
-        for term, df in zip(_BM25_TERMS, dfs_):
-            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
-            tf = np.bincount(di[eq], minlength=batch.num_rows).astype(np.float64)
-            idf = (n_ - df + 0.5) / (df + 0.5)
-            s = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-            score = score + s
-        keep = score > 0.0
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[keep]
-        sc = score[keep]
-        order = np.lexsort((ids, -sc))[:k]  # local top-k partial
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], pa.int64()),
-                "score": pa.array(sc[order], pa.float64()),
-            }
-        )
-
-    tops = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
-    ids = np.array([r["doc_id"] for r in tops], dtype=np.int64)
-    sc = np.array([r["score"] for r in tops], dtype=np.float64)
-    order = np.lexsort((ids, -sc))[:k]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "score": pa.array(sc[order], pa.float64()),
-        }
-    )
-
-
-# ===========================================================================
-# driver contract
 # ===========================================================================
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: the CDC LWW merge."""
@@ -3343,1610 +257,3 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": distinct_count,
     }
 
-
-def _url_norm_sql(select: str) -> str:
-    """Shared oracle CTE for url_normalize / domain_stats: synthesize the
-    identical messy url from (source, doc_id, lang), then canonicalize
-    with the SAME RE2 patterns the Arrow kernels run (lowercase
-    scheme+host, strip www. and the scheme-default port, '/' for the
-    empty path, drop tracking params + fragment)."""
-    return rf"""
-        WITH u AS (
-          SELECT doc_id, n_chars,
-            'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Cat-' || (doc_id % 7)
-              || '/Page_' || doc_id || '.html?utm_source=feed&id=' || doc_id
-              || '&ref=' || lang || '#sec' AS url
-          FROM documents
-        ), q0 AS (
-          SELECT doc_id, n_chars, url,
-            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            regexp_replace(lower(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)), '^www\.', '') AS host,
-            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
-              AS port,
-            coalesce(nullif(regexp_extract(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), ''), '/') AS path,
-            array_to_string(list_filter(
-              string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&'),
-              p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|ref|fbclid|gclid)=')),
-              '&') AS q
-          FROM u
-        ), p AS (
-          SELECT doc_id, n_chars, url, host, path,
-            scheme || '://' ||
-            (CASE WHEN port <> ''
-                   AND port <> (CASE WHEN scheme = 'http' THEN '80' ELSE '443' END)
-                  THEN host || ':' || port ELSE host END) ||
-            path || (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url_norm
-          FROM q0
-        )
-        {select}
-    """
-
-
-def _pii_sql() -> str:
-    """Oracle for pii_redact: build the same planted contact block with
-    integer || concatenation, then apply the SAME RE2 patterns with
-    nested regexp_replace (counts taken on the progressively-redacted
-    text, mirroring the stage's sequential attribution)."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.text import PII_PATTERNS
-
-    (_, em, em_r), (_, ip, ip_r), (_, ph, ph_r) = PII_PATTERNS
-    return f"""
-        WITH aug AS (
-          SELECT doc_id,
-                 text || ' contact user' || doc_id || '@example.com or call +1 555 000 '
-                      || (doc_id % 10000) || ' from ' || (doc_id % 256) || '.0.0.1' AS t0
-          FROM documents
-        ), s AS (
-          SELECT doc_id, t0,
-                 regexp_replace(t0, '{em}', '{em_r}', 'g') AS t1
-          FROM aug
-        ), s2 AS (
-          SELECT *, regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2 FROM s
-        )
-        SELECT doc_id,
-               len(regexp_extract_all(t0, '{em}')) AS n_email,
-               len(regexp_extract_all(t1, '{ip}')) AS n_ipv4,
-               len(regexp_extract_all(t2, '{ph}')) AS n_phone,
-               regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS text_redacted
-        FROM s2
-    """
-
-
-def _lang_id_sql() -> str:
-    langs = list(STOPWORDS.keys())
-    count_cols = ",\n    ".join(
-        f"len(regexp_extract_all(text, '{_stopword_regex(STOPWORDS[lang])}')) AS c_{lang}"
-        for lang in langs
-    )
-    greatest = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
-    cases = "\n      ".join(f"WHEN c_{lang} = mx THEN '{lang}'" for lang in langs)
-    return f"""
-WITH c AS (
-  SELECT doc_id,
-    {count_cols}
-  FROM documents
-), m AS (
-  SELECT *, {greatest} AS mx FROM c
-)
-SELECT doc_id,
-  CASE WHEN mx = 0 THEN 'und'
-      {cases}
-  END AS lang_pred
-FROM m
-"""
-
-
-_NGRAM_JACCARD_SQL = r"""
-            WITH w AS (
-              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(ws) - 1),
-                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-              FROM w WHERE len(ws) >= 3
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
-"""
-
-
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """All-pairs SimHash oracle, recomputing the ENTIRE signature
-    definition of ``shingle_hashes(hash_impl='poly')`` in DuckDB HUGEINT
-    arithmetic: per-word byte-polynomial hash (base 1000003 mod 2^64),
-    Horner 3-shingle combine, splitmix64 finalizer (the 64x64-bit
-    multiply emulated as split 32-bit products), per-bit majority vote,
-    then brute-force hamming over every doc pair.  Corpus is ASCII so
-    unicode(char) == utf8 byte.  The banding the engine uses is
-    pigeonhole-exact at hamming<=3, so identical pair sets certify it."""
-    M = "18446744073709551616::HUGEINT"  # 2^64
-    pow2 = ", ".join(f"{1 << j}::HUGEINT" for j in range(64))
-    return f"""
-        WITH w AS (
-          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-          FROM documents
-        ), wh AS (
-          SELECT doc_id, len(ws) AS n,
-                 list_transform(ws, w -> CASE WHEN length(w) = 0 THEN 0::HUGEINT
-                   ELSE list_reduce(
-                          list_transform(range(1, length(w) + 1),
-                                         i -> unicode(substr(w, i, 1))::HUGEINT),
-                          (a, x) -> (a * 1000003 + x) % {M}) END) AS hs
-          FROM w
-        ), raw AS (
-          SELECT doc_id, list_transform(range(1, n - 1),
-                   i -> ((((hs[i] * 1000003 + hs[i+1]) % {M}) * 1000003
-                          + hs[i+2]) % {M})) AS sg
-          FROM wh WHERE n >= 3
-        ), f1 AS (
-          SELECT doc_id, list_transform(sg, s -> xor(s, s // 536870912)) AS sg
-          FROM raw
-        ), f2 AS (
-          SELECT doc_id, list_transform(sg, s ->
-                   ((s * 484763065)
-                    + ((((s % 4294967296) * 3210233709) % 4294967296)
-                       * 4294967296)) % {M}) AS sg
-          FROM f1
-        ), f3 AS (
-          SELECT doc_id, list_transform(sg, s -> xor(s, s // 4294967296)) AS sg
-          FROM f2
-        ), u AS (
-          SELECT doc_id, unnest(sg) AS h FROM f3
-        ), p AS (
-          SELECT unnest([{pow2}]) AS pw
-        ), bits AS (
-          SELECT doc_id, pw,
-                 CASE WHEN 2 * sum((h // pw) % 2) > count(*)
-                      THEN pw ELSE 0::HUGEINT END AS wbit
-          FROM u CROSS JOIN p GROUP BY doc_id, pw
-        ), sig AS (
-          SELECT doc_id, sum(wbit)::HUGEINT AS s FROM bits GROUP BY doc_id
-          UNION ALL
-          SELECT doc_id, 0::HUGEINT FROM wh WHERE n < 3
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.s, b.s))::BIGINT AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
-    """
-
-
-def _rademacher_values_sql(d: int, planes: int, seed: int = 42) -> str:
-    """The ±1 plane matrix as an SQL VALUES list — the LSH oracle shares
-    the plane CONSTANTS (like thresholds/query ids) but recomputes
-    quantization, bucket bits, probing and ranking independently."""
-    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
-        rademacher_planes,
-    )
-
-    pl = rademacher_planes(d, planes, seed)
-    return ",".join(
-        f"({i + 1},{p},{int(pl[i, p])})" for i in range(d) for p in range(planes)
-    )
-
-
-def _lsh_bucket_cte(d: int, planes: int) -> str:
-    """Shared oracle CTEs: fixed-point quantization (floor(x*1e4+0.5),
-    every step correctly-rounded IEEE so numpy and DuckDB agree), exact
-    integer dot signs per ±1 plane, bucket = sum(bit << p)."""
-    return f"""
-            pl(i, p, s) AS (VALUES {{values}}),
-            qd AS (
-              SELECT vec_id, g.i AS i,
-                     CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000 + 0.5)
-                          AS BIGINT) AS qv
-              FROM embeddings, generate_series(1, {d}) g(i)
-            ),
-            bits AS (
-              SELECT qd.vec_id, pl.p,
-                     CASE WHEN sum(qd.qv * pl.s) > 0 THEN 1 ELSE 0 END AS bit
-              FROM qd JOIN pl ON pl.i = qd.i GROUP BY qd.vec_id, pl.p
-            ),
-            bkt AS (
-              SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
-              FROM bits GROUP BY vec_id
-            )"""
-
-
-def oracle_sql() -> dict[str, str]:
-    stop_en = _stopword_regex(STOPWORDS["en"])
-    lsh_cte = _lsh_bucket_cte(64, 8).format(values=_rademacher_values_sql(64, 8))
-    nd_cte = _lsh_bucket_cte(64, 4).format(values=_rademacher_values_sql(64, 4))
-    return {
-        "cdc_lww_upsert": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # post-LWW filtered read over pending MoR deltas
-        "cdc_filtered_read": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type = 'click' AND value >= 10.0
-        """,
-        # rollback + idempotent re-drain must land EXACTLY on plain LWW
-        "cdc_rollback": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        "cdc_lww_rank1": """
-            SELECT user_id, event_id AS sys_change_version, event_type, value
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1
-        """,
-        # composite merge key: LWW per (user_id, event_type); the
-        # all-'error' composite keys are pure-delete and vanish
-        "cdc_composite_key": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
-                                               ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # OPTIMIZE fold + snapshot expiry must not change the visible
-        # state: same LWW oracle as the plain replay
-        "cdc_maintenance_fold": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # order independence: the shuffled-segment replay converges to
-        # the identical LWW state (version decides, never arrival order)
-        "cdc_unordered_feed": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # per-cycle engine telemetry vs deterministic segment cuts
-        # (single-segment cycles; pre-combine disabled so raw counters
-        # are exact).  Segment layout covers ALL rows, but version 0
-        # equals the bootstrap watermark, so by the strictly-greater
-        # tailer contract (CHANGETABLE(…, @since) semantics) event 0 is
-        # never polled and cycle 1's counters exclude it.
-        "cdc_cycle_metrics": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            )
-            SELECT ((rn - 1) // ((n + 7) // 8) + 1)::BIGINT AS cycle,
-                   max(event_id)::BIGINT AS watermark,
-                   count(*) FILTER (WHERE event_id > 0)::BIGINT AS changes_in,
-                   sum(CASE WHEN event_type <> 'error' AND event_id > 0
-                            THEN 1 ELSE 0 END)::BIGINT AS upserts,
-                   sum(CASE WHEN event_type = 'error' AND event_id > 0
-                            THEN 1 ELSE 0 END)::BIGINT AS deletes
-            FROM o GROUP BY 1
-        """,
-        # the partition-pruned + bloom point-lookup read path: plain LWW
-        # restricted to the fixed key set (deleted/absent keys -> no row)
-        "cdc_point_lookup": f"""
-            SELECT user_id, event_id AS sys_change_version, ts, event_type,
-                   value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-                                               ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-              AND user_id IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
-        """,
-        # CHANGETABLE(CHANGES …, @since) net-op semantics with
-        # since = max(event_id)//2: I/U/D per key, created-then-deleted
-        # keys net out, delete rows carry keys only (NULL payload)
-        "cdc_net_changes": """
-            WITH s AS (SELECT max(event_id) // 2 AS v FROM events),
-            e AS (SELECT user_id, event_id AS version, ts, event_type, value,
-                         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-                  FROM events),
-            base AS (SELECT user_id, arg_max(op, version) AS bop
-                     FROM e, s WHERE version <= s.v GROUP BY user_id),
-            post AS (SELECT user_id, max(version) AS sys_change_version,
-                            arg_max(op, version) AS lop,
-                            arg_max(ts, version) AS ts,
-                            arg_max(event_type, version) AS event_type,
-                            arg_max(value, version) AS value
-                     FROM e, s WHERE version > s.v GROUP BY user_id)
-            SELECT p.user_id,
-                   CASE WHEN coalesce(b.bop, 'D') <> 'D'
-                        THEN CASE WHEN p.lop = 'D' THEN 'D' ELSE 'U' END
-                        ELSE 'I' END AS sys_change_operation,
-                   p.sys_change_version,
-                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.ts END AS ts,
-                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.event_type END AS event_type,
-                   CASE WHEN p.lop = 'D' THEN NULL ELSE p.value END AS value
-            FROM post p LEFT JOIN base b USING (user_id)
-            WHERE coalesce(b.bop, 'D') <> 'D' OR p.lop <> 'D'
-        """,
-        # type-2 history: non-delete events open [version, next_version);
-        # the newest non-delete interval per key is current
-        "scd2_history": """
-            WITH e AS (SELECT user_id, event_id AS version, event_type, value,
-                              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
-                       FROM events),
-            w AS (SELECT *, lead(version) OVER (PARTITION BY user_id
-                                                ORDER BY version) AS valid_to
-                  FROM e)
-            SELECT user_id, version AS valid_from, valid_to, event_type, value,
-                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
-                       AS is_current
-            FROM w WHERE op <> 'D'
-        """,
-        "funnel_users": """
-            SELECT user_id, first_view, last_purchase FROM (
-              SELECT user_id,
-                     min(ts) FILTER (WHERE event_type = 'view') AS first_view,
-                     max(ts) FILTER (WHERE event_type = 'purchase') AS last_purchase
-              FROM events GROUP BY user_id)
-            WHERE first_view IS NOT NULL AND last_purchase IS NOT NULL
-              AND first_view < last_purchase
-        """,
-        # Q5-lite: integer 1e-4-dollar revenue units so float summation
-        # order cannot perturb the hash
-        "revenue_by_nation": """
-            SELECT n_name,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
-                       AS revenue_u
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1997-01-01'
-            GROUP BY n_name
-        """,
-        "per_domain_topk": """
-            SELECT source, doc_id, n_chars FROM (
-              SELECT source, doc_id, n_chars,
-                     row_number() OVER (PARTITION BY source
-                                        ORDER BY n_chars DESC, doc_id) AS rn
-              FROM documents) WHERE rn <= 3
-        """,
-        # the FULL engine (tailer -> transforms -> direct MoR merge ->
-        # manifest commits -> merge-on-read read) replaying the events
-        # table as its change feed must converge to plain LWW SQL
-        "cdc_engine_events_replay": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # HLL registers replayed exactly: bucket = h % 1024, rank = 1 +
-        # trailing zeros of h // 1024 (min set bit via exact power(2, j))
-        # same shingle CTE as the Jaccard oracle; containment ratio
-        "containment_join": r"""
-            WITH w AS (
-              SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(ws) - 1),
-                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-              FROM w WHERE len(ws) >= 3
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   len(list_intersect(a.s, b.s))::DOUBLE
-                     / least(len(a.s), len(b.s)) AS containment
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                    / least(len(a.s), len(b.s)) >= 0.6
-        """,
-        # the KMV min-set replayed exactly: the HLL hash+finalize chain,
-        # then the 256 smallest distinct hashes in unsigned order
-        "kmv_distinct": r"""
-            WITH d AS (
-              SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
-            ), hashed AS (
-              SELECT list_reduce(list_transform(range(1, length(s) + 1),
-                  i -> unicode(substr(s, i, 1))::HUGEINT),
-                (a, x) -> (a * 1000003 + x)
-                          % 18446744073709551616::HUGEINT) AS h
-              FROM d
-            ), f1 AS (SELECT xor(h, h // 536870912) AS h FROM hashed
-            ), f2 AS (
-              SELECT ((h * 484763065)
-                      + ((((h % 4294967296) * 3210233709) % 4294967296)
-                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
-              FROM f1
-            ), f3 AS (SELECT xor(h, h // 4294967296) AS h FROM f2
-            ), u AS (SELECT DISTINCT h FROM f3)
-            -- ORDER BY u.h (the HUGEINT), NOT the bare name: a bare h in
-            -- the outer ORDER BY binds to the VARCHAR output alias and
-            -- LIMIT would take the LEXICOGRAPHICALLY smallest strings —
-            -- wrong whenever more than k distinct hashes exist (caught
-            -- by the sf0.1 pre-flight; invisible at sf<=0.01 where the
-            -- LIMIT never binds)
-            SELECT (row_number() OVER (ORDER BY u.h) - 1)::BIGINT AS rank,
-                   CAST(u.h AS VARCHAR) AS h
-            FROM u ORDER BY u.h LIMIT 256
-        """,
-        "semi_join_buyers": """
-            SELECT c_custkey, c_name, c_acctbal FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "anti_join_customers": """
-            SELECT c_custkey, c_name, c_acctbal FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey
-                                AND o_totalprice >= 300000.0)
-        """,
-        # identical blocking (last whitespace token) + DuckDB's own
-        # levenshtein certify the vectorized Wagner–Fischer DP
-        "fuzzy_join_parts": r"""
-            WITH d AS (
-              SELECT DISTINCT p_name,
-                     regexp_extract(p_name, '(\S+)$', 1) AS blk
-              FROM part
-            )
-            SELECT a.p_name AS name_a, b.p_name AS name_b,
-                   levenshtein(a.p_name, b.p_name)::BIGINT AS dist
-            FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
-            WHERE levenshtein(a.p_name, b.p_name) <= 3
-        """,
-        # the whole Bloom filter replayed in SQL: HUGEINT polynomial hash
-        # of the decimal key string, splitmix finalize (the HLL chain),
-        # 13-bit-field positions, distinct-bit set, all-4-set membership
-        "bloom_membership": r"""
-            WITH dv(j, d) AS (
-              VALUES (0, 1::HUGEINT), (1, 8192::HUGEINT),
-                     (2, 67108864::HUGEINT), (3, 549755813888::HUGEINT)
-            ), built AS (
-              SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS s
-              FROM orders WHERE o_orderstatus = 'F'
-            ), bh AS (
-              SELECT list_reduce(list_transform(range(1, length(s) + 1),
-                  i -> unicode(substr(s, i, 1))::HUGEINT),
-                (a, x) -> (a * 1000003 + x)
-                          % 18446744073709551616::HUGEINT) AS h
-              FROM built
-            ), bf1 AS (SELECT xor(h, h // 536870912) AS h FROM bh
-            ), bf2 AS (
-              SELECT ((h * 484763065)
-                      + ((((h % 4294967296) * 3210233709) % 4294967296)
-                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
-              FROM bf1
-            ), bf3 AS (SELECT xor(h, h // 4294967296) AS h FROM bf2
-            ), bits AS (
-              SELECT DISTINCT ((h // dv.d) % 8192)::BIGINT AS p FROM bf3, dv
-            ), ph AS (
-              SELECT c_custkey,
-                list_reduce(list_transform(
-                    range(1, length(CAST(c_custkey AS VARCHAR)) + 1),
-                    i -> unicode(substr(CAST(c_custkey AS VARCHAR), i, 1))::HUGEINT),
-                  (a, x) -> (a * 1000003 + x)
-                            % 18446744073709551616::HUGEINT) AS h
-              FROM customer
-            ), pf1 AS (SELECT c_custkey, xor(h, h // 536870912) AS h FROM ph
-            ), pf2 AS (
-              SELECT c_custkey,
-                     ((h * 484763065)
-                      + ((((h % 4294967296) * 3210233709) % 4294967296)
-                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
-              FROM pf1
-            ), pf3 AS (SELECT c_custkey, xor(h, h // 4294967296) AS h FROM pf2
-            ), pp AS (
-              SELECT c_custkey, ((h // dv.d) % 8192)::BIGINT AS p FROM pf3, dv
-            )
-            SELECT pp.c_custkey,
-                   (CASE WHEN count(*) FILTER (WHERE pp.p IN (SELECT p FROM bits)) = 4
-                         THEN 1 ELSE 0 END)::BIGINT AS maybe,
-                   (CASE WHEN EXISTS (SELECT 1 FROM orders
-                                      WHERE o_custkey = pp.c_custkey
-                                        AND o_orderstatus = 'F')
-                         THEN 1 ELSE 0 END)::BIGINT AS actual
-            FROM pp GROUP BY pp.c_custkey
-        """,
-        # BM25 with raw-ratio idf: the identical IEEE expression tree
-        # (term order merge, stream, vector) makes every double exact
-        "bm25_topk": r"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
-              FROM documents
-            ), t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM t2 GROUP BY doc_id),
-            g AS (
-              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                     (SELECT count(*) FROM t2)::DOUBLE AS total
-            ), df AS (
-              SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM t2
-              WHERE tok IN ('merge', 'stream', 'vector') GROUP BY tok
-            ), tf AS (
-              SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM t2
-              WHERE tok IN ('merge', 'stream', 'vector') GROUP BY doc_id, tok
-            ), p AS (
-              SELECT d.doc_id, d.dl,
-                coalesce(max(CASE WHEN tf.tok = 'merge' THEN tf.tf END), 0.0) AS tf1,
-                coalesce(max(CASE WHEN tf.tok = 'stream' THEN tf.tf END), 0.0) AS tf2,
-                coalesce(max(CASE WHEN tf.tok = 'vector' THEN tf.tf END), 0.0) AS tf3
-              FROM dl d LEFT JOIN tf ON tf.doc_id = d.doc_id
-              GROUP BY d.doc_id, d.dl
-            ), idf AS (
-              SELECT
-                (g.n - coalesce((SELECT df FROM df WHERE tok = 'merge'), 0.0) + 0.5)
-                  / (coalesce((SELECT df FROM df WHERE tok = 'merge'), 0.0) + 0.5) AS i1,
-                (g.n - coalesce((SELECT df FROM df WHERE tok = 'stream'), 0.0) + 0.5)
-                  / (coalesce((SELECT df FROM df WHERE tok = 'stream'), 0.0) + 0.5) AS i2,
-                (g.n - coalesce((SELECT df FROM df WHERE tok = 'vector'), 0.0) + 0.5)
-                  / (coalesce((SELECT df FROM df WHERE tok = 'vector'), 0.0) + 0.5) AS i3,
-                g.total / g.n AS avgdl
-              FROM g
-            ), s AS (
-              SELECT p.doc_id,
-                idf.i1 * ((p.tf1 * 2.2) / (p.tf1 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
-                + idf.i2 * ((p.tf2 * 2.2) / (p.tf2 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
-                + idf.i3 * ((p.tf3 * 2.2) / (p.tf3 + 1.2 * (0.25 + 0.75 * (p.dl / idf.avgdl))))
-                  AS score
-              FROM p, idf
-            )
-            SELECT doc_id, score FROM s WHERE score > 0.0
-            ORDER BY score DESC, doc_id LIMIT 10
-        """,
-        "hll_distinct_users": r"""
-            WITH d AS (
-              SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
-            ), hashed AS (
-              SELECT list_reduce(list_transform(range(1, length(s) + 1),
-                  i -> unicode(substr(s, i, 1))::HUGEINT),
-                (a, x) -> (a * 1000003 + x)
-                          % 18446744073709551616::HUGEINT) AS h
-              FROM d
-            ), f1 AS (
-              SELECT xor(h, h // 536870912) AS h FROM hashed
-            ), f2 AS (
-              SELECT ((h * 484763065)
-                      + ((((h % 4294967296) * 3210233709) % 4294967296)
-                         * 4294967296)) % 18446744073709551616::HUGEINT AS h
-              FROM f1
-            ), f3 AS (
-              SELECT xor(h, h // 4294967296) AS h FROM f2
-            ), br AS (
-              SELECT (h % 1024)::BIGINT AS bucket, h // 1024 AS x FROM f3
-            ), ranked AS (
-              SELECT bucket,
-                CASE WHEN x = 0 THEN 55
-                     ELSE 1 + (SELECT min(j.j) - 1 FROM generate_series(1, 54) j(j)
-                               WHERE (x // CAST(power(2, j.j - 1) AS HUGEINT)) % 2 = 1)
-                END AS rank
-              FROM br
-            )
-            SELECT bucket, max(rank)::BIGINT AS reg
-            FROM ranked GROUP BY bucket
-        """,
-        # the count-min sketch replayed exactly: HUGEINT polynomial byte
-        # hash, 10-bit-field positions, per-cell sums, min across rows
-        "cms_heavy_hitters": r"""
-            WITH toks AS (
-              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
-              FROM documents
-            ), cnt AS (
-              SELECT token, count(*)::HUGEINT AS c
-              FROM toks WHERE token <> '' GROUP BY token
-            ), hashed AS (
-              SELECT token,
-                list_reduce(list_transform(range(1, length(token) + 1),
-                    i -> unicode(substr(token, i, 1))::HUGEINT),
-                  (a, x) -> (a * 1000003 + x)
-                            % 18446744073709551616::HUGEINT) AS h
-              FROM cnt
-            ), pos AS (
-              SELECT token, dv.j, ((h // dv.d) % 1024)::BIGINT AS p
-              FROM hashed,
-                   (VALUES (0, 1::HUGEINT), (1, 1024::HUGEINT),
-                           (2, 1048576::HUGEINT),
-                           (3, 1073741824::HUGEINT)) dv(j, d)
-            ), cells AS (
-              SELECT pos.j, pos.p, sum(cnt.c)::BIGINT AS cell
-              FROM pos JOIN cnt USING (token) GROUP BY pos.j, pos.p
-            ), probe AS (
-              SELECT token, c::BIGINT AS cnt FROM cnt
-              WHERE length(token) >= 6 ORDER BY token LIMIT 16
-            )
-            SELECT probe.token, probe.cnt, min(cells.cell) AS est
-            FROM probe
-            JOIN pos ON pos.token = probe.token
-            JOIN cells ON cells.j = pos.j AND cells.p = pos.p
-            GROUP BY probe.token, probe.cnt
-        """,
-        # interval join over the same literal bands
-        "range_join_bands": """
-            SELECT o_orderkey, o_totalprice, b.band
-            FROM orders
-            JOIN (VALUES (0.0, 50000.0, 'small'),
-                         (50000.0, 150000.0, 'mid'),
-                         (150000.0, 300000.0, 'large'),
-                         (300000.0, 1e12, 'jumbo')) b(lo, hi, band)
-              ON o_totalprice >= b.lo AND o_totalprice < b.hi
-        """,
-        # point-in-time predicate delete after the 4th single-segment
-        # cycle (event_id keys): matching rows ingested by the cut are
-        # gone; matching rows arriving after the cut survive
-        "cdc_predicate_delete": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM o
-            WHERE event_type <> 'error'
-              AND NOT (rn <= 4 * ((n + 7) // 8)
-                       AND event_type = 'view' AND value < 30.0)
-        """,
-        # point-in-time equality delete (forget-list of event_id keys,
-        # event_id % 7 == 0) after the 4th single-segment cycle
-        "cdc_equality_delete": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM o
-            WHERE event_type <> 'error'
-              AND NOT (rn <= 4 * ((n + 7) // 8) AND event_id % 7 = 0)
-        """,
-        # mid-stream re-bucketing (8 -> 5) must preserve plain-LWW state
-        "cdc_repartition": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # the twice-bridged replica must equal plain LWW over all events
-        "cdc_replica_sync": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # the exported files must round-trip the same LWW state
-        "cdc_snapshot_export": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # snapshot isolation: LWW over exactly the first 3 single-segment
-        # cycles' events (3 * ceil(n/8) by event_id order) — the engine's
-        # time-travel read of the cycle-3 manifest must equal this prefix
-        # the commit-history metadata table: bootstrap + 8 cycles + 1
-        # predicate-delete commit, every column deterministic
-        "cdc_history": """
-            WITH o AS (
-              SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), c AS (SELECT (max(n) + 7) // 8 AS chunk, max(n) AS n FROM o)
-            SELECT 0::BIGINT AS version, 0::BIGINT AS watermark,
-                   'bootstrap' AS kind, 0::BIGINT AS changes_in
-            UNION ALL
-            -- cycle k ingests versions in (wm_{k-1}, wm_k]; the initial
-            -- watermark 0 excludes any event with event_id <= 0, so the
-            -- first cycle is one short when ids start at 0
-            SELECT g.k, o.event_id, 'cycle',
-                   least(g.k * c.chunk, c.n) - (g.k - 1) * c.chunk
-                   - (CASE WHEN g.k = 1
-                           THEN (SELECT count(*) FROM o WHERE event_id <= 0)
-                           ELSE 0 END)
-            FROM generate_series(1, 8) g(k), c, o
-            WHERE o.rn = least(g.k * c.chunk, c.n)
-            UNION ALL
-            SELECT 9, o.event_id, 'predicate_delete', 0
-            FROM o, c WHERE o.rn = c.n
-        """,
-        # read BY TAG after GC: same cycle-3 prefix as time travel
-        "cdc_tagged_read": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cut AS (
-              SELECT max(3 * ((n + 7) // 8)) AS c FROM o
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type,
-                   value, props
-            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY event_id DESC) urn
-                  FROM o, cut WHERE o.rn <= cut.c)
-            WHERE urn = 1 AND event_type <> 'error'
-        """,
-        "cdc_time_travel": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cut AS (
-              SELECT max(3 * ((n + 7) // 8)) AS c FROM o
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type,
-                   value, props
-            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY event_id DESC) urn
-                  FROM o, cut WHERE o.rn <= cut.c)
-            WHERE urn = 1 AND event_type <> 'error'
-        """,
-        # net change feed between the cycle-3 and cycle-6 cuts: LWW
-        # winners INSIDE the range, classified against the cycle-3 alive
-        # set; winners that are deletes of never-alive keys net out
-        "cdc_change_feed": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cuts AS (
-              SELECT max(3 * ((n + 7) // 8)) AS a,
-                     max(6 * ((n + 7) // 8)) AS b
-              FROM o
-            ), w AS (
-              SELECT * FROM (
-                SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                               ORDER BY event_id DESC) urn
-                FROM o, cuts WHERE o.rn > cuts.a AND o.rn <= cuts.b)
-              WHERE urn = 1
-            ), alive AS (
-              SELECT user_id FROM (
-                SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                               ORDER BY event_id DESC) urn
-                FROM o, cuts WHERE o.rn <= cuts.a)
-              WHERE urn = 1 AND event_type <> 'error'
-            )
-            SELECT w.user_id, w.event_id AS sys_change_version, w.ts,
-                   w.event_type, w.value, w.props,
-                   CASE WHEN w.event_type = 'error' THEN 'delete'
-                        WHEN alive.user_id IS NOT NULL THEN 'update'
-                        ELSE 'insert' END AS change_type
-            FROM w LEFT JOIN alive ON w.user_id = alive.user_id
-            WHERE NOT (w.event_type = 'error' AND alive.user_id IS NULL)
-        """,
-        # all-changes history: every feed row between the two cuts with
-        # its logged op (U->update, D->delete; the feed logs no inserts)
-        "cdc_change_feed_all": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cuts AS (
-              SELECT max(3 * ((n + 7) // 8)) AS a,
-                     max(6 * ((n + 7) // 8)) AS b
-              FROM o
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type,
-                   value, props,
-                   CASE WHEN event_type = 'error' THEN 'delete'
-                        ELSE 'update' END AS change_type
-            FROM o, cuts WHERE o.rn > cuts.a AND o.rn <= cuts.b
-        """,
-        # incremental view maintenance: the maintained matview must
-        # equal a straight group-by over the cycle-6 LWW alive set
-        "cdc_incremental_matview": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cut AS (
-              SELECT max(6 * ((n + 7) // 8)) AS c FROM o
-            ), w AS (
-              SELECT * FROM (
-                SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                               ORDER BY event_id DESC) urn
-                FROM o, cut WHERE o.rn <= cut.c)
-              WHERE urn = 1 AND event_type <> 'error'
-            )
-            SELECT event_type, count(*)::BIGINT AS n,
-                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_u
-            FROM w GROUP BY event_type
-        """,
-        # bootstrap -> stream: plain LWW over ALL events, except rows
-        # untouched after the snapshot keep the backfill stamp (the
-        # version current at backfill start = the cut event) as their
-        # sys_change_version — StreamRunner.scala:209-223 semantics
-        "cdc_backfill_then_stream": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cutv AS (
-              SELECT event_id AS v FROM o
-              WHERE rn = (SELECT max(least(3 * ((n + 7) // 8), n)) FROM o)
-            )
-            SELECT user_id,
-                   CASE WHEN event_id <= cutv.v THEN cutv.v
-                        ELSE event_id END AS sys_change_version,
-                   ts, event_type, value, props
-            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY event_id DESC) urn
-                  FROM o) l, cutv
-            WHERE urn = 1 AND event_type <> 'error'
-        """,
-        # additive migration: the column exists only for the LAST 64
-        # events; LWW winners from before that must read back NULL
-        "cdc_schema_evolution": """
-            WITH o AS (
-              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
-                     count(*) OVER () AS n
-              FROM events
-            ), cut AS (
-              SELECT max(greatest(n - 64, 0)) AS c FROM o
-            )
-            SELECT user_id, event_id AS sys_change_version, ts, event_type,
-                   value, props,
-                   CASE WHEN rn > cut.c THEN upper(event_type) END
-                     AS source_region
-            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
-                                                 ORDER BY event_id DESC) urn
-                  FROM o) l, cut
-            WHERE urn = 1 AND event_type <> 'error'
-        """,
-        "changefeed_window": """
-            SELECT user_id, event_type, value, event_id AS sys_change_version
-            FROM events
-            WHERE event_id > (SELECT max(event_id) * 3 // 10 FROM events)
-              AND event_id <= (SELECT max(event_id) * 6 // 10 FROM events)
-        """,
-        "watermark_after_replay": "SELECT max(event_id) AS watermark FROM events",
-        "backfill_snapshot": "SELECT * FROM orders",
-        "field_filter_include": "SELECT doc_id, text, lang FROM documents",
-        "normalize_colnames": "SELECT doc_id AS docid, n_chars AS nchars FROM documents",
-        "merge_key_synth": """
-            SELECT cast(o_orderkey AS varchar) || '#' || cast(o_custkey AS varchar)
-                   AS arcane_merge_key, o_totalprice
-            FROM orders
-        """,
-        "type_cast": """
-            SELECT cast(l_orderkey AS bigint) AS l_orderkey,
-                   cast(l_linenumber AS integer) AS l_linenumber,
-                   cast(l_quantity AS double) AS l_quantity
-            FROM lineitem
-        """,
-        "column_stats": """
-            SELECT min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
-                   min(l_extendedprice) AS min_l_extendedprice,
-                   max(l_extendedprice) AS max_l_extendedprice,
-                   min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate,
-                   count(l_quantity) AS n
-            FROM lineitem
-        """,
-        "pruned_agg": """
-            SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
-                   count(l_quantity) AS n
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "broadcast_join": """
-            SELECT o_orderkey, o_custkey, c_name, o_totalprice
-            FROM orders JOIN customer ON o_custkey = c_custkey
-        """,
-        "partitioned_join": """
-            SELECT o_orderkey, o_custkey, c_name, o_totalprice
-            FROM orders JOIN customer ON o_custkey = c_custkey
-        """,
-        # the window mirrors the engine's merge order exactly: right
-        # (purchase) rows sort before left (click) rows at equal ts, so
-        # a same-ts purchase matches; ties break to the max event_id
-        "asof_join": """
-            WITH e AS (
-              SELECT event_id, user_id, ts, value, event_type FROM events
-              WHERE event_type IN ('click', 'purchase')
-            ), w AS (
-              SELECT event_id, user_id, ts, event_type,
-                last_value(CASE WHEN event_type = 'purchase' THEN event_id END
-                           IGNORE NULLS)
-                  OVER (PARTITION BY user_id
-                        ORDER BY ts, (event_type = 'click'), event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_id,
-                last_value(CASE WHEN event_type = 'purchase' THEN value END
-                           IGNORE NULLS)
-                  OVER (PARTITION BY user_id
-                        ORDER BY ts, (event_type = 'click'), event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_val
-              FROM e
-            )
-            SELECT event_id, user_id, ts,
-                   coalesce(m_id, -1)::BIGINT AS matched_event_id,
-                   coalesce(m_val, 0.0) AS matched_value
-            FROM w WHERE event_type = 'click'
-        """,
-        "token_count": rf"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws,
-                   len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tokens_bpe
-            FROM documents
-        """,
-        # the oracle is the ORIGINAL text: escape -> wrap-in-markup ->
-        # extract must be a byte-identical round trip (input_hint
-        # per-row invariant), so a value-hash match here proves the
-        # extraction exact rather than merely self-consistent
-        "extract_text": """
-            SELECT doc_id, text AS text_extracted FROM documents
-        """,
-        "quality_score": rf"""
-            WITH b AS (
-              SELECT doc_id,
-                     length(text) AS n_chars_actual,
-                     len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_words,
-                     len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct,
-                     len(regexp_extract_all(text, '{UPPER_PATTERN}')) AS n_upper,
-                     len(regexp_extract_all(text, '{stop_en}')) AS n_stop
-              FROM documents
-            )
-            SELECT doc_id, n_chars_actual, n_words,
-                   round(cast(n_punct AS double) / greatest(n_chars_actual, 1), 6) AS punct_ratio,
-                   round(cast(n_upper AS double) / greatest(n_chars_actual, 1), 6) AS upper_ratio,
-                   round(cast(n_stop AS double) / greatest(n_words, 1), 6) AS stopword_ratio,
-                   round(cast(n_chars_actual - (n_words - 1) AS double)
-                         / greatest(n_words, 1), 6) AS mean_word_len
-            FROM b
-        """,
-        # exact integer divisions (IEEE double division is deterministic)
-        # so numpy and DuckDB agree bit-for-bit with no rounding
-        "repetition_score": """
-            WITH f AS (
-              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
-              FROM documents
-            ), g AS (
-              SELECT doc_id, line, count(*) AS c, strlen(line) AS len
-              FROM f GROUP BY doc_id, line
-            ), agg AS (
-              SELECT doc_id,
-                     sum(c) AS n_lines,
-                     count(*) AS n_distinct,
-                     sum(c * len) AS tot_chars,
-                     sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
-              FROM g GROUP BY doc_id
-            )
-            SELECT doc_id,
-                   (n_lines - n_distinct)::DOUBLE / greatest(n_lines, 1) AS dup_line_frac,
-                   CASE WHEN tot_chars > 0
-                        THEN dup_chars::DOUBLE / tot_chars ELSE 0.0 END AS dup_char_frac
-            FROM agg
-        """,
-        # word-n-gram repetition: the engine hashes words (64-bit ahash)
-        # instead of materializing gram strings; collision probability is
-        # negligible, so count*chars integers — and therefore the IEEE
-        # double ratios — match the string-grouping SQL bit-for-bit
-        "ngram_repetition": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
-            ), p2 AS (
-              SELECT doc_id, arr,
-                     unnest(generate_series(1, greatest(array_length(arr) - 1, 0))) AS i
-              FROM d
-            ), c2 AS (
-              SELECT doc_id, arr[i] || chr(32) || arr[i+1] AS gram,
-                     count(*) AS cnt, any_value(strlen(arr[i]) + strlen(arr[i+1]) + 1) AS len
-              FROM p2 GROUP BY doc_id, gram
-            ), a2 AS (
-              SELECT doc_id, max(cnt * len) AS top_chars, sum(cnt * len) AS tot
-              FROM c2 GROUP BY doc_id
-            ), p5 AS (
-              SELECT doc_id, arr,
-                     unnest(generate_series(1, greatest(array_length(arr) - 4, 0))) AS i
-              FROM d
-            ), c5 AS (
-              SELECT doc_id,
-                     arr[i] || chr(32) || arr[i+1] || chr(32) || arr[i+2] || chr(32)
-                            || arr[i+3] || chr(32) || arr[i+4] AS gram,
-                     count(*) AS cnt,
-                     any_value(strlen(arr[i]) + strlen(arr[i+1]) + strlen(arr[i+2])
-                               + strlen(arr[i+3]) + strlen(arr[i+4]) + 4) AS len
-              FROM p5 GROUP BY doc_id, gram
-            ), a5 AS (
-              SELECT doc_id,
-                     sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dup_chars,
-                     sum(cnt * len) AS tot
-              FROM c5 GROUP BY doc_id
-            )
-            SELECT dd.doc_id,
-                   CASE WHEN a2.tot > 0 THEN a2.top_chars::DOUBLE / a2.tot ELSE 0.0 END
-                     AS top2_char_frac,
-                   CASE WHEN a5.tot > 0 THEN a5.dup_chars::DOUBLE / a5.tot ELSE 0.0 END
-                     AS dup5_char_frac
-            FROM documents dd
-            LEFT JOIN a2 ON dd.doc_id = a2.doc_id
-            LEFT JOIN a5 ON dd.doc_id = a5.doc_id
-        """,
-        "corpus_prep": rf"""
-            WITH d AS (
-              SELECT doc_id, text, string_split(text, chr(32)) AS arr,
-                     len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws
-              FROM documents
-            ), p2 AS (
-              SELECT doc_id, arr,
-                     unnest(generate_series(1, greatest(array_length(arr) - 1, 0))) AS i
-              FROM d
-            ), c2 AS (
-              SELECT doc_id, arr[i] || chr(32) || arr[i+1] AS gram,
-                     count(*) AS cnt, any_value(strlen(arr[i]) + strlen(arr[i+1]) + 1) AS len
-              FROM p2 GROUP BY doc_id, gram
-            ), a2 AS (
-              SELECT doc_id, max(cnt * len) AS top_chars, sum(cnt * len) AS tot
-              FROM c2 GROUP BY doc_id
-            ), scored AS (
-              SELECT d.doc_id, d.text, d.n_tokens_ws,
-                     CASE WHEN a2.tot > 0 THEN a2.top_chars::DOUBLE / a2.tot ELSE 0.0 END
-                       AS top2_char_frac
-              FROM d LEFT JOIN a2 ON d.doc_id = a2.doc_id
-            ), kept AS (
-              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-              FROM scored
-              WHERE n_tokens_ws >= 40 AND top2_char_frac < 0.05
-            )
-            SELECT doc_id, n_tokens_ws, top2_char_frac FROM kept WHERE rn = 1
-        """,
-        "pii_redact": _pii_sql(),
-        # whole-text polynomial hash mod 2^64 replayed in HUGEINT (same
-        # technique as doc_fingerprint; codepoint==byte on this corpus)
-        "train_eval_split": """
-            WITH c AS (
-              SELECT doc_id, length(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), h AS (
-              SELECT doc_id,
-                CASE WHEN L = 0 THEN 0::HUGEINT
-                     ELSE list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
-                END AS hv
-              FROM c
-            )
-            SELECT doc_id,
-                   (hv % 100)::BIGINT AS hash_pct,
-                   CASE WHEN hv % 100 < 5 THEN 'eval' ELSE 'train' END AS split
-            FROM h
-        """,
-        "stratified_sample": """
-            WITH c AS (
-              SELECT doc_id, lang, length(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), h AS (
-              SELECT doc_id, lang,
-                CASE WHEN L = 0 THEN 0::HUGEINT
-                     ELSE list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
-                END AS hv
-              FROM c
-            ), r AS (
-              SELECT lang, doc_id,
-                     row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
-                       AS rnk
-              FROM h
-            )
-            SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
-        """,
-        # floor(sqrt) of an int64 count is IEEE-exact in both numpy and
-        # DuckDB; hash order replayed in HUGEINT as usual
-        "domain_temperature_sample": """
-            WITH c AS (
-              SELECT doc_id, source, length(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), h AS (
-              SELECT doc_id, source,
-                CASE WHEN L = 0 THEN 0::HUGEINT
-                     ELSE list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
-                END AS hv
-              FROM c
-            ), q AS (
-              SELECT source, floor(sqrt(count(*)))::BIGINT AS k
-              FROM documents GROUP BY source
-            ), r AS (
-              SELECT h.source, h.doc_id, q.k,
-                     row_number() OVER (PARTITION BY h.source
-                                        ORDER BY hv, doc_id) AS rnk
-              FROM h JOIN q USING (source)
-            )
-            SELECT source, doc_id, rnk FROM r WHERE rnk <= k
-        """,
-        "grouped_quantiles": rf"""
-            WITH t AS (
-              SELECT lang, len(regexp_extract_all(text, '{WORD_PATTERN}')) AS v
-              FROM documents
-            ), vc AS (
-              SELECT lang, v, count(*) AS c FROM t GROUP BY lang, v
-            ), w AS (
-              SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
-                     sum(c) OVER (PARTITION BY lang) AS n
-              FROM vc
-            )
-            SELECT lang, max(n)::BIGINT AS n_docs,
-                   min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)::BIGINT AS p50,
-                   min(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END)::BIGINT AS p90
-            FROM w GROUP BY lang
-        """,
-        # same HUGEINT whole-text-hash replay as train_eval_split; uint64
-        # and non-negative HUGEINT sort identically, so the global
-        # (hash, doc_id) order — and therefore every rank — matches
-        "corpus_shuffle": """
-            WITH c AS (
-              SELECT doc_id, length(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), h AS (
-              SELECT doc_id,
-                CASE WHEN L = 0 THEN 0::HUGEINT
-                     ELSE list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
-                END AS hv
-              FROM c
-            )
-            SELECT doc_id,
-                   (row_number() OVER (ORDER BY hv, doc_id) - 1)::BIGINT
-                     AS shuffle_rank
-            FROM h
-        """,
-        # 1-based inclusive list slices; generate_series step = stride
-        "doc_chunk": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
-            ), s AS (
-              SELECT doc_id, arr,
-                     unnest(generate_series(1, array_length(arr), 24)) AS st
-              FROM d
-            )
-            SELECT doc_id,
-                   (st - 1) // 24 AS chunk_idx,
-                   (least(st + 31, array_length(arr)) - st + 1)::BIGINT AS n_words,
-                   array_to_string(arr[st:least(st + 31, array_length(arr))], chr(32))
-                     AS chunk
-            FROM s
-        """,
-        # engine compares 64-bit gram hashes, oracle compares gram strings
-        # — identical counts modulo ~2^-64 collisions (same argument as
-        # ngram_repetition)
-        "decontaminate": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
-            ), g AS (
-              SELECT doc_id, array_to_string(arr[i:i+7], chr(32)) AS gram
-              FROM (SELECT doc_id, arr,
-                           unnest(generate_series(1, greatest(array_length(arr) - 7, 0)))
-                             AS i
-                    FROM d)
-            ), bench AS (
-              SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7
-            ), hits AS (
-              SELECT g.doc_id, count(*) AS nh
-              FROM g JOIN bench USING (gram)
-              WHERE g.doc_id % 10 <> 7
-              GROUP BY g.doc_id
-            )
-            SELECT dd.doc_id,
-                   coalesce(h.nh, 0)::BIGINT AS n_contaminated,
-                   (CASE WHEN coalesce(h.nh, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
-                     AS contaminated
-            FROM documents dd LEFT JOIN hits h ON dd.doc_id = h.doc_id
-            WHERE dd.doc_id % 10 <> 7
-        """,
-        # rank rule: value at row ceil(p*n/100) = (p*n + 99) // 100 of the
-        # sorted counts — integer arithmetic on both sides
-        "length_quantiles": rf"""
-            WITH t AS (
-              SELECT len(regexp_extract_all(text, '{WORD_PATTERN}')) AS v
-              FROM documents
-            ), vc AS (
-              SELECT v, count(*) AS c FROM t GROUP BY v
-            ), w AS (
-              SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc
-            ), nn AS (
-              SELECT count(*) AS n FROM t
-            )
-            SELECT nn.n::BIGINT AS n_docs,
-                   (SELECT min(v) FROM w WHERE cum >= (25 * nn.n + 99) // 100)::BIGINT AS p25,
-                   (SELECT min(v) FROM w WHERE cum >= (50 * nn.n + 99) // 100)::BIGINT AS p50,
-                   (SELECT min(v) FROM w WHERE cum >= (75 * nn.n + 99) // 100)::BIGINT AS p75,
-                   (SELECT min(v) FROM w WHERE cum >= (90 * nn.n + 99) // 100)::BIGINT AS p90,
-                   (SELECT min(v) FROM w WHERE cum >= (99 * nn.n + 99) // 100)::BIGINT AS p99
-            FROM nn
-        """,
-        "url_normalize": _url_norm_sql(
-            "SELECT doc_id, url, url_norm, host, path FROM p ORDER BY doc_id"
-        ),
-        "domain_stats": _url_norm_sql(
-            """SELECT host, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-               FROM p GROUP BY host"""
-        ),
-        "sessionize": """
-            SELECT event_id, user_id,
-                   sum(CASE WHEN prev_ts IS NULL
-                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-                            THEN 1 ELSE 0 END) OVER (
-                     PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   )::BIGINT AS session_id
-            FROM (
-              SELECT event_id, user_id, ts,
-                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS prev_ts
-              FROM events
-            )
-        """,
-        "session_stats": """
-            WITH s AS (
-              SELECT event_id, user_id, ts,
-                     sum(CASE WHEN prev_ts IS NULL
-                               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-                              THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     )::BIGINT AS session_id
-              FROM (
-                SELECT event_id, user_id, ts,
-                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         AS prev_ts
-                FROM events
-              )
-            )
-            SELECT user_id, session_id, count(*)::BIGINT AS n_events,
-                   min(ts) AS start_ts, max(ts) AS end_ts,
-                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
-            FROM s GROUP BY user_id, session_id
-        """,
-        # exact [p05, p95] outlier filter: same ceil(p*n/100) rank rule
-        # as length_quantiles
-        "length_percentile_filter": """
-            WITH o AS (
-              SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
-                     count(*) OVER () AS n
-              FROM documents
-            ), thr AS (
-              SELECT max(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END) AS lo,
-                     max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END) AS hi
-              FROM o
-            )
-            SELECT doc_id, n_chars FROM documents, thr
-            WHERE n_chars BETWEEN thr.lo AND thr.hi
-        """,
-        "seq_pack": rf"""
-            WITH t AS (
-              SELECT doc_id,
-                     len(regexp_extract_all(text, '{WORD_PATTERN}')) AS n_tokens_ws
-              FROM documents
-            )
-            SELECT doc_id, n_tokens_ws,
-                   ((sum(n_tokens_ws) OVER (
-                      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                    ) - n_tokens_ws) // 512)::BIGINT AS bin_id
-            FROM t
-        """,
-        "tfidf_topk": """
-            WITH w AS (
-              SELECT doc_id, unnest(string_split(text, chr(32))) AS token
-              FROM documents
-            ), tf AS (
-              SELECT doc_id, token, count(*) AS tf FROM w GROUP BY doc_id, token
-            ), df AS (
-              SELECT token, count(*) AS df FROM tf GROUP BY token
-            ), s AS (
-              SELECT tf.doc_id, tf.token,
-                     (tf.tf * (SELECT count(*) FROM documents))::DOUBLE / df.df
-                       AS tfidf
-              FROM tf JOIN df USING (token)
-            ), r AS (
-              SELECT *, row_number() OVER (
-                       PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
-                     ) AS rnk
-              FROM s
-            )
-            SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= 3
-        """,
-        "lang_id": _lang_id_sql(),
-        "windowed_agg": """
-            SELECT event_type, date_trunc('hour', ts) AS w,
-                   count(*) AS n,
-                   cast(round(sum(value) * 10000) AS bigint) AS sv_u
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
-        """,
-        "hopping_window": """
-            WITH e AS (
-              SELECT event_type, value, date_trunc('hour', ts) AS h FROM events
-            ), x AS (
-              SELECT event_type, value, h AS w FROM e
-              UNION ALL
-              SELECT event_type, value, h - INTERVAL 1 HOUR AS w FROM e
-            )
-            SELECT event_type, w, count(*) AS n,
-                   cast(round(sum(value) * 10000) AS bigint) AS sv_u
-            FROM x GROUP BY event_type, w
-        """,
-        "distinct_count": """
-            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
-            FROM events GROUP BY event_type
-        """,
-        "top_docs_by_len": rf"""
-            SELECT doc_id,
-                   round(cast(length(text) - (len(regexp_extract_all(text, '{WORD_PATTERN}')) - 1) AS double)
-                         / greatest(len(regexp_extract_all(text, '{WORD_PATTERN}')), 1), 6) AS mean_word_len
-            FROM documents
-            ORDER BY mean_word_len DESC, doc_id ASC
-            LIMIT 50
-        """,
-        "topk_tokens": r"""
-            SELECT token, count(*) AS cnt FROM (
-              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
-              FROM documents
-            ) WHERE token <> ''
-            GROUP BY token
-            ORDER BY cnt DESC, token ASC
-            LIMIT 20
-        """,
-        "dedup_exact": """
-            SELECT doc_id, text, lang, source, n_chars FROM (
-              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
-              FROM documents
-            ) WHERE rn = 1
-        """,
-        "ann_cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
-              FROM embeddings WHERE vec_id IN (0, 1)
-            ), scored AS (
-              SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) AS score,
-                     row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) DESC,
-                                e.vec_id ASC
-                     ) rn
-              FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
-        """,
-        # exact LSH ANN: integer Rademacher bucketing replayed in SQL,
-        # radius-1 probing via bit flips, same float64 cosine ranking as
-        # ann_cosine_topk (engine-equal at 6-decimal rounding)
-        "ann_lsh_topk": f"""
-            WITH {lsh_cte},
-            probes AS (
-              -- the engine filters once with the UNION of every query's
-              -- probe set (batch LSH), then scores all candidates
-              -- against all queries — the oracle does the same
-              SELECT bucket AS pb FROM bkt WHERE vec_id IN (0, 1)
-              UNION
-              SELECT xor(b.bucket, CAST(1::BIGINT << f.j AS BIGINT))
-              FROM bkt b, generate_series(0, 7) f(j) WHERE b.vec_id IN (0, 1)
-            ),
-            q AS (
-              SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
-              FROM embeddings WHERE vec_id IN (0, 1)
-            ),
-            cand AS (
-              SELECT DISTINCT d.vec_id
-              FROM probes p JOIN bkt d ON d.bucket = p.pb
-            ),
-            scored AS (
-              SELECT q.query_id, c.vec_id,
-                     round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) AS score,
-                     row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) DESC,
-                                c.vec_id ASC
-                     ) rn
-              FROM cand c
-              JOIN embeddings e ON e.vec_id = c.vec_id
-              CROSS JOIN q
-            )
-            SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
-        """,
-        # exact LSH near-dup: same integer bucketing (4 planes), pairs
-        # only within a bucket, float64 cosine at the 0.4 threshold
-        "embedding_neardup": f"""
-            WITH {nd_cte}
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(cast(ea.embedding AS double[]),
-                                                cast(eb.embedding AS double[])), 6)
-                     AS cosine
-            FROM bkt a
-            JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            JOIN embeddings ea ON ea.vec_id = a.vec_id
-            JOIN embeddings eb ON eb.vec_id = b.vec_id
-            WHERE round(list_cosine_similarity(cast(ea.embedding AS double[]),
-                                               cast(eb.embedding AS double[])), 6)
-                  >= 0.4
-        """,
-        "multimodal_meta": "SELECT doc_id, cast(strlen(text) AS bigint) AS n_bytes FROM documents",
-        # exact n-gram Jaccard: the SQL computes the same distinct word-
-        # 3-shingle sets (string form; the Ray side hashes them — equal
-        # counts modulo 64-bit collisions) and the same c/(|A|+|B|-c)
-        # double division, so values hash-compare bit-exactly
-        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
-        # exact oracle for the MinHash+LSH path: verification computes the
-        # TRUE shingle Jaccard (integer ratio), so the value-hash compare
-        # is exact — and a hash match additionally certifies LSH recall
-        # 1.0 vs the sketch-free all-pairs ground truth on this corpus
-        # (a banding miss would drop a row and fail the compare)
-        "dedup_minhash": _NGRAM_JACCARD_SQL.replace(">= 0.2", ">= 0.5"),
-        "dedup_simhash": _simhash_sql(max_hamming=3),
-        # first-occurrence order is (doc_id, cidx) on both sides; the
-        # engine compares chunk hashes, the oracle chunk strings
-        "span_dedup": """
-            WITH d AS (
-              SELECT doc_id, string_split(text, chr(32)) AS arr FROM documents
-            ), c AS (
-              SELECT doc_id, (st - 1) // 16 AS cidx,
-                     array_to_string(arr[st:least(st + 15, array_length(arr))],
-                                     chr(32)) AS chunk
-              FROM (SELECT doc_id, arr,
-                           unnest(generate_series(1, array_length(arr), 16)) AS st
-                    FROM d)
-            ), r AS (
-              SELECT *, row_number() OVER (PARTITION BY chunk
-                                           ORDER BY doc_id, cidx) AS rn
-              FROM c
-            )
-            SELECT doc_id,
-                   count(*)::BIGINT AS n_chunks,
-                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
-                   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, chr(32)
-                                       ORDER BY cidx), '') AS text_dedup
-            FROM r GROUP BY doc_id
-        """,
-        # connected components over the same pair list via recursive
-        # min-label closure (components are tiny, so the closure is too)
-        "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS (
-              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
-            ), edges AS (
-              SELECT id_a AS a, id_b AS b FROM pairs
-              UNION ALL
-              SELECT id_b, id_a FROM pairs
-            ), lab AS (
-              SELECT a AS id, a AS lbl FROM edges
-              UNION
-              SELECT e.a AS id, l.lbl FROM lab l JOIN edges e ON l.id = e.b
-            )
-            SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
-        """,
-        # keep-one-per-cluster: longest doc wins (tie -> min id);
-        # singleton docs (in no near-dup pair) are their own cluster
-        "dedup_keep_best": f"""
-            WITH RECURSIVE pairs AS (
-              SELECT id_a, id_b FROM ({_NGRAM_JACCARD_SQL})
-            ), edges AS (
-              SELECT id_a AS a, id_b AS b FROM pairs
-              UNION ALL
-              SELECT id_b, id_a FROM pairs
-            ), lab AS (
-              SELECT a AS id, a AS lbl FROM edges
-              UNION
-              SELECT e.a AS id, l.lbl FROM lab l JOIN edges e ON l.id = e.b
-            ), cl AS (
-              SELECT id AS doc_id, min(lbl) AS cluster_id FROM lab GROUP BY id
-            ), assigned AS (
-              SELECT coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
-                     d.doc_id, d.n_chars
-              FROM documents d LEFT JOIN cl USING (doc_id)
-            )
-            SELECT cluster_id, doc_id, n_chars FROM (
-              SELECT *, row_number() OVER (PARTITION BY cluster_id
-                        ORDER BY n_chars DESC, doc_id) AS rn
-              FROM assigned) WHERE rn = 1
-        """,
-        # inverted index: distinct (token, doc) -> df + ordered posting
-        # list capped at 64 ids (df exact over the full set)
-        "inverted_index": r"""
-            WITH tok AS (
-              SELECT DISTINCT doc_id, t AS token
-              FROM (SELECT doc_id,
-                           unnest(string_split_regex(lower(text), '\s+')) AS t
-                    FROM documents)
-              WHERE t <> ''
-            ), agg AS (
-              SELECT token, count(*)::BIGINT AS df,
-                     list(doc_id ORDER BY doc_id) AS ids
-              FROM tok GROUP BY token
-            )
-            SELECT token, df, array_to_string(ids[1:64], ',') AS postings
-            FROM agg WHERE df >= 2
-        """,
-        # exact embedding near-dup: pair ids only (scores deliberately
-        # omitted — identical pair SETS are the contract; threshold 0.45
-        # has >= 1e-4 margin to the nearest cosine on every sf, far above
-        # float64-summation-order noise)
-        "neardup_cosine_exact": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(cast(a.embedding AS double[]),
-                                         cast(b.embedding AS double[])) >= 0.45
-        """,
-        # winnowing fingerprint: the SAME polynomial rolling hash
-        # (base 1000003, mod 2^64, min over min(16, len)-byte windows)
-        # recomputed in DuckDB hugeint arithmetic; corpus is ASCII so
-        # unicode(char) == byte value (functions/text.py kernel uses
-        # utf8 bytes)
-        "doc_fingerprint": r"""
-            WITH c AS (
-              SELECT doc_id, length(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), wh AS (
-              SELECT doc_id,
-                CASE WHEN L = 0 THEN [0::HUGEINT]
-                     WHEN L < 16 THEN [list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)]
-                     ELSE list_transform(range(1, L - 14),
-                       i -> list_reduce(b[i:i+15],
-                         (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT))
-                END AS hs
-              FROM c
-            )
-            SELECT doc_id,
-              (CASE WHEN m >= 9223372036854775808::HUGEINT
-                    THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fingerprint
-            FROM (SELECT doc_id, list_min(hs) AS m FROM wh)
-        """,
-        # the fake decoder derives every output from the SAME polynomial
-        # rolling hash as doc_fingerprint (whole-payload window), so the
-        # stubbed decode chain is exactly SQL-replicable; text is ASCII
-        # (unicode(char) == byte) and HUGEINT emulates the mod-2^64 Horner
-        "multimodal_decode": r"""
-            WITH c AS (
-              SELECT doc_id, strlen(text) AS L,
-                     list_transform(range(1, length(text) + 1),
-                       i -> unicode(substr(text, i, 1))::HUGEINT) AS b
-              FROM documents
-            ), h AS (
-              SELECT doc_id, L,
-                CASE WHEN L = 0 THEN 0::HUGEINT
-                     ELSE list_reduce(b,
-                       (a, x) -> (a * 1000003 + x) % 18446744073709551616::HUGEINT)
-                END AS m
-              FROM c
-            )
-            SELECT doc_id,
-                   L::BIGINT AS n_bytes,
-                   (64 + (m % 448))::INTEGER AS decoded_h,
-                   (64 + ((m // 65536) % 448))::INTEGER AS decoded_w,
-                   3::INTEGER AS channels,
-                   224::INTEGER AS resized_h,
-                   224::INTEGER AS resized_w
-            FROM h
-        """,
-        # the flagship staged-path replay converges to the same LWW state
-        # as the direct-path twin (cdc_engine_events_replay): staging is
-        # an internal transport, not a semantic change
-        "cdc_stream_replay": """
-            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
-            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
-                  FROM events)
-            WHERE rn = 1 AND event_type <> 'error'
-        """,
-        # ann_ivf_topk's contract: the coarse quantizer + nprobe=8/16
-        # probing is tuned for recall@10 = 1.0 on this corpus (pytest-
-        # asserted at sf0.001/0.01/0.1), so the EXACT brute-force top-k
-        # *is* the oracle — any k-means/probing regression that drops a
-        # true neighbor breaks the hash.  The scan still touches only
-        # the probed half of the clusters (the IVF scale path).
-        "ann_ivf_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, cast(embedding AS double[]) AS qe
-              FROM embeddings WHERE vec_id IN (0, 1)
-            ), scored AS (
-              SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) AS score,
-                     row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(cast(e.embedding AS double[]), q.qe), 6) DESC,
-                                e.vec_id ASC
-                     ) rn
-              FROM embeddings e CROSS JOIN q
-            )
-            SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
-        """,
-    }
