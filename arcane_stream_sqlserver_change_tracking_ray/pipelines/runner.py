@@ -48,6 +48,7 @@ from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
     Manifest,
     ManifestLog,
     prepare_watermark,
+    prune_files_by_stats,
 )
 from arcane_stream_sqlserver_change_tracking_ray.types import (
     MERGE_KEY_COL,
@@ -1125,8 +1126,18 @@ def read_target(
 
     if not has_deltas and not m.delete_predicates and not m.key_deletes:
         files = sorted(m.all_files())
+        if where is not None and m.file_stats:
+            # manifest-level file skipping (Iceberg manifest-entry
+            # bounds analog): whole files whose ANALYZE-recorded column
+            # bounds can't match are dropped BEFORE any scan task —
+            # row-group pruning below then handles the survivors
+            files = prune_files_by_stats(files, m.file_stats, where)
         if not files:
-            return ray.data.from_arrow(m.schema.empty_table() if m.schema else pa.table({}))
+            schema = m.schema
+            if schema is not None and columns is not None:
+                by_name = {f.name: f for f in schema}
+                schema = pa.schema([by_name[n] for n in columns if n in by_name])
+            return ray.data.from_arrow(schema.empty_table() if schema else pa.table({}))
         fs = _lakefs(target_root)
         paths = [fs.full(f) for f in files]
         schema = m.schema

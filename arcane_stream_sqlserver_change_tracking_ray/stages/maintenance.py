@@ -465,11 +465,88 @@ def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
                 m["count"] += s["count"]
     stats = {c: {k: _jsonable(v) for k, v in s.items()} for c, s in merged.items()}
     cur = log.require_watermark()
+    file_stats = _collect_file_bounds(log, manifest, cols)
     nxt = cur.next()
     nxt.stats = stats
-    nxt.metrics = {"maintenance": {"analyzed_columns": len(stats)}}
+    nxt.file_stats = file_stats
+    nxt.metrics = {
+        "maintenance": {
+            "analyzed_columns": len(stats),
+            "file_stats_files": len(file_stats),
+        }
+    }
     log.commit(nxt, expect_version=cur.version)
     return stats
+
+
+def _collect_file_bounds(
+    log: ManifestLog, manifest, cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-FILE column bounds from parquet FOOTERS only (no data scan) —
+    the manifest-level analog of Iceberg manifest-entry lower/upper
+    bounds, consumed by ``read_target(where=...)`` file skipping.
+
+    Footer reads are distributed as one ``map_batches`` pass over the
+    live base-file list (a few KB of metadata per file, so a batch of
+    paths is cheap even at 10^5 files); only JSON-native scalar bounds
+    (int/float/str/bool) are recorded, everything else is skipped and
+    such files simply never prune.  Existing stats for files no longer
+    in the manifest are dropped — files are immutable, so surviving
+    entries are still exact."""
+    import json as _json
+
+    import ray.data
+
+    live = sorted({f for files in manifest.partitions.values() for f in files})
+    if not live or not cols:
+        return {}
+    root, want = log.root, tuple(cols)
+
+    def footer_bounds(batch: pa.Table) -> pa.Table:
+        from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+
+        fs = lakefs(root)
+        out = []
+        for rel in batch["rel"].to_pylist():
+            bounds: dict[str, list] = {}
+            try:
+                md = fs.parquet_file(rel).metadata
+            except Exception:
+                out.append("{}")
+                continue
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in want:
+                j = idx.get(c)
+                if j is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                        mx, (int, float, str, bool)
+                    ):
+                        ok = False
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    bounds[c] = [lo, hi]
+            out.append(_json.dumps(bounds))
+        return pa.table({"rel": batch["rel"], "bounds": pa.array(out)})
+
+    rows = (
+        ray.data.from_arrow(pa.table({"rel": pa.array(live)}))
+        .map_batches(footer_bounds, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        r["rel"]: b for r in rows if (b := _json.loads(r["bounds"]))
+    }
 
 
 def _jsonable(v):

@@ -99,6 +99,14 @@ class Manifest:
     #: physically materialized (and cleared) by the
     #: ``materialize_deletes`` maintenance action.
     delete_predicates: list[dict] = field(default_factory=list)
+    #: per-FILE column bounds for manifest-level file skipping (the
+    #: Iceberg manifest-entry lower/upper-bounds analog): ``rel_path ->
+    #: {col: [min, max]}``, populated by the ANALYZE maintenance pass
+    #: from parquet FOOTERS only (no data scan) and consumed by
+    #: ``read_target(where=...)`` to drop whole files before any scan
+    #: task launches.  Files are immutable (new data = new paths), so
+    #: bounds never go stale; files without an entry are never skipped.
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     # ------------------------------------------------------------- json io
     def to_json(self) -> str:
@@ -121,6 +129,8 @@ class Manifest:
             "key_deletes": self.key_deletes,
             "delete_predicates": self.delete_predicates,
         }
+        if self.file_stats:
+            doc["file_stats"] = {k: self.file_stats[k] for k in sorted(self.file_stats)}
         return json.dumps(doc, indent=1, sort_keys=True)
 
     @classmethod
@@ -161,6 +171,10 @@ class Manifest:
                 }
                 for p in doc.get("delete_predicates", [])
             ],
+            file_stats={
+                k: {c: list(b) for c, b in v.items()}
+                for k, v in doc.get("file_stats", {}).items()
+            },
         )
 
     def all_files(self) -> set[str]:
@@ -194,6 +208,7 @@ class Manifest:
             key_hash_algo=self.key_hash_algo,
             key_deletes={k: [dict(e) for e in v] for k, v in self.key_deletes.items()},
             delete_predicates=[dict(p) for p in self.delete_predicates],
+            file_stats={k: {c: list(b) for c, b in v.items()} for k, v in self.file_stats.items()},
         )
 
 
@@ -528,6 +543,49 @@ class ManifestLog:
         for v in expired:
             self.fs.delete(self._rel(v))
         return expired
+
+
+def prune_files_by_stats(
+    files: list[str],
+    file_stats: dict[str, dict[str, list]],
+    where: list,
+) -> list[str]:
+    """Manifest-level file skipping: drop every file whose recorded
+    column bounds PROVE no row can satisfy the AND-ed ``[[col, op,
+    literal], ...]`` conjunction.  Conservative by construction —
+    files without bounds for a referenced column are kept, and any
+    comparison error (mixed types) fails open.  Null handling is free:
+    SQL/Arrow comparison filters never match nulls, so excluding a file
+    because its NON-NULL value range can't match is always sound."""
+    out = []
+    for f in files:
+        st = file_stats.get(f) or {}
+        skip = False
+        for col, op, lit in where:
+            bounds = st.get(col)
+            if not bounds or bounds[0] is None or bounds[1] is None:
+                continue
+            lo, hi = bounds[0], bounds[1]
+            try:
+                if op in ("=", "=="):
+                    skip = lit < lo or lit > hi
+                elif op == "<":
+                    skip = lo >= lit
+                elif op == "<=":
+                    skip = lo > lit
+                elif op == ">":
+                    skip = hi <= lit
+                elif op == ">=":
+                    skip = hi < lit
+                elif op in ("!=", "<>"):
+                    skip = lo == hi == lit
+            except TypeError:
+                skip = False
+            if skip:
+                break
+        if not skip:
+            out.append(f)
+    return out
 
 
 def prepare_watermark(
