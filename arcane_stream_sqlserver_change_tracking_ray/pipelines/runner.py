@@ -1185,6 +1185,22 @@ def read_target(
     )
     read_schema = pa.schema([f for f in full_schema if f.name in need])
     pids = sorted(m.partition_pids())
+    if where is not None and m.file_stats:
+        # partition-level skipping on the merge-on-read path: a pid whose
+        # EVERY base and delta file is excluded by the recorded bounds
+        # cannot contribute a matching row (LWW picks among rows, all of
+        # which are excluded; deletes only remove rows) — sound to skip
+        # the whole resolve.  Files without bounds keep the pid.
+        def _pid_files(pid: int) -> list[str]:
+            return list(m.partitions.get(pid, [])) + [
+                e.partition("#rg=")[0] for e in m.deltas.get(pid, [])
+            ]
+
+        pids = [
+            pid
+            for pid in pids
+            if prune_files_by_stats(_pid_files(pid), m.file_stats, where)
+        ]
     if not pids:
         return ray.data.from_arrow(pa.schema(
             [f for f in full_schema if f.name in set(out_cols)]

@@ -497,7 +497,17 @@ def _collect_file_bounds(
 
     import ray.data
 
-    live = sorted({f for files in manifest.partitions.values() for f in files})
+    live = sorted(
+        {f for files in manifest.partitions.values() for f in files}
+        # delta files too (fragment entries share one physical file):
+        # their bounds let read_target skip whole PARTITIONS on the
+        # merge-on-read path when base+deltas all exclude the predicate
+        | {
+            e.partition("#rg=")[0]
+            for files in manifest.deltas.values()
+            for e in files
+        }
+    )
     if not live or not cols:
         return {}
     root, want = log.root, tuple(cols)
