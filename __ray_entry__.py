@@ -51,6 +51,7 @@ from entry.queries_cdc import (  # noqa: F401
     cdc_net_changes,
     cdc_point_lookup,
     cdc_predicate_delete,
+    cdc_pruned_read,
     cdc_repartition,
     cdc_replica_sync,
     cdc_rollback,
@@ -255,5 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windowed_agg,
         "hopping_window": hopping_window,
         "distinct_count": distinct_count,
+        # --- added r4 (keep after the 50-sample boundary) ---
+        "cdc_pruned_read": cdc_pruned_read,
     }
 

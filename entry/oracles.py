@@ -66,6 +66,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
         """,
+        # post-OPTIMIZE file-skipping read: same LWW winners, value-filtered
+        "cdc_pruned_read": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error' AND value >= 100.0
+        """,
         # post-LWW filtered read over pending MoR deltas
         "cdc_filtered_read": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props

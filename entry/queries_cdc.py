@@ -784,6 +784,63 @@ def cdc_composite_key(sf_dir: str):
     return out.select(["user_id", VERSION_COL, "ts", "event_type", "value"])
 
 
+def cdc_pruned_read(sf_dir: str):
+    """Manifest-level FILE SKIPPING under the hash gate (r4): replay the
+    feed, OPTIMIZE with ``sortedBy=[value]`` into several small files
+    per partition, ANALYZE (folds per-file column bounds from parquet
+    footers into the manifest), then ``read_target(where=[[value >=
+    40]])``.  The query RAISES unless the bounds actually pruned files
+    (so a silent pruning regression cannot stay green), and the rows
+    must equal the LWW winners filtered by the same predicate —
+    the Iceberg manifest-entry bounds analog (docs/crd.md:114-119)."""
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        run_maintenance,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prune_files_by_stats,
+    )
+
+    root, tgt, ctx = _events_lake(
+        sf_dir,
+        extra={
+            "sink": {"sortedBy": ["value"]},
+            "maintenance": {
+                "maxDeltasPerPartition": 0,
+                # small value-sorted files per partition: hash routing
+                # scatters values, so pruning bites at the FILE level
+                "compactTargetRows": 8,
+                "analyzeIncludedColumns": ["value"],
+            },
+        },
+        mutate=True,
+    )
+    try:
+        log = ManifestLog(tgt)
+        run_maintenance(log, ctx)
+        m = log.require_watermark()
+        if not m.file_stats:
+            raise AssertionError("ANALYZE recorded no per-file bounds")
+        where = [["value", ">=", 100.0]]
+        all_files = sorted(f for fl in m.partitions.values() for f in fl)
+        kept = prune_files_by_stats(all_files, m.file_stats, where)
+        if len(kept) >= len(all_files):
+            raise AssertionError(
+                f"bounds pruned nothing ({len(kept)}/{len(all_files)} kept)"
+            )
+        out = read_target(
+            tgt,
+            columns=["user_id", VERSION_COL, "ts", "event_type", "value", "props"],
+            where=where,
+        )
+        return pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def cdc_maintenance_fold(sf_dir: str):
     """K4 (OPTIMIZE + expire) under the hash gate: replay the feed, then
     force a FULL maintenance pass — every partition's delta chain folds
