@@ -59,6 +59,7 @@ from entry.queries_cdc import (  # noqa: F401
     cdc_snapshot_export,
     cdc_stream_replay,
     cdc_tagged_read,
+    cdc_time_partition,
     cdc_time_travel,
     cdc_unordered_feed,
     changefeed_window,
@@ -258,5 +259,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": distinct_count,
         # --- added r4 (keep after the 50-sample boundary) ---
         "cdc_pruned_read": cdc_pruned_read,
+        "cdc_time_partition": cdc_time_partition,
     }
 

@@ -92,6 +92,16 @@ class SinkSettings:
     num_partitions: int = 16
     #: writer sort order inside each partition file (sortedBy analog)
     sorted_by: tuple[str, ...] = ()
+    #: value-based partition expressions (the SECOND E2 partition
+    #: dimension — reference partitionExpressions, docs/crd.md:114-119,
+    #: e.g. month(order_date)): BASE data files are clustered into one
+    #: file run per transform value at CoW/backfill/compaction writes,
+    #: with write-time column bounds recorded in manifest.file_stats so
+    #: read_target(where=…) prunes whole files with no ANALYZE pass.
+    #: Syntax: "col" | "identity(col)" | "year(col)" | "month(col)" |
+    #: "day(col)" | "hour(col)" | "truncate(col, W)" | "bucket(col, N)"
+    #: (stages/partitioning.py; parsed at bootstrap, fail-fast).
+    partition_by: tuple[str, ...] = ()
     max_rows_per_file: int = 1_000_000
     parquet_compression: str = "zstd"
     #: "auto" (default) = "direct" under merge_mode "mor", "actors" under

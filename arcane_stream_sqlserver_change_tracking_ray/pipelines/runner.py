@@ -38,6 +38,10 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
     apply_change_batch,
     fold_stats_into_manifest,
 )
+from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
+    parse_partition_exprs as _p_parse_exprs,
+    source_columns as _p_source_columns,
+)
 from arcane_stream_sqlserver_change_tracking_ray.stages.schema_evo import (
     schemas_of_parquet_files,
     unify_target_schema,
@@ -187,6 +191,9 @@ class StreamRunner:
         self._pool = None  # lazy ActorMergePool (merge_strategy == "actors")
         self._transform = TransformStage(ctx, self.casts)
         self.retry = RetryPolicy.from_sink(ctx.sink)
+        # fail fast on malformed partitionExpressions (bootstrap-time,
+        # like the reference's CRD validation)
+        self._cluster_by = _p_parse_exprs(tuple(ctx.sink.partition_by))
         from arcane_stream_sqlserver_change_tracking_ray.state.telemetry import (
             StatsdPublisher,
         )
@@ -255,6 +262,7 @@ class StreamRunner:
                 hash_algo=manifest.key_hash_algo,
                 max_rows_per_file=sink.max_rows_per_file,
                 precombine_threshold=sink.precombine_dup_threshold,
+                bounds_cols=_p_source_columns(self._cluster_by),
             )
             self._direct_timings = {"push_s": round(_time.perf_counter() - t0, 4), "flush_s": 0.0}
             return stats
@@ -285,6 +293,7 @@ class StreamRunner:
                 batch_size=self.ctx.source.fetch_size,
                 key_col=self._transform.key_col,
                 precombine_threshold=sink.precombine_dup_threshold,
+                cluster_by=self._cluster_by,
             )
         return apply_change_batch(
             ds,
@@ -303,6 +312,7 @@ class StreamRunner:
             bloom_columns=tuple(sink.bloom_filter_columns),
             hash_algo=manifest.key_hash_algo,
             precombine_threshold=sink.precombine_dup_threshold,
+            cluster_by=self._cluster_by,
         )
 
     # -------------------------------------------------------------- bootstrap
@@ -700,10 +710,16 @@ class StreamRunner:
                 fsync=ctx.sink.durable_writes,
                 bloom_columns=tuple(ctx.sink.bloom_filter_columns),
                 hash_algo=manifest.key_hash_algo,
+                cluster_by=self._cluster_by,
             )
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats
             }
+            for s in stats:  # write-time partition_by bounds, per shard
+                if s.get("file_stats_json"):
+                    state.setdefault("file_stats", {}).update(
+                        json.loads(s["file_stats_json"])
+                    )
             fs.write_bytes(state_rel, json.dumps(state).encode("utf-8"))
 
         # CONTRACT: shards are key-disjoint (write_snapshot slices are; a
@@ -721,6 +737,8 @@ class StreamRunner:
         for shard in state["shards"].values():
             for pid_s, fl in shard.items():
                 nxt.partitions.setdefault(int(pid_s), []).extend(fl)
+        # the flip replaces every file, so file bounds start fresh too
+        nxt.file_stats = dict(state.get("file_stats", {}))
         nxt.schema = overwrite_schema
         nxt.watermark = max(stamp, manifest.watermark)
         nxt.metrics = {
@@ -1122,7 +1140,7 @@ def read_target(
     has_deltas = any(m.deltas.values())
     meta_cols = (OP_COL, MERGE_KEY_COL)
     if where is not None:
-        where = validate_conjunction(where, m.schema)
+        where = validate_conjunction(where, m.schema, allow_temporal=True)
 
     if not has_deltas and not m.delete_predicates and not m.key_deletes:
         files = sorted(m.all_files())

@@ -39,6 +39,9 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
     resolve_partition_table,
     write_partition_files,
 )
+from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
+    parse_partition_exprs,
+)
 from arcane_stream_sqlserver_change_tracking_ray.types import MERGE_KEY_COL
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest, ManifestLog
 
@@ -97,6 +100,7 @@ class CompactPartition:
         delete_predicates=None,
         key_deletes=None,
         sorted_by: tuple[str, ...] = (),
+        cluster_by: tuple = (),
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -117,9 +121,13 @@ class CompactPartition:
         #: files keep the row-group min/max locality the `where` pushdown
         #: and `sortedBy` contract rely on (reference docs/crd.md:110)
         self.sorted_by = tuple(sorted_by)
+        #: partition_by expressions: the fold RE-CLUSTERS base files by
+        #: transform value (Iceberg compaction's posture) and records
+        #: write-time bounds for manifest.file_stats
+        self.cluster_by = tuple(cluster_by)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_pids, out_files = [], []
+        out_pids, out_files, out_bounds = [], [], []
         for pid in batch["pid"].to_pylist():
             merged = resolve_partition_table(
                 self.target_root,
@@ -133,6 +141,7 @@ class CompactPartition:
                 merged = merged.sort_by(
                     [(c, "ascending") for c in self.sorted_by]
                 )
+            fb: dict = {}
             rels, _ = write_partition_files(
                 merged,
                 self.target_root,
@@ -142,10 +151,15 @@ class CompactPartition:
                 compression=self.compression,
                 fsync=self.fsync,
                 bloom_columns=self.bloom_columns,
+                cluster_by=self.cluster_by,
+                bounds_out=fb,
             )
             out_pids.append(pid)
             out_files.append(json.dumps(rels))
-        return pa.table({"pid": out_pids, "files_json": out_files})
+            out_bounds.append(json.dumps(fb) if fb else "")
+        return pa.table(
+            {"pid": out_pids, "files_json": out_files, "file_stats_json": out_bounds}
+        )
 
 
 def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
@@ -174,6 +188,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         fsync=ctx.sink.durable_writes,
         bloom_columns=tuple(ctx.sink.bloom_filter_columns),
         sorted_by=tuple(ctx.sink.sorted_by),
+        cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
     )
     res = (
         ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -190,8 +205,13 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         else:  # partition fully deleted by folded tombstones
             nxt.partitions.pop(pid, None)
         folded_deltas += len(nxt.deltas.pop(pid, []))
+        if r.get("file_stats_json"):
+            nxt.file_stats.update(json.loads(r["file_stats_json"]))
         nxt.lineage.setdefault(pid, {})["compacted"] = cycle_id
         nxt.lineage[pid]["deltas"] = 0
+    if nxt.file_stats:  # drop bounds of the files this fold superseded
+        live = nxt.all_files()
+        nxt.file_stats = {k: v for k, v in nxt.file_stats.items() if k in live}
     nxt.metrics = {
         "maintenance": {
             "compacted_partitions": len(res),
@@ -236,6 +256,7 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
             delete_predicates=list(manifest.delete_predicates),
             key_deletes=dict(manifest.key_deletes),
             sorted_by=tuple(ctx.sink.sorted_by),
+            cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -250,7 +271,12 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
             else:  # every row of the partition was deleted
                 nxt.partitions.pop(pid, None)
             nxt.deltas.pop(pid, None)
+            if r.get("file_stats_json"):
+                nxt.file_stats.update(json.loads(r["file_stats_json"]))
             nxt.lineage.setdefault(pid, {})["materialized_deletes"] = cycle_id
+        if nxt.file_stats:
+            live = nxt.all_files()
+            nxt.file_stats = {k: v for k, v in nxt.file_stats.items() if k in live}
     n_keydel = sum(len(v) for v in manifest.key_deletes.values())
     nxt.metrics = {
         "maintenance": {
@@ -514,6 +540,9 @@ def _collect_file_bounds(
 
     def footer_bounds(batch: pa.Table) -> pa.Table:
         from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+        from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+            bound_key,
+        )
 
         fs = lakefs(root)
         out = []
@@ -536,7 +565,9 @@ def _collect_file_bounds(
                     if st is None or not st.has_min_max:
                         ok = False
                         break
-                    mn, mx = st.min, st.max
+                    # bound_key maps temporal stats to epoch-microsecond
+                    # ints, so timestamp/date columns prune too
+                    mn, mx = bound_key(st.min), bound_key(st.max)
                     if not isinstance(mn, (int, float, str, bool)) or not isinstance(
                         mx, (int, float, str, bool)
                     ):

@@ -49,6 +49,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
+from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
+    cluster_order,
+    column_bounds,
+    source_columns,
+)
 from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
 from arcane_stream_sqlserver_change_tracking_ray.types import (
     import_polars,
@@ -295,29 +300,59 @@ def write_partition_files(
     prefix: str = "part",
     bloom_columns: tuple[str, ...] = (),
     row_group_rows: int = ROW_GROUP_ROWS,
+    cluster_by: tuple = (),
+    bounds_cols: tuple[str, ...] = (),
+    bounds_out: dict | None = None,
 ) -> tuple[list[str], int]:
     """Write one partition's rows under the attempt-unique cycle dir;
     returns (relative paths, bytes).  Shared by the CoW rewrite, the MoR
     delta writer and compaction.  *bloom_columns* adds per-file bloom
-    sidecars for point-lookup file skipping (E2)."""
+    sidecars for point-lookup file skipping (E2).
+
+    *cluster_by* (parsed ``PartitionExpr`` tuple — the E2
+    ``partitionExpressions`` value dimension, reference
+    ``docs/crd.md:114-119``) splits the partition's rows into one file
+    run per transform value (stable, so an upstream ``sorted_by`` order
+    survives within each cluster).  *bounds_out*, when given a dict,
+    receives write-time ``{rel: {col: [lo, hi]}}`` bounds over the
+    transform source columns for ``manifest.file_stats`` — pruning
+    works immediately, no ANALYZE pass needed."""
     rels: list[str] = []
     total = 0
     if table.num_rows == 0:
         return rels, 0
     fs = lakefs(target_root)
-    for off in range(0, table.num_rows, max_rows_per_file):
-        chunk = table.slice(off, max_rows_per_file)
-        rel = f"cycles/{cycle_id}/{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
-        total += fs.write_table(
-            chunk,
-            rel,
-            durable=fsync,
-            compression=compression,
-            row_group_size=row_group_rows,
-        )
-        if bloom_columns:
-            write_bloom_sidecar(fs, rel, chunk, bloom_columns)
-        rels.append(rel)
+
+    runs: list[pa.Table] = [table]
+    bcols: tuple[str, ...] = tuple(bounds_cols)
+    if cluster_by:
+        bcols = bcols or source_columns(cluster_by)
+        co = cluster_order(table, cluster_by)
+        if co is not None:
+            order, starts = co
+            sorted_tbl = table.take(pa.array(order))
+            runs = [
+                sorted_tbl.slice(s, e - s) for s, e in zip(starts[:-1], starts[1:])
+            ]
+
+    for run in runs:
+        for off in range(0, run.num_rows, max_rows_per_file):
+            chunk = run.slice(off, max_rows_per_file)
+            rel = f"cycles/{cycle_id}/{prefix}-{pid:05d}-{uuid.uuid4().hex}.parquet"
+            total += fs.write_table(
+                chunk,
+                rel,
+                durable=fsync,
+                compression=compression,
+                row_group_size=row_group_rows,
+            )
+            if bloom_columns:
+                write_bloom_sidecar(fs, rel, chunk, bloom_columns)
+            if bounds_out is not None and bcols:
+                b = column_bounds(chunk, bcols)
+                if b:
+                    bounds_out[rel] = b
+            rels.append(rel)
     return rels, total
 
 
@@ -381,11 +416,24 @@ def term_scalar(op: str, lit, col_type: pa.DataType) -> pa.Scalar:
         return pa.scalar(lit, col_type)
 
 
-def validate_conjunction(conjunction: list, schema: pa.Schema | None) -> list:
+def validate_conjunction(
+    conjunction: list, schema: pa.Schema | None, allow_temporal: bool = False
+) -> list:
     """Validate and normalize a ``[[col, op, literal], ...]`` AND-ed
-    conjunction (shared by ``delete_where`` and filtered reads)."""
+    conjunction (shared by ``delete_where`` and filtered reads).
+
+    *allow_temporal* additionally admits datetime/date literals —
+    filtered READS pass it (timestamp predicates drive the
+    partition_by file pruning); the delete_where path keeps the strict
+    JSON-scalar contract because its predicates PERSIST in the manifest
+    until ``materialize_deletes``."""
+    import datetime as _dt
+
     if not conjunction:
         raise ValueError("predicate requires at least one [col, op, literal] term")
+    ok_types: tuple = (int, float, str, bool)
+    if allow_temporal:
+        ok_types += (_dt.datetime, _dt.date)
     norm = []
     for term in conjunction:
         col, op, lit = term
@@ -393,7 +441,7 @@ def validate_conjunction(conjunction: list, schema: pa.Schema | None) -> list:
             raise ValueError(f"unsupported predicate op {op!r}")
         if schema is not None and col not in schema.names:
             raise ValueError(f"unknown column {col!r} in predicate")
-        if not isinstance(lit, (int, float, str, bool)):
+        if not isinstance(lit, ok_types):
             raise ValueError(f"unsupported literal type {type(lit).__name__}")
         if schema is not None:
             col_type = schema.field(col).type
@@ -772,6 +820,8 @@ class PartitionMergeFn:
             pa.field("bytes", pa.int64()),
             pa.field("files_json", pa.string()),
             pa.field("mode", pa.string()),  # "cow" base rewrite | "mor" delta
+            #: write-time {rel: {col: [lo,hi]}} for manifest.file_stats
+            pa.field("file_stats_json", pa.string()),
         ]
     )
 
@@ -788,6 +838,7 @@ class PartitionMergeFn:
         mode: str = "mor",
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
+        cluster_by: tuple = (),
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -800,6 +851,7 @@ class PartitionMergeFn:
         self.mode = mode
         self.fsync = fsync
         self.bloom_columns = bloom_columns
+        self.cluster_by = cluster_by
 
     # -- target partition io -------------------------------------------------
     def _read_existing(self, pid: int) -> pa.Table | None:
@@ -812,10 +864,13 @@ class PartitionMergeFn:
             tables.append(cast_to_schema(t, self.schema))
         return pa.concat_tables(tables)
 
-    def _write(self, pid: int, table: pa.Table, prefix: str = "part") -> tuple[list[str], int]:
+    def _write(
+        self, pid: int, table: pa.Table, prefix: str = "part"
+    ) -> tuple[list[str], int, dict]:
         if self.sorted_by and table.num_rows:
             table = table.sort_by([(c, "ascending") for c in self.sorted_by])
-        return write_partition_files(
+        bounds: dict = {}
+        rels, nbytes = write_partition_files(
             table,
             self.target_root,
             self.cycle_id,
@@ -825,7 +880,10 @@ class PartitionMergeFn:
             fsync=self.fsync,
             prefix=prefix,
             bloom_columns=self.bloom_columns,
+            cluster_by=self.cluster_by,
+            bounds_out=bounds,
         )
+        return rels, nbytes, bounds
 
     # -- the merge -----------------------------------------------------------
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -843,7 +901,7 @@ class PartitionMergeFn:
             # until the maintenance OPTIMIZE fold.
             delta = lww_table(changes)  # collapse within-cycle event storms
             deletes = delta.num_rows - drop_tombstones(delta).num_rows
-            rels, nbytes = self._write(pid, delta, prefix="delta")
+            rels, nbytes, bounds = self._write(pid, delta, prefix="delta")
             return pa.table(
                 {
                     PID_COL: [pid],
@@ -854,6 +912,7 @@ class PartitionMergeFn:
                     "bytes": [nbytes],
                     "files_json": [json.dumps(rels)],
                     "mode": ["mor"],
+                    "file_stats_json": [json.dumps(bounds) if bounds else ""],
                 },
                 schema=self.STATS_SCHEMA,
             )
@@ -868,7 +927,7 @@ class PartitionMergeFn:
         deletes = merged.num_rows - alive.num_rows
         upserts = n_changes - deletes
 
-        rels, nbytes = self._write(pid, alive)
+        rels, nbytes, bounds = self._write(pid, alive)
         return pa.table(
             {
                 PID_COL: [pid],
@@ -879,6 +938,7 @@ class PartitionMergeFn:
                 "bytes": [nbytes],
                 "files_json": [json.dumps(rels)],
                 "mode": ["cow"],
+                "file_stats_json": [json.dumps(bounds) if bounds else ""],
             },
             schema=self.STATS_SCHEMA,
         )
@@ -902,6 +962,7 @@ def apply_change_batch(
     bloom_columns: tuple[str, ...] = (),
     hash_algo: str = "pandas",
     precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
+    cluster_by: tuple = (),
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
@@ -923,6 +984,7 @@ def apply_change_batch(
         mode=mode,
         fsync=fsync,
         bloom_columns=bloom_columns,
+        cluster_by=cluster_by,
     )
     def merge_partition(group: pa.Table) -> pa.Table:
         return merge_fn(group)
@@ -968,6 +1030,11 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             "deltas": len(manifest.deltas.get(pid, [])),
         }
         per_pid_load[pid] = per_pid_load.get(pid, 0) + int(s["changes_in"])
+        fsj = s.get("file_stats_json") if hasattr(s, "get") else None
+        if fsj:
+            # write-time column bounds (partition_by source columns) —
+            # read_target pruning engages without waiting for ANALYZE
+            manifest.file_stats.update(json.loads(fsj))
         for k in totals:
             v = s[k] if k in s else None
             totals[k] += int(v) if v is not None else 0
@@ -991,6 +1058,13 @@ def fold_stats_into_manifest(manifest, stats: list[dict], cycle_id: str) -> dict
             "mean_partition_changes": round(mean, 1),
             "max_over_mean": round(max(loads) / mean, 3) if mean else 0.0,
         }
+    if manifest.file_stats:
+        # drop bounds of files this commit superseded (CoW rewrites /
+        # delta folds); surviving entries stay exact — files are immutable
+        live = manifest.all_files()
+        manifest.file_stats = {
+            k: v for k, v in manifest.file_stats.items() if k in live
+        }
     return totals
 
 
@@ -1011,6 +1085,9 @@ _DIRECT_STATS_SCHEMA = pa.schema(
         ("bytes", pa.int64()),
         ("files_json", pa.string()),
         ("mode", pa.string()),
+        #: whole-file write-time bounds (attributed to the first pid row;
+        #: one physical file per task, shared across its pid slices)
+        ("file_stats_json", pa.string()),
     ]
 )
 
@@ -1031,11 +1108,20 @@ def apply_change_batch_direct(
     hash_algo: str = "pandas",
     max_rows_per_file: int = 1_000_000,
     precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
+    bounds_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Merge-on-read WITHOUT an exchange: every push task writes its own
     pid-sorted delta parquet, row groups aligned to partition boundaries,
     and the manifest records each partition's slice as
     ``<file>#rg=<a>-<b>`` (see ``split_entry``).
+
+    *bounds_cols* (the partition_by source columns): whole-file
+    write-time bounds are recorded for manifest.file_stats so the
+    merge-on-read pid pruning in ``read_target`` can skip partitions
+    whose every base AND delta file excludes the predicate.  Direct
+    deltas are NOT value-clustered — they are transient and the
+    OPTIMIZE fold re-clusters when it rewrites base files (Iceberg
+    compaction's posture).
 
     Why: the owner-actor exchange round-trips the full change payload
     through the object store (serialize → plasma → deserialize → buffer
@@ -1099,6 +1185,7 @@ def apply_change_batch_direct(
                         "bytes": 0,  # filled from row-group metadata below
                         "files_json": json.dumps([f"{rel}#rg={first_rg}-{rg - 1}"]),
                         "mode": "mor",
+                        "file_stats_json": "",
                     }
                 )
         finally:
@@ -1126,6 +1213,10 @@ def apply_change_batch_direct(
             rows_stat[0]["combined_away"] = changes_in_total - int(
                 sum(r["rows"] for r in rows_stat)
             )
+            if bounds_cols:
+                fb = column_bounds(b, bounds_cols)
+                if fb:
+                    rows_stat[0]["file_stats_json"] = json.dumps({rel: fb})
         return pa.Table.from_pylist(rows_stat, schema=_DIRECT_STATS_SCHEMA)
 
     # batch_size=None → one delta file per BLOCK: file granularity is then
@@ -1206,6 +1297,7 @@ def _make_owner_actor():
             schema: pa.Schema,
             sorted_by: tuple[str, ...] = (),
             key_col: str = MERGE_KEY_COL,
+            cluster_by: tuple = (),
         ) -> list[dict]:
             """Merge buffered deltas into owned partitions, copy-on-write."""
             # NOTE: no package imports inside worker-executed code — when the
@@ -1229,11 +1321,14 @@ def _make_owner_actor():
                     deletes = delta.num_rows - drop_tombstones(delta).num_rows
                     if sorted_by and delta.num_rows:
                         delta = delta.sort_by([(c, "ascending") for c in sorted_by])
+                    fb: dict = {}
                     rels, nbytes = write_partition_files(
                         delta, self.target_root, cycle_id, pid,
                         max_rows_per_file=self.max_rows_per_file,
                         compression=self.compression, fsync=self.fsync,
                         prefix="delta", bloom_columns=self.bloom_columns,
+                        bounds_cols=source_columns(cluster_by),
+                        bounds_out=fb,
                     )
                     out.append(
                         {
@@ -1245,6 +1340,7 @@ def _make_owner_actor():
                             "bytes": nbytes,
                             "files_json": json.dumps(rels),
                             "mode": "mor",
+                            "file_stats_json": json.dumps(fb) if fb else "",
                         }
                     )
                     continue
@@ -1267,11 +1363,14 @@ def _make_owner_actor():
                     alive = alive.sort_by([(c, "ascending") for c in sorted_by])
                 # fully-deleted partition -> no files; fold_stats then drops
                 # it from the manifest (same behavior as the groupby path)
+                fb = {}
                 rels, nbytes = write_partition_files(
                     alive, self.target_root, cycle_id, pid,
                     max_rows_per_file=self.max_rows_per_file,
                     compression=self.compression, fsync=self.fsync,
                     bloom_columns=self.bloom_columns,
+                    cluster_by=cluster_by,
+                    bounds_out=fb,
                 )
                 out.append(
                     {
@@ -1283,6 +1382,7 @@ def _make_owner_actor():
                         "bytes": nbytes,
                         "files_json": json.dumps(rels),
                         "mode": "cow",
+                        "file_stats_json": json.dumps(fb) if fb else "",
                     }
                 )
             self.buf.clear()
@@ -1346,6 +1446,7 @@ class ActorMergePool:
         batch_size: int = 131072,
         key_col: str = MERGE_KEY_COL,
         precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
+        cluster_by: tuple = (),
     ) -> list[dict]:
         import ray
 
@@ -1400,7 +1501,9 @@ class ActorMergePool:
         _ = pushed
         t1 = _time.perf_counter()
         flush_refs = [
-            a.flush.remote(cycle_id, partition_files, schema, sorted_by, key_col)
+            a.flush.remote(
+                cycle_id, partition_files, schema, sorted_by, key_col, cluster_by
+            )
             for a in actors
         ]
         out = [s for o in ray.get(flush_refs) for s in o]

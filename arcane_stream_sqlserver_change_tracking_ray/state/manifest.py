@@ -545,6 +545,33 @@ class ManifestLog:
         return expired
 
 
+def bound_key(v):
+    """Normalize a value for ``file_stats`` bounds storage/comparison.
+
+    Bounds must be JSON-native AND total-ordered against query
+    literals, so temporal values map to epoch MICROSECONDS on BOTH
+    sides (write/ANALYZE collection and ``prune_files_by_stats``
+    literals) — one unit for datetime AND date keeps a date literal
+    against a timestamp column's bounds (or vice versa) comparable,
+    matching Arrow's implicit date→timestamp cast in the row-level
+    filter.  Numpy scalars unwrap; everything else passes through."""
+    import datetime as _dt
+
+    import numpy as _np
+
+    if isinstance(v, _np.datetime64):
+        return int(v.astype("datetime64[us]").astype("int64"))
+    if isinstance(v, _np.generic):
+        v = v.item()
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days * 86_400_000_000
+    return v
+
+
 def prune_files_by_stats(
     files: list[str],
     file_stats: dict[str, dict[str, list]],
@@ -556,7 +583,11 @@ def prune_files_by_stats(
     files without bounds for a referenced column are kept, and any
     comparison error (mixed types) fails open.  Null handling is free:
     SQL/Arrow comparison filters never match nulls, so excluding a file
-    because its NON-NULL value range can't match is always sound."""
+    because its NON-NULL value range can't match is always sound.
+    Temporal literals are normalized through ``bound_key`` to the same
+    epoch-microsecond ints the collectors store, so timestamp/date
+    predicates prune correctly."""
+    where = [(col, op, bound_key(lit)) for col, op, lit in where]
     out = []
     for f in files:
         st = file_stats.get(f) or {}

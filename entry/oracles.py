@@ -73,6 +73,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error' AND value >= 100.0
         """,
+        # partition_by=day(ts) write-time clustering + pruned day read
+        "cdc_time_partition": """
+            SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+              AND ts < TIMESTAMP '2024-01-30 00:00:00'
+        """,
         # post-LWW filtered read over pending MoR deltas
         "cdc_filtered_read": """
             SELECT user_id, event_id AS sys_change_version, ts, event_type, value, props

@@ -841,6 +841,54 @@ def cdc_pruned_read(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def cdc_time_partition(sf_dir: str):
+    """E2 partitionExpressions under the hash gate (r4): replay the feed
+    into a CoW lake with ``partition_by=["day(ts)"]`` — the reference's
+    value partition dimension (``month(order_date)`` etc,
+    docs/crd.md:114-119) next to the pid routing's
+    ``bucket(merge_key, P)``.  Base files cluster by calendar day at
+    WRITE time and carry ts bounds in ``manifest.file_stats`` with NO
+    ANALYZE pass.  The query RAISES unless (a) write-time bounds exist
+    and (b) the day predicate actually skipped files, then returns the
+    LWW winners with ``ts < 2024-01-30`` through the pruned read."""
+    import datetime as _dt
+
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        ManifestLog,
+        prune_files_by_stats,
+    )
+
+    _, tgt, _ = _events_lake(
+        sf_dir,
+        extra={
+            "sink": {
+                "partitionBy": ["day(ts)"],
+                "mergeMode": "cow",
+                "mergeStrategy": "groupby",
+            }
+        },
+    )
+    m = ManifestLog(tgt).require_watermark()
+    if not m.file_stats:
+        raise AssertionError("partition_by recorded no write-time bounds")
+    where = [["ts", "<", _dt.datetime(2024, 1, 30)]]
+    all_files = sorted(f for fl in m.partitions.values() for f in fl)
+    kept = prune_files_by_stats(all_files, m.file_stats, where)
+    if not kept or len(kept) >= len(all_files):
+        raise AssertionError(
+            f"day(ts) clustering pruned nothing ({len(kept)}/{len(all_files)} kept)"
+        )
+    out = read_target(
+        tgt,
+        columns=["user_id", VERSION_COL, "ts", "event_type", "value", "props"],
+        where=where,
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+
+
 def cdc_maintenance_fold(sf_dir: str):
     """K4 (OPTIMIZE + expire) under the hash gate: replay the feed, then
     force a FULL maintenance pass — every partition's delta chain folds
