@@ -80,11 +80,14 @@ class PartitionExpr:
             ).astype("datetime64[M]").astype(np.int64)  # months since epoch
             return dt if t == "month" else dt // 12 + 1970
         if t == "truncate":
+            import pyarrow.compute as pc
+
             w = self.arg or 1
-            vals = col.to_numpy(zero_copy_only=False)
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                return _str_prefix(vals, w)
-            v = vals.astype(np.int64)
+                return pc.utf8_slice_codeunits(
+                    pc.fill_null(col, ""), 0, w
+                ).to_numpy(zero_copy_only=False)
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
             return (v // w) * w
         if t == "bucket":
             n = self.arg or 1
@@ -107,13 +110,6 @@ class PartitionExpr:
             days = col.cast(pa.date32()).cast(pa.int32())
             return days.to_numpy(zero_copy_only=False).astype(np.int64) * _US_PER["day"]
         return None  # not a temporal column: no clustering rather than error
-
-
-def _str_prefix(vals: np.ndarray, w: int) -> np.ndarray:
-    out = np.empty(len(vals), dtype=object)
-    for i, s in enumerate(vals):  # object dtype: bounded by batch size,
-        out[i] = s[:w] if isinstance(s, str) else ""  # not dataset size
-    return out
 
 
 def parse_partition_exprs(exprs) -> tuple[PartitionExpr, ...]:
