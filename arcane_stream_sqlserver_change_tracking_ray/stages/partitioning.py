@@ -61,9 +61,25 @@ class PartitionExpr:
     arg: int | None = None
 
     def codes(self, table: pa.Table) -> np.ndarray | None:
+        import pyarrow.compute as pc
+
         if self.col not in table.column_names:
             return None  # schema evolution: absent column -> no clustering
         col = table[self.col].combine_chunks()
+        # nulls cluster together under a type-stable sentinel: None vs
+        # str breaks np.lexsort, and NaN != NaN would shatter every null
+        # row into its own file run.  Bounds stay exact — column_bounds
+        # reads the real column and min_max skips nulls (comparison
+        # predicates never match null rows, so pruning stays sound).
+        if col.null_count:
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                col = pc.fill_null(col, "")
+            elif pa.types.is_timestamp(col.type):
+                col = pc.fill_null(col, pa.scalar(0, col.type))
+            elif pa.types.is_date(col.type):
+                col = pc.fill_null(col, pa.scalar(0, pa.date32()).cast(col.type))
+            elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+                col = pc.fill_null(col, pa.scalar(0).cast(col.type))
         t = self.transform
         if t == "identity":
             return col.to_numpy(zero_copy_only=False)

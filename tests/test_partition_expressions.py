@@ -68,6 +68,20 @@ def test_month_codes_and_cluster_order():
     assert cluster_order(t.drop_columns(["warc_ts"]), (e,)) is None
 
 
+def test_null_partition_values_cluster_together():
+    ts = pa.array([MONTH0, None, MONTH0, None], pa.timestamp("us"))
+    t = pa.table({"warc_ts": ts, "lang": pa.array(["en", None, "en", None])})
+    for expr in ("month(warc_ts)", "lang", "truncate(lang, 2)"):
+        (e,) = parse_partition_exprs((expr,))
+        order, starts = cluster_order(t, (e,))
+        # nulls form ONE cluster, not one per row
+        assert len(starts) - 1 == 2, expr
+    # bounds still reflect only the real (non-null) values
+    b = column_bounds(t, ("warc_ts", "lang"))
+    assert b["warc_ts"][0] == b["warc_ts"][1] == bound_key(MONTH0)
+    assert b["lang"] == ["en", "en"]
+
+
 def test_bound_key_units_agree():
     # date and datetime normalize to the SAME epoch-microsecond scale
     assert bound_key(dt.date(2024, 1, 2)) == bound_key(dt.datetime(2024, 1, 2))
