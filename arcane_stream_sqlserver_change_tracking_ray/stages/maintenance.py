@@ -315,7 +315,9 @@ class RepartitionPartition:
         compression: str,
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
+        cluster_by: tuple = (),
     ):
+        self.cluster_by = tuple(cluster_by)
         self.target_root = target_root
         self.cycle_id = cycle_id
         self.partition_files = partition_files
@@ -331,7 +333,7 @@ class RepartitionPartition:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        out_pids, out_files = [], []
+        out_pids, out_files, out_bounds = [], [], []
         for pid in batch["pid"].to_pylist():
             merged = resolve_partition_table(
                 self.target_root,
@@ -350,6 +352,7 @@ class RepartitionPartition:
             starts = np.flatnonzero(np.r_[True, npid[1:] != npid[:-1]])
             ends = np.r_[starts[1:], len(npid)]
             for s, e in zip(starts, ends):
+                fb: dict = {}
                 rels, _ = write_partition_files(
                     merged.slice(int(s), int(e - s)),
                     self.target_root,
@@ -359,11 +362,18 @@ class RepartitionPartition:
                     compression=self.compression,
                     fsync=self.fsync,
                     bloom_columns=self.bloom_columns,
+                    cluster_by=self.cluster_by,
+                    bounds_out=fb,
                 )
                 out_pids.append(int(npid[s]))
                 out_files.append(json.dumps(rels))
+                out_bounds.append(json.dumps(fb) if fb else "")
         return pa.table(
-            {"pid": pa.array(out_pids, pa.int64()), "files_json": out_files}
+            {
+                "pid": pa.array(out_pids, pa.int64()),
+                "files_json": out_files,
+                "file_stats_json": out_bounds,
+            }
         )
 
 
@@ -405,6 +415,7 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
     nxt.partitions = {}
     nxt.deltas = {}
     nxt.lineage = {}
+    nxt.file_stats = {}  # every file is replaced under the new spec
     moved = 0
     if pids:
         fn = RepartitionPartition(
@@ -420,6 +431,7 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
             compression=ctx.sink.parquet_compression,
             fsync=ctx.sink.durable_writes,
             bloom_columns=tuple(ctx.sink.bloom_filter_columns),
+            cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -430,6 +442,8 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
             nxt.partitions.setdefault(int(r["pid"]), []).extend(
                 json.loads(r["files_json"])
             )
+            if r.get("file_stats_json"):
+                nxt.file_stats.update(json.loads(r["file_stats_json"]))
             moved += 1
         for pid in nxt.partitions:
             nxt.lineage[pid] = {"repartitioned": cycle_id, "deltas": 0}

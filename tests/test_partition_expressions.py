@@ -231,6 +231,34 @@ def test_compaction_reclusters_and_refreshes_bounds(tmp_lake, ray_session):
     assert read_target_table(tgt).num_rows == read_target_table(tgt).num_rows
 
 
+def test_repartition_recluster_and_bounds_reset(tmp_lake, ray_session):
+    """Partition-spec evolution rewrites every file under the new pid
+    domain — the rewrite must re-cluster by partition_by and the
+    manifest's file_stats must describe ONLY the new files."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        repartition_table,
+    )
+
+    ct, tgt, _ = tmp_lake
+    _write_months_ctlog(ct)
+    prepare_watermark(tgt, num_partitions=4)
+    ctx = _ctx(ct, tgt, merge_mode="cow", merge_strategy="groupby")
+    StreamRunner(ctx).run()
+    log = ManifestLog(tgt)
+    old_stats = set(log.require_watermark().file_stats)
+    out = repartition_table(log, ctx, 3)
+    assert out["repartitioned"] and out["to"] == 3
+    m = log.require_watermark()
+    rels = [f for fl in m.partitions.values() for f in fl]
+    assert rels and all(len(s) == 1 for s in _file_months(log, rels))
+    assert set(m.file_stats) == set(rels)
+    assert not (old_stats & set(m.file_stats))
+    # pruning still works under the new spec
+    lo = MONTH0 + dt.timedelta(days=64)
+    kept = prune_files_by_stats(rels, m.file_stats, [["warc_ts", ">=", lo]])
+    assert 0 < len(kept) < len(rels)
+
+
 def test_analyze_now_covers_timestamp_columns(tmp_lake, ray_session):
     """bound_key fix: parquet footer stats for timestamp columns are
     epoch-normalized instead of silently skipped."""
