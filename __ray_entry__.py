@@ -29,6 +29,18 @@ _here = _os.path.dirname(_os.path.abspath(__file__))
 if _here not in _sys.path:
     _sys.path.insert(0, _here)
 
+# 'entry' is a generic name: if the driver process already imported some
+# OTHER module called entry (a PyPI package, or an entry.py in its cwd),
+# sys.modules would shadow our package and the imports below would fail.
+# Evict the foreign entries; existing references in the host keep their
+# module object — only the cache slot is reclaimed.
+_foreign = _sys.modules.get("entry")
+if _foreign is not None and not str(getattr(_foreign, "__file__", "") or "").startswith(
+    _here + _os.sep
+):
+    for _k in [k for k in _sys.modules if k == "entry" or k.startswith("entry.")]:
+        del _sys.modules[_k]
+
 # importing the package registers every module by value with Ray's
 # cloudpickle (foreign-cwd workers) — see entry/common.py
 from entry.common import _read, _register_package_by_value  # noqa: F401

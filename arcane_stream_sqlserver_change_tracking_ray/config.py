@@ -102,6 +102,12 @@ class SinkSettings:
     #: "day(col)" | "hour(col)" | "truncate(col, W)" | "bucket(col, N)"
     #: (stages/partitioning.py; parsed at bootstrap, fail-fast).
     partition_by: tuple[str, ...] = ()
+    #: anti-tiny-file guard for partition_by: adjacent value runs smaller
+    #: than this are packed into one file (bounds stay exact — the file
+    #: just covers a contiguous value range).  0 = value-pure files.
+    #: Set this when a transform is high-cardinality (identity over a
+    #: key-like column, day() over years of data).
+    cluster_min_rows: int = 0
     max_rows_per_file: int = 1_000_000
     parquet_compression: str = "zstd"
     #: "auto" (default) = "direct" under merge_mode "mor", "actors" under

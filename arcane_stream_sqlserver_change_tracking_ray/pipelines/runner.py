@@ -294,6 +294,7 @@ class StreamRunner:
                 key_col=self._transform.key_col,
                 precombine_threshold=sink.precombine_dup_threshold,
                 cluster_by=self._cluster_by,
+                cluster_min_rows=sink.cluster_min_rows,
             )
         return apply_change_batch(
             ds,
@@ -313,6 +314,7 @@ class StreamRunner:
             hash_algo=manifest.key_hash_algo,
             precombine_threshold=sink.precombine_dup_threshold,
             cluster_by=self._cluster_by,
+            cluster_min_rows=sink.cluster_min_rows,
         )
 
     # -------------------------------------------------------------- bootstrap
@@ -711,6 +713,7 @@ class StreamRunner:
                 bloom_columns=tuple(ctx.sink.bloom_filter_columns),
                 hash_algo=manifest.key_hash_algo,
                 cluster_by=self._cluster_by,
+                cluster_min_rows=ctx.sink.cluster_min_rows,
             )
             state["shards"][key] = {
                 str(int(s["_pid"])): json.loads(s["files_json"]) for s in stats

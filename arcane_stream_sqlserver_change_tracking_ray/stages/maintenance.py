@@ -101,6 +101,7 @@ class CompactPartition:
         key_deletes=None,
         sorted_by: tuple[str, ...] = (),
         cluster_by: tuple = (),
+        cluster_min_rows: int = 0,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -125,6 +126,7 @@ class CompactPartition:
         #: transform value (Iceberg compaction's posture) and records
         #: write-time bounds for manifest.file_stats
         self.cluster_by = tuple(cluster_by)
+        self.cluster_min_rows = cluster_min_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_pids, out_files, out_bounds = [], [], []
@@ -152,6 +154,7 @@ class CompactPartition:
                 fsync=self.fsync,
                 bloom_columns=self.bloom_columns,
                 cluster_by=self.cluster_by,
+                cluster_min_rows=self.cluster_min_rows,
                 bounds_out=fb,
             )
             out_pids.append(pid)
@@ -189,6 +192,7 @@ def optimize(log: ManifestLog, ctx: StreamContext) -> dict:
         bloom_columns=tuple(ctx.sink.bloom_filter_columns),
         sorted_by=tuple(ctx.sink.sorted_by),
         cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
+        cluster_min_rows=ctx.sink.cluster_min_rows,
     )
     res = (
         ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -257,6 +261,7 @@ def materialize_deletes(log: ManifestLog, ctx: StreamContext) -> dict:
             key_deletes=dict(manifest.key_deletes),
             sorted_by=tuple(ctx.sink.sorted_by),
             cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
+            cluster_min_rows=ctx.sink.cluster_min_rows,
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -316,8 +321,10 @@ class RepartitionPartition:
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
         cluster_by: tuple = (),
+        cluster_min_rows: int = 0,
     ):
         self.cluster_by = tuple(cluster_by)
+        self.cluster_min_rows = cluster_min_rows
         self.target_root = target_root
         self.cycle_id = cycle_id
         self.partition_files = partition_files
@@ -363,6 +370,7 @@ class RepartitionPartition:
                     fsync=self.fsync,
                     bloom_columns=self.bloom_columns,
                     cluster_by=self.cluster_by,
+                    cluster_min_rows=self.cluster_min_rows,
                     bounds_out=fb,
                 )
                 out_pids.append(int(npid[s]))
@@ -432,6 +440,7 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
             fsync=ctx.sink.durable_writes,
             bloom_columns=tuple(ctx.sink.bloom_filter_columns),
             cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
+            cluster_min_rows=ctx.sink.cluster_min_rows,
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))
@@ -505,14 +514,30 @@ def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
                 m["count"] += s["count"]
     stats = {c: {k: _jsonable(v) for k, v in s.items()} for c, s in merged.items()}
     cur = log.require_watermark()
-    file_stats = _collect_file_bounds(log, manifest, cols)
+    # footer bounds cover the analyzed columns PLUS the partition_by
+    # source columns, and MERGE per-file/per-column into the head
+    # manifest's map (never replace): write-time partition_by bounds and
+    # bounds committed by concurrent cycles mid-ANALYZE must survive
+    from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
+        source_columns,
+    )
+
+    bcols = list(
+        dict.fromkeys(
+            cols + list(source_columns(parse_partition_exprs(tuple(ctx.sink.partition_by))))
+        )
+    )
+    file_stats = _collect_file_bounds(log, cur, bcols)
     nxt = cur.next()
     nxt.stats = stats
-    nxt.file_stats = file_stats
+    for rel, b in file_stats.items():
+        nxt.file_stats.setdefault(rel, {}).update(b)
+    live = nxt.all_files()
+    nxt.file_stats = {k: v for k, v in nxt.file_stats.items() if k in live}
     nxt.metrics = {
         "maintenance": {
             "analyzed_columns": len(stats),
-            "file_stats_files": len(file_stats),
+            "file_stats_files": len(nxt.file_stats),
         }
     }
     log.commit(nxt, expect_version=cur.version)

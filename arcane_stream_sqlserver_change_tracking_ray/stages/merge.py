@@ -51,6 +51,7 @@ import pyarrow.parquet as pq
 from arcane_stream_sqlserver_change_tracking_ray.functions.transforms import cast_to_schema
 from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
     cluster_order,
+    coalesce_runs,
     column_bounds,
     source_columns,
 )
@@ -301,6 +302,7 @@ def write_partition_files(
     bloom_columns: tuple[str, ...] = (),
     row_group_rows: int = ROW_GROUP_ROWS,
     cluster_by: tuple = (),
+    cluster_min_rows: int = 0,
     bounds_cols: tuple[str, ...] = (),
     bounds_out: dict | None = None,
 ) -> tuple[list[str], int]:
@@ -330,6 +332,7 @@ def write_partition_files(
         co = cluster_order(table, cluster_by)
         if co is not None:
             order, starts = co
+            starts = coalesce_runs(starts, cluster_min_rows)
             sorted_tbl = table.take(pa.array(order))
             runs = [
                 sorted_tbl.slice(s, e - s) for s, e in zip(starts[:-1], starts[1:])
@@ -839,6 +842,7 @@ class PartitionMergeFn:
         fsync: bool = True,
         bloom_columns: tuple[str, ...] = (),
         cluster_by: tuple = (),
+        cluster_min_rows: int = 0,
     ):
         self.target_root = target_root
         self.cycle_id = cycle_id
@@ -852,6 +856,7 @@ class PartitionMergeFn:
         self.fsync = fsync
         self.bloom_columns = bloom_columns
         self.cluster_by = cluster_by
+        self.cluster_min_rows = cluster_min_rows
 
     # -- target partition io -------------------------------------------------
     def _read_existing(self, pid: int) -> pa.Table | None:
@@ -881,6 +886,7 @@ class PartitionMergeFn:
             prefix=prefix,
             bloom_columns=self.bloom_columns,
             cluster_by=self.cluster_by,
+            cluster_min_rows=self.cluster_min_rows,
             bounds_out=bounds,
         )
         return rels, nbytes, bounds
@@ -963,6 +969,7 @@ def apply_change_batch(
     hash_algo: str = "pandas",
     precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
     cluster_by: tuple = (),
+    cluster_min_rows: int = 0,
 ) -> list[dict]:
     """Run the full merge pipeline for one change batch; returns per-touched-
     partition stats dicts.  The only materialized result is the tiny stats
@@ -985,6 +992,7 @@ def apply_change_batch(
         fsync=fsync,
         bloom_columns=bloom_columns,
         cluster_by=cluster_by,
+        cluster_min_rows=cluster_min_rows,
     )
     def merge_partition(group: pa.Table) -> pa.Table:
         return merge_fn(group)
@@ -1298,6 +1306,7 @@ def _make_owner_actor():
             sorted_by: tuple[str, ...] = (),
             key_col: str = MERGE_KEY_COL,
             cluster_by: tuple = (),
+            cluster_min_rows: int = 0,
         ) -> list[dict]:
             """Merge buffered deltas into owned partitions, copy-on-write."""
             # NOTE: no package imports inside worker-executed code — when the
@@ -1370,6 +1379,7 @@ def _make_owner_actor():
                     compression=self.compression, fsync=self.fsync,
                     bloom_columns=self.bloom_columns,
                     cluster_by=cluster_by,
+                    cluster_min_rows=cluster_min_rows,
                     bounds_out=fb,
                 )
                 out.append(
@@ -1447,6 +1457,7 @@ class ActorMergePool:
         key_col: str = MERGE_KEY_COL,
         precombine_threshold: float = PRECOMBINE_DUP_THRESHOLD,
         cluster_by: tuple = (),
+        cluster_min_rows: int = 0,
     ) -> list[dict]:
         import ray
 
@@ -1502,7 +1513,8 @@ class ActorMergePool:
         t1 = _time.perf_counter()
         flush_refs = [
             a.flush.remote(
-                cycle_id, partition_files, schema, sorted_by, key_col, cluster_by
+                cycle_id, partition_files, schema, sorted_by, key_col,
+                cluster_by, cluster_min_rows,
             )
             for a in actors
         ]

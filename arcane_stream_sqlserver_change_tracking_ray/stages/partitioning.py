@@ -78,8 +78,21 @@ class PartitionExpr:
                 col = pc.fill_null(col, pa.scalar(0, col.type))
             elif pa.types.is_date(col.type):
                 col = pc.fill_null(col, pa.scalar(0, pa.date32()).cast(col.type))
+            elif pa.types.is_boolean(col.type):
+                col = pc.fill_null(col, False)
             elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
                 col = pc.fill_null(col, pa.scalar(0).cast(col.type))
+            elif self.transform == "identity":
+                # any other nullable type (decimal/binary/dictionary/...):
+                # None in an object array breaks np.lexsort, so group via
+                # first-appearance factorized codes (order among clusters
+                # is irrelevant — grouping is what clustering needs; the
+                # per-file BOUNDS always come from the real column)
+                import pandas as pd
+
+                return pd.factorize(
+                    col.to_pandas(), use_na_sentinel=False
+                )[0].astype(np.int64)
         t = self.transform
         if t == "identity":
             return col.to_numpy(zero_copy_only=False)
@@ -172,6 +185,24 @@ def cluster_order(table: pa.Table, exprs) -> tuple[np.ndarray, np.ndarray] | Non
     changed[0] = True
     starts = np.r_[np.flatnonzero(changed), len(order)]
     return order, starts
+
+
+def coalesce_runs(starts: np.ndarray, min_rows: int) -> np.ndarray:
+    """Greedily pack ADJACENT cluster runs smaller than *min_rows* into
+    one file run (Iceberg compaction's bin-packing posture): guards
+    against tiny-file explosion when a transform is high-cardinality
+    (``identity(user_id)``, ``day(ts)`` over years).  Bounds stay EXACT —
+    a packed file's recorded min/max still come from its real rows; the
+    file just covers a small contiguous value range instead of one
+    value.  ``min_rows<=0`` keeps value-pure files."""
+    if min_rows <= 0 or len(starts) <= 2:
+        return starts
+    out = [int(starts[0])]
+    for s, e in zip(starts[1:-1], starts[2:]):
+        if int(s) - out[-1] >= min_rows:
+            out.append(int(s))
+    out.append(int(starts[-1]))
+    return np.asarray(out, dtype=starts.dtype)
 
 
 def source_columns(exprs) -> tuple[str, ...]:

@@ -166,13 +166,13 @@ def sweep_staging(
 ) -> list[str]:
     """Startup sweep by prefix (``docs/crd.md:45-48``).
 
-    ``grace_seconds`` mirrors ``ManifestLog.sweep_uncommitted``: with a
-    grace window configured (the HA standby posture) a bootstrapping
-    standby must not delete the primary's in-flight staging dirs, so
-    dirs whose mtime falls inside the window — or whose mtime cannot be
-    read at all — are skipped and collected by a later zero-grace sweep.
-    """
+    ``grace_seconds`` applies the same HA-standby guard as
+    ``ManifestLog.sweep_uncommitted`` (shared ``manifest.in_grace``): a
+    bootstrapping standby must not delete the primary's in-flight
+    staging dirs."""
     import time
+
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import in_grace
 
     fs = lakefs(staging_root)
     now = time.time()
@@ -180,14 +180,8 @@ def sweep_staging(
     for nm in fs.listdir(""):
         if not nm.startswith(table_prefix):
             continue
-        if grace_seconds > 0:
-            try:
-                if now - fs.getmtime(nm) < grace_seconds:
-                    continue
-            except Exception:
-                # fail safe: unreadable mtime while HA grace is active
-                # means "possibly live" — leave it for the next sweep
-                continue
+        if in_grace(fs, nm, grace_seconds, now):
+            continue
         fs.delete_dir(nm)
         removed.append(nm)
     return removed

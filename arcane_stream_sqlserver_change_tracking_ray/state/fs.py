@@ -74,6 +74,10 @@ def lakefs(root: str) -> "LakeFS":
         if len(_FS_CACHE) >= _FS_CACHE_MAX:
             _FS_CACHE.pop(next(iter(_FS_CACHE)))
         fs = _FS_CACHE.setdefault(root, _make_lakefs(root))
+    else:
+        # LRU, not FIFO: move-to-end on hit so a hot root (the primary
+        # lake) is never the eviction victim of 64 transient roots
+        _FS_CACHE[root] = _FS_CACHE.pop(root)
     return fs
 
 

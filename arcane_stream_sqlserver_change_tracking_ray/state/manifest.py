@@ -489,27 +489,17 @@ class ManifestLog:
                             live_cycle_dirs.add(rel.split("/", 2)[1])
         now = time.time()
 
-        def _in_grace(rel: str) -> bool:
-            if grace_seconds <= 0:
-                return False
-            try:
-                return now - self.fs.getmtime(rel) < grace_seconds
-            except Exception:
-                # fail safe: when an HA grace window is configured, an
-                # unreadable mtime means "possibly a live primary's dir" —
-                # skip it; it will be collected once mtime is readable or
-                # at a zero-grace sweep.
-                return True
-
         removed: list[str] = []
         for name in self.fs.listdir(CYCLES_DIR):
             rel = f"{CYCLES_DIR}/{name}"
-            if name not in live_cycle_dirs and not _in_grace(rel):
+            if name not in live_cycle_dirs and not in_grace(
+                self.fs, rel, grace_seconds, now
+            ):
                 self.fs.delete_dir(rel)
                 removed.append(rel)
         for name in self.fs.listdir(STAGING_DIR):
             rel = f"{STAGING_DIR}/{name}"
-            if not _in_grace(rel):
+            if not in_grace(self.fs, rel, grace_seconds, now):
                 self.fs.delete_dir(rel)
                 removed.append(rel)
         return removed
@@ -543,6 +533,25 @@ class ManifestLog:
         for v in expired:
             self.fs.delete(self._rel(v))
         return expired
+
+
+def in_grace(fs, rel: str, grace_seconds: float, now: float | None = None) -> bool:
+    """THE HA-standby grace guard, shared by every startup sweep
+    (``sweep_uncommitted`` and ``stages.staging.sweep_staging``): with a
+    grace window configured, a dir younger than the window — or whose
+    mtime cannot be read at all (fail safe: possibly a live primary's
+    in-flight dir) — must not be deleted; it is collected once mtime is
+    readable / aged, or by a zero-grace sweep."""
+    if grace_seconds <= 0:
+        return False
+    import time as _time
+
+    if now is None:
+        now = _time.time()
+    try:
+        return now - fs.getmtime(rel) < grace_seconds
+    except Exception:
+        return True
 
 
 def bound_key(v):

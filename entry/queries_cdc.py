@@ -789,7 +789,7 @@ def cdc_pruned_read(sf_dir: str):
     feed, OPTIMIZE with ``sortedBy=[value]`` into several small files
     per partition, ANALYZE (folds per-file column bounds from parquet
     footers into the manifest), then ``read_target(where=[[value >=
-    40]])``.  The query RAISES unless the bounds actually pruned files
+    100.0]])``.  The query RAISES unless the bounds actually pruned files
     (so a silent pruning regression cannot stay green), and the rows
     must equal the LWW winners filtered by the same predicate —
     the Iceberg manifest-entry bounds analog (docs/crd.md:114-119)."""

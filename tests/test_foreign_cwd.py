@@ -27,6 +27,40 @@ ray.shutdown()
 """
 
 
+SHADOW_SCRIPT = """
+import sys
+sys.path.insert(0, ".")
+import entry                       # the FOREIGN entry.py in cwd
+assert not hasattr(entry, "common")
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__ray_entry__", "/root/repo/__ray_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)       # facade must evict the shadow and load OURS
+assert len(mod.queries()) > 90 and len(mod.oracle_sql()) > 90
+print("SHADOW_OK")
+"""
+
+
+def test_facade_survives_foreign_entry_module(tmp_path):
+    """'entry' is a generic module name: a driver whose cwd holds an
+    entry.py (or that imported a PyPI 'entry') must still load the
+    facade — it evicts the foreign sys.modules slot."""
+    (tmp_path / "entry.py").write_text("THIS_IS_NOT_OURS = True\n")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    r = subprocess.run(
+        [sys.executable, "-c", SHADOW_SCRIPT],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "SHADOW_OK" in r.stdout
+
+
 def test_queries_run_from_foreign_cwd(tmp_path):
     env = dict(os.environ, RAY_ADDRESS="local")
     env.pop("PYTHONPATH", None)  # the repo must NOT be inherited implicitly

@@ -23,6 +23,7 @@ from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
 )
 from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
     cluster_order,
+    coalesce_runs,
     column_bounds,
     parse_partition_exprs,
     source_columns,
@@ -80,6 +81,39 @@ def test_null_partition_values_cluster_together():
     b = column_bounds(t, ("warc_ts", "lang"))
     assert b["warc_ts"][0] == b["warc_ts"][1] == bound_key(MONTH0)
     assert b["lang"] == ["en", "en"]
+
+
+def test_nullable_exotic_types_do_not_crash_clustering():
+    """r4 review: bool/decimal/binary/dictionary columns with nulls must
+    cluster (nulls grouped), not crash np.lexsort with None compares."""
+    import decimal
+
+    t = pa.table(
+        {
+            "flag": pa.array([True, None, False, True, None]),
+            "dec": pa.array(
+                [decimal.Decimal("1.5"), None, decimal.Decimal("1.5"), None,
+                 decimal.Decimal("2.5")]
+            ),
+            "bin": pa.array([b"a", None, b"a", b"b", None], pa.binary()),
+        }
+    )
+    # bool nulls share the False sentinel (2 groups); decimal/binary get
+    # factorized codes where null is its own group (3)
+    for expr, n_groups in (("flag", 2), ("dec", 3), ("bin", 3)):
+        (e,) = parse_partition_exprs((expr,))
+        order, starts = cluster_order(t, (e,))
+        assert len(starts) - 1 == n_groups, expr
+
+
+def test_coalesce_runs_packs_small_clusters():
+    starts = np.array([0, 1, 2, 3, 100, 101, 200], dtype=np.int64)
+    # min_rows=50: tiny adjacent runs pack together; big runs keep cuts
+    assert list(coalesce_runs(starts, 50)) == [0, 100, 200]
+    # min_rows=0: unchanged (value-pure files)
+    assert list(coalesce_runs(starts, 0)) == list(starts)
+    # every boundary suppressed except ends when min_rows > total
+    assert list(coalesce_runs(starts, 10**6)) == [0, 200]
 
 
 def test_bound_key_units_agree():
@@ -286,6 +320,30 @@ def test_analyze_now_covers_timestamp_columns(tmp_lake, ray_session):
     lo, hi = m.file_stats[rels[0]]["warc_ts"]
     assert isinstance(lo, int) and lo >= bound_key(MONTH0)
     assert hi >= lo
+
+
+def test_analyze_merges_and_preserves_partition_by_bounds(tmp_lake, ray_session):
+    """r4 review: ANALYZE over a DIFFERENT column set must MERGE into
+    file_stats, never wipe the write-time partition_by bounds that
+    day-predicate pruning depends on."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import analyze
+
+    ct, tgt, _ = tmp_lake
+    _write_months_ctlog(ct)
+    prepare_watermark(tgt, num_partitions=4)
+    ctx = _ctx(ct, tgt, merge_mode="cow", merge_strategy="groupby")
+    StreamRunner(ctx).run()
+    log = ManifestLog(tgt)
+    pre = log.require_watermark().file_stats
+    assert pre and all("warc_ts" in v for v in pre.values())
+    # analyze a different column entirely
+    ctx2 = _ctx(ct, tgt, merge_mode="cow", merge_strategy="groupby")
+    ctx2.maintenance.analyze_included_columns = ("sys_change_version",)
+    analyze(log, ctx2)
+    m = log.require_watermark()
+    for rel, b in pre.items():
+        assert m.file_stats[rel]["warc_ts"] == b["warc_ts"]  # survived
+        assert "sys_change_version" in m.file_stats[rel]  # merged in
 
 
 def test_manifest_roundtrip_and_crash_safety_of_bounds(tmp_lake, ray_session):
