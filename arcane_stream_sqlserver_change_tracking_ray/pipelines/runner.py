@@ -262,7 +262,9 @@ class StreamRunner:
                 hash_algo=manifest.key_hash_algo,
                 max_rows_per_file=sink.max_rows_per_file,
                 precombine_threshold=sink.precombine_dup_threshold,
-                bounds_cols=_p_source_columns(self._cluster_by),
+                bounds_cols=tuple(dict.fromkeys(
+                    _p_source_columns(self._cluster_by) + tuple(sink.sorted_by)
+                )),
             )
             self._direct_timings = {"push_s": round(_time.perf_counter() - t0, 4), "flush_s": 0.0}
             return stats

@@ -41,6 +41,7 @@ from arcane_stream_sqlserver_change_tracking_ray.stages.merge import (
 )
 from arcane_stream_sqlserver_change_tracking_ray.stages.partitioning import (
     parse_partition_exprs,
+    source_columns as _cluster_sources,
 )
 from arcane_stream_sqlserver_change_tracking_ray.types import MERGE_KEY_COL
 from arcane_stream_sqlserver_change_tracking_ray.state.manifest import Manifest, ManifestLog
@@ -155,6 +156,8 @@ class CompactPartition:
                 bloom_columns=self.bloom_columns,
                 cluster_by=self.cluster_by,
                 cluster_min_rows=self.cluster_min_rows,
+                bounds_cols=tuple(dict.fromkeys(
+                    _cluster_sources(self.cluster_by) + self.sorted_by)),
                 bounds_out=fb,
             )
             out_pids.append(pid)

@@ -887,6 +887,12 @@ class PartitionMergeFn:
             bloom_columns=self.bloom_columns,
             cluster_by=self.cluster_by,
             cluster_min_rows=self.cluster_min_rows,
+            # sortedBy columns get write-time bounds too: a sorted write
+            # yields disjoint per-file ranges, so pruning engages with no
+            # ANALYZE pass (Iceberg manifest-entry bounds posture)
+            bounds_cols=tuple(
+                dict.fromkeys(source_columns(self.cluster_by) + tuple(self.sorted_by))
+            ),
             bounds_out=bounds,
         )
         return rels, nbytes, bounds
@@ -1336,7 +1342,8 @@ def _make_owner_actor():
                         max_rows_per_file=self.max_rows_per_file,
                         compression=self.compression, fsync=self.fsync,
                         prefix="delta", bloom_columns=self.bloom_columns,
-                        bounds_cols=source_columns(cluster_by),
+                        bounds_cols=tuple(dict.fromkeys(
+                            source_columns(cluster_by) + tuple(sorted_by))),
                         bounds_out=fb,
                     )
                     out.append(
@@ -1380,6 +1387,8 @@ def _make_owner_actor():
                     bloom_columns=self.bloom_columns,
                     cluster_by=cluster_by,
                     cluster_min_rows=cluster_min_rows,
+                    bounds_cols=tuple(dict.fromkeys(
+                        source_columns(cluster_by) + tuple(sorted_by))),
                     bounds_out=fb,
                 )
                 out.append(

@@ -293,6 +293,28 @@ def test_repartition_recluster_and_bounds_reset(tmp_lake, ray_session):
     assert 0 < len(kept) < len(rels)
 
 
+def test_sorted_by_alone_records_write_time_bounds(tmp_lake, ray_session):
+    """sortedBy columns get write-time bounds even with NO partition_by:
+    a sorted write yields (near-)disjoint per-file ranges, so range
+    predicates prune with no ANALYZE pass."""
+    ct, tgt, _ = tmp_lake
+    _write_months_ctlog(ct)
+    prepare_watermark(tgt, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4,
+                     "merge_mode": "cow", "merge_strategy": "groupby",
+                     "sorted_by": ["warc_ts"]},
+            "throughput": {"rows_per_group": 10_000},
+        }
+    )
+    StreamRunner(ctx).run()
+    m = ManifestLog(tgt).require_watermark()
+    rels = [f for fl in m.partitions.values() for f in fl]
+    assert rels and all("warc_ts" in m.file_stats.get(r, {}) for r in rels)
+
+
 def test_analyze_now_covers_timestamp_columns(tmp_lake, ray_session):
     """bound_key fix: parquet footer stats for timestamp columns are
     epoch-normalized instead of silently skipped."""
