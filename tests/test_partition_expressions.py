@@ -368,6 +368,40 @@ def test_analyze_merges_and_preserves_partition_by_bounds(tmp_lake, ray_session)
         assert "sys_change_version" in m.file_stats[rel]  # merged in
 
 
+def test_backfill_overwrite_clusters_and_records_bounds(tmp_lake, ray_session):
+    """The backfill Overwrite flip must carry the shards' write-time
+    partition_by bounds into the flipped manifest (and the shard base
+    files must be value-clustered)."""
+    from arcane_stream_sqlserver_change_tracking_ray.gen import (
+        small_spec,
+        write_ctlog,
+        write_snapshot,
+    )
+
+    ct, tgt, snap = tmp_lake
+    write_ctlog(ct, small_spec())
+    write_snapshot(ct, snap, at_version=1000, num_files=3)
+    prepare_watermark(tgt, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "snapshot_dir": snap, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4,
+                     "partition_by": ["day(warc_ts)"]},
+            "stream_mode": {"backfill": True, "backfill_id": "pb1"},
+        }
+    )
+    StreamRunner(ctx).run_backfill()
+    log = ManifestLog(tgt)
+    m = log.require_watermark()
+    rels = [f for fl in m.partitions.values() for f in fl]
+    assert rels and set(rels) <= set(m.file_stats)
+    assert all("warc_ts" in m.file_stats[r] for r in rels)
+    (e,) = parse_partition_exprs(("day(warc_ts)",))
+    for rel in rels:  # each shard base file is single-day
+        t = log.fs.parquet_file(rel).read(columns=["warc_ts"])
+        assert len(set(e.codes(t))) == 1
+
+
 def test_manifest_roundtrip_and_crash_safety_of_bounds(tmp_lake, ray_session):
     """file_stats ride the SAME atomic manifest commit as the files they
     describe — a reread after process restart sees identical bounds."""
