@@ -20,10 +20,16 @@ prepare_watermark(tgt, 0, num_partitions=8)
 ray.shutdown()
 
 spec = root + "/spec.json"
+sink = {"target_root": tgt, "num_partitions": 8}
+# PARTITION_BY=day(warc_ts) re-runs the identical storm with value
+# clustering + write-time bounds in play (CoW so base files cluster)
+if os.environ.get("PARTITION_BY"):
+    sink.update({"partition_by": [os.environ["PARTITION_BY"]],
+                 "merge_mode": "cow", "merge_strategy": "groupby"})
 with open(spec, "w") as f:
     json.dump({
         "source": {"ctlog_dir": ct, "key_columns": ["url"]},
-        "sink": {"target_root": tgt, "num_partitions": 8},
+        "sink": sink,
         "throughput": {"rows_per_group": 2000},
         "maintenance": {"enabled": True, "batch_threshold": 5,
                         "analyze_included_columns": ["url"]},
