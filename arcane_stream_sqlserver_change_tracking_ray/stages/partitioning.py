@@ -95,6 +95,12 @@ class PartitionExpr:
                 )[0].astype(np.int64)
         t = self.transform
         if t == "identity":
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                # int dictionary codes instead of Python-object strings:
+                # np.lexsort over objects is ~5x slower at CoW-rewrite
+                # row counts (codes are per-call, so first-appearance
+                # order is fine — clustering needs grouping, not order)
+                return _dict_codes(col)
             return col.to_numpy(zero_copy_only=False)
         if t in ("year", "month", "day", "hour"):
             vals = self._epoch_us(col)
@@ -113,9 +119,9 @@ class PartitionExpr:
 
             w = self.arg or 1
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                return pc.utf8_slice_codeunits(
-                    pc.fill_null(col, ""), 0, w
-                ).to_numpy(zero_copy_only=False)
+                return _dict_codes(
+                    pc.utf8_slice_codeunits(pc.fill_null(col, ""), 0, w)
+                )
             v = col.to_numpy(zero_copy_only=False).astype(np.int64)
             return (v // w) * w
         if t == "bucket":
@@ -139,6 +145,21 @@ class PartitionExpr:
             days = col.cast(pa.date32()).cast(pa.int32())
             return days.to_numpy(zero_copy_only=False).astype(np.int64) * _US_PER["day"]
         return None  # not a temporal column: no clustering rather than error
+
+
+def _dict_codes(col) -> np.ndarray:
+    """int64 dictionary codes of a string array/chunked array (Arrow
+    dictionary_encode — vectorized, no Python-object round-trip)."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()  # unifies dictionaries across chunks
+        if isinstance(enc, pa.ChunkedArray):
+            if enc.num_chunks == 0:
+                return np.empty(0, dtype=np.int64)
+            enc = enc.chunk(0)
+    return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def parse_partition_exprs(exprs) -> tuple[PartitionExpr, ...]:
