@@ -325,9 +325,16 @@ class RepartitionPartition:
         bloom_columns: tuple[str, ...] = (),
         cluster_by: tuple = (),
         cluster_min_rows: int = 0,
+        sorted_by: tuple[str, ...] = (),
     ):
         self.cluster_by = tuple(cluster_by)
         self.cluster_min_rows = cluster_min_rows
+        #: table sort-order property survives the re-bucket (same
+        #: contract as CompactPartition) and its columns' write-time
+        #: bounds go into file_stats — repartition_table resets
+        #: nxt.file_stats, so dropping sorted_by here would silently
+        #: disable sortedBy pruning until the next ANALYZE
+        self.sorted_by = tuple(sorted_by)
         self.target_root = target_root
         self.cycle_id = cycle_id
         self.partition_files = partition_files
@@ -353,6 +360,12 @@ class RepartitionPartition:
             )
             if merged.num_rows == 0:
                 continue
+            if self.sorted_by:
+                # sort FIRST, then stable-argsort by new pid: each new-pid
+                # run keeps sortedBy order, matching CompactPartition
+                merged = merged.sort_by(
+                    [(c, "ascending") for c in self.sorted_by]
+                )
             npid = partition_ids(
                 merged[MERGE_KEY_COL], self.new_partitions, self.key_hash_algo
             )
@@ -374,6 +387,8 @@ class RepartitionPartition:
                     bloom_columns=self.bloom_columns,
                     cluster_by=self.cluster_by,
                     cluster_min_rows=self.cluster_min_rows,
+                    bounds_cols=tuple(dict.fromkeys(
+                        _cluster_sources(self.cluster_by) + self.sorted_by)),
                     bounds_out=fb,
                 )
                 out_pids.append(int(npid[s]))
@@ -444,6 +459,7 @@ def repartition_table(log: ManifestLog, ctx: StreamContext, new_partitions: int)
             bloom_columns=tuple(ctx.sink.bloom_filter_columns),
             cluster_by=parse_partition_exprs(tuple(ctx.sink.partition_by)),
             cluster_min_rows=ctx.sink.cluster_min_rows,
+            sorted_by=tuple(ctx.sink.sorted_by),
         )
         res = (
             ray.data.from_arrow(pa.table({"pid": pa.array(pids, pa.int64())}))

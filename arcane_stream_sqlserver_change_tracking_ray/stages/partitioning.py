@@ -82,12 +82,16 @@ class PartitionExpr:
                 col = pc.fill_null(col, False)
             elif pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
                 col = pc.fill_null(col, pa.scalar(0).cast(col.type))
-            elif self.transform == "identity":
+            else:
                 # any other nullable type (decimal/binary/dictionary/...):
-                # None in an object array breaks np.lexsort, so group via
-                # first-appearance factorized codes (order among clusters
-                # is irrelevant — grouping is what clustering needs; the
-                # per-file BOUNDS always come from the real column)
+                # None in an object array breaks np.lexsort / astype, so
+                # group via first-appearance factorized codes for EVERY
+                # transform (identity AND truncate/bucket/... — factorize
+                # is finer-grained than the transform would be, which is
+                # sound: clustering needs grouping, not exact transform
+                # values, and the per-file BOUNDS always come from the
+                # real column).  Before this, truncate(decimal_col, W)
+                # with one null row raised TypeError mid-write.
                 import pandas as pd
 
                 return pd.factorize(
@@ -101,7 +105,16 @@ class PartitionExpr:
                 # row counts (codes are per-call, so first-appearance
                 # order is fine — clustering needs grouping, not order)
                 return _dict_codes(col)
-            return col.to_numpy(zero_copy_only=False)
+            vals = col.to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                # NaN != NaN would shatter every NaN row into its own
+                # single-row file run under the run-split in
+                # cluster_order; collapse NaNs into the 0.0 cluster
+                # (coarser grouping is sound — bounds stay exact)
+                nan = np.isnan(vals)
+                if nan.any():
+                    vals = np.where(nan, 0.0, vals)
+            return vals
         if t in ("year", "month", "day", "hour"):
             vals = self._epoch_us(col)
             if vals is None:

@@ -106,6 +106,49 @@ def test_nullable_exotic_types_do_not_crash_clustering():
         assert len(starts) - 1 == n_groups, expr
 
 
+def test_non_identity_transforms_on_nullable_exotic_types():
+    """r4 ADVICE (medium): truncate/bucket over a null-bearing column
+    OUTSIDE the fill-null chain (decimal/binary) must not crash the
+    write path — factorize fallback applies to every transform."""
+    import decimal
+
+    t = pa.table(
+        {
+            "dec": pa.array(
+                [decimal.Decimal("10.5"), None, decimal.Decimal("10.5"),
+                 decimal.Decimal("22.0"), None]
+            ),
+            "bin": pa.array([b"abc", None, b"abd", b"xyz", None], pa.binary()),
+        }
+    )
+    for expr, n_groups in (
+        ("truncate(dec, 10)", 3),  # factorize: 10.5, null, 22.0
+        ("bucket(dec, 4)", 3),
+        ("truncate(bin, 2)", 4),   # factorize is finer than the transform
+        ("bucket(bin, 8)", 4),
+    ):
+        (e,) = parse_partition_exprs((expr,))
+        order, starts = cluster_order(t, (e,))
+        assert len(starts) - 1 == n_groups, expr
+
+
+def test_float_identity_nan_does_not_shatter_clusters():
+    """r4 ADVICE (low): NaN != NaN must not make every NaN row its own
+    single-row file run — NaNs collapse into the 0.0 cluster."""
+    t = pa.table({"score": pa.array([1.5, float("nan"), 2.5, float("nan"),
+                                     float("nan"), 1.5])})
+    (e,) = parse_partition_exprs(("score",))
+    order, starts = cluster_order(t, (e,))
+    # clusters: {0.0 (3 NaNs)}, {1.5, 1.5}, {2.5} — not 3 singleton NaN runs
+    assert len(starts) - 1 == 3
+    sizes = sorted(int(b - a) for a, b in zip(starts[:-1], starts[1:]))
+    assert sizes == [1, 2, 3]
+    # null + NaN together still fine (null fills 0.0 too -> same cluster)
+    t2 = pa.table({"score": pa.array([None, float("nan"), 7.0])})
+    order2, starts2 = cluster_order(t2, (e,))
+    assert len(starts2) - 1 == 2
+
+
 def test_coalesce_runs_packs_small_clusters():
     starts = np.array([0, 1, 2, 3, 100, 101, 200], dtype=np.int64)
     # min_rows=50: tiny adjacent runs pack together; big runs keep cuts
@@ -288,6 +331,52 @@ def test_repartition_recluster_and_bounds_reset(tmp_lake, ray_session):
     assert set(m.file_stats) == set(rels)
     assert not (old_stats & set(m.file_stats))
     # pruning still works under the new spec
+    lo = MONTH0 + dt.timedelta(days=64)
+    kept = prune_files_by_stats(rels, m.file_stats, [["warc_ts", ">=", lo]])
+    assert 0 < len(kept) < len(rels)
+
+
+def test_repartition_keeps_sorted_by_bounds_without_partition_by(
+    tmp_lake, ray_session
+):
+    """r4 ADVICE (low): on a sortedBy-only lake (no partition_by) a
+    repartition must re-record the sortedBy write-time bounds — it
+    resets file_stats wholesale, so dropping them silently disabled
+    pruning until the next ANALYZE."""
+    from arcane_stream_sqlserver_change_tracking_ray.stages.maintenance import (
+        repartition_table,
+    )
+
+    ct, tgt, _ = tmp_lake
+    _write_months_ctlog(ct)
+    prepare_watermark(tgt, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4,
+                     "merge_mode": "cow", "merge_strategy": "groupby",
+                     "sorted_by": ["warc_ts"],
+                     # split the sorted rewrite into several files so
+                     # per-file warc_ts ranges are disjoint and prunable
+                     # (~15 LWW rows per old-pid x new-pid slice)
+                     "max_rows_per_file": 6},
+            "throughput": {"rows_per_group": 10_000},
+        }
+    )
+    StreamRunner(ctx).run()
+    log = ManifestLog(tgt)
+    assert log.require_watermark().file_stats  # write-time bounds exist
+    out = repartition_table(log, ctx, 3)
+    assert out["repartitioned"]
+    m = log.require_watermark()
+    rels = [f for fl in m.partitions.values() for f in fl]
+    assert rels and all("warc_ts" in m.file_stats.get(r, {}) for r in rels)
+    # rewritten files are still warc_ts-sorted (sortedBy survives)
+    for rel in rels:
+        ts = log.fs.parquet_file(rel).read(columns=["warc_ts"])["warc_ts"]
+        v = ts.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        assert (v[1:] >= v[:-1]).all()
+    # and pruning works straight after the repartition, no ANALYZE
     lo = MONTH0 + dt.timedelta(days=64)
     kept = prune_files_by_stats(rels, m.file_stats, [["warc_ts", ">=", lo]])
     assert 0 < len(kept) < len(rels)
