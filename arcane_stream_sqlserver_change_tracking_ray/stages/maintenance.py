@@ -581,6 +581,12 @@ def _collect_file_bounds(
 
     import ray.data
 
+    # captured by the closure below (pickled by value): worker-executed
+    # code must NOT import the package by name — workers inherit the
+    # raylet's cwd, where /root/repo may not be on sys.path
+    from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import bound_key
+
     live = sorted(
         {f for files in manifest.partitions.values() for f in files}
         # delta files too (fragment entries share one physical file):
@@ -597,11 +603,6 @@ def _collect_file_bounds(
     root, want = log.root, tuple(cols)
 
     def footer_bounds(batch: pa.Table) -> pa.Table:
-        from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
-        from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
-            bound_key,
-        )
-
         fs = lakefs(root)
         out = []
         for rel in batch["rel"].to_pylist():
