@@ -548,7 +548,11 @@ def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
     )
     file_stats = _collect_file_bounds(log, cur, bcols)
     nxt = cur.next()
-    nxt.stats = stats
+    # "_"-prefixed stats keys are the reserved non-column namespace
+    # (e.g. "_ivf_index" sidecar pointers) — ANALYZE owns only the
+    # column-summary keys and must not clobber them
+    nxt.stats = {k: v for k, v in cur.stats.items() if k.startswith("_")}
+    nxt.stats.update(stats)
     for rel, b in file_stats.items():
         nxt.file_stats.setdefault(rel, {}).update(b)
     live = nxt.all_files()
@@ -561,6 +565,67 @@ def analyze(log: ManifestLog, ctx: StreamContext) -> dict:
     }
     log.commit(nxt, expect_version=cur.version)
     return stats
+
+
+#: reserved stats key registering a table's IVF embedding-index sidecar
+IVF_INDEX_STATS_KEY = "_ivf_index"
+
+
+def build_ivf_sidecar(
+    log: ManifestLog,
+    *,
+    emb_col: str,
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    iters: int = 5,
+) -> dict:
+    """Maintenance pass: build the IVF coarse-quantizer index over this
+    table's *emb_col* as a PERSISTED sidecar (r4 verdict #1 — at 100 TB
+    the index is built once by maintenance, never per query).
+
+    The sidecar lives under ``<root>/_index/ivf-<emb_col>-v<V>/`` as a
+    manifest-backed mini-table whose partitions ARE the IVF clusters
+    (see :func:`...functions.similarity.build_ivf_index`); this pass
+    then registers the pointer in the TABLE manifest under the reserved
+    ``stats["_ivf_index"]`` key (same discover-from-the-manifest posture
+    as the bloom sidecars, ``merge.py``), so readers resolve
+    table → index → probed-cluster files with two tiny manifest reads.
+    Snapshot semantics: the index is pinned to the version it was built
+    from — a later data commit makes it stale, and the staleness is
+    visible (``built_at_version`` vs current) so a maintenance cadence
+    can rebuild exactly like ANALYZE re-collects bounds."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import (
+        build_ivf_index,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import read_target
+
+    cur = log.require_watermark()
+    idx_rel = f"_index/ivf-{emb_col}-v{cur.version}"
+    ds = read_target(log.root, columns=[id_col, emb_col])
+    build_ivf_index(
+        ds,
+        f"{log.root}/{idx_rel}",
+        n_clusters=n_clusters,
+        iters=iters,
+        id_col=id_col,
+        emb_col=emb_col,
+        source_fingerprint=f"table-v{cur.version}",
+    )
+    pointer = {
+        "root": idx_rel,
+        "emb_col": emb_col,
+        "id_col": id_col,
+        "n_clusters": n_clusters,
+        "iters": iters,
+        "built_at_version": cur.version,
+    }
+    nxt = cur.next()
+    entry = dict(nxt.stats.get(IVF_INDEX_STATS_KEY) or {})
+    entry[emb_col] = pointer
+    nxt.stats[IVF_INDEX_STATS_KEY] = entry
+    nxt.metrics = {"maintenance": {"ivf_index_built": idx_rel}}
+    log.commit(nxt, expect_version=cur.version)
+    return pointer
 
 
 def _collect_file_bounds(

@@ -332,12 +332,16 @@ def ann_lsh_topk(sf_dir: str):
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF ANN (distributed k-means coarse quantizer + probed-cluster
-    scan) — the inverted-file scale path.  nprobe=8 of 16 clusters is
+    """IVF ANN against a PERSISTED sidecar index (r5): the k-means
+    coarse quantizer + per-cluster posting files are built ONCE into a
+    manifest-backed index (fingerprint-keyed on the corpus files +
+    params) and every query probes nprobe clusters' files straight off
+    the index manifest — no per-query k-means, no corpus
+    materialization (BENCH/ivf_index.json: warm probe scans
+    ~nprobe/n_clusters of the index bytes).  nprobe=8 of 16 clusters is
     tuned for recall@10 = 1.0 on this corpus, making the EXACT
     brute-force top-k SQL a hashable oracle: a quantizer or probing
-    regression that loses a true neighbor breaks the hash, while the
-    scan still touches only the probed half of the clusters."""
+    regression that loses a true neighbor breaks the hash."""
     from arcane_stream_sqlserver_change_tracking_ray.functions.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
