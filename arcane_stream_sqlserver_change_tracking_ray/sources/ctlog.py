@@ -272,7 +272,12 @@ class ChangeFeedTailer:
             if total_rows > 0:
                 blocks = min(blocks, -(-total_rows // MIN_ROWS_PER_BLOCK))
             kwargs["override_num_blocks"] = max(len(paths), blocks)
-        ds = ray.data.read_parquet(
+        from arcane_stream_sqlserver_change_tracking_ray.pqio import read_parquet_auto
+
+        # small polls (a few fresh segments) skip read_parquet's fixed
+        # planning cost — the dominant per-cycle constant at toy scale;
+        # big polls stream through the standard scan unchanged
+        ds = read_parquet_auto(
             paths,
             columns=self.columns,
             filter=predicate,

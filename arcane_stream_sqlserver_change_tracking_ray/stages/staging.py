@@ -70,9 +70,17 @@ def stage_change_batch(
     name = f"{table_prefix}{cycle_id}-{uuid.uuid4().hex[:8]}"
     fs.makedirs(name)
     if fmt == "parquet":
+        from arcane_stream_sqlserver_change_tracking_ray.pqio import read_parquet_auto
+
         ds.write_parquet(fs.full(name), filesystem=fs.pafs,
                          max_rows_per_file=max_rows_per_file)
-        staged = ray.data.read_parquet(fs.full(name), filesystem=fs.pafs)
+        # re-read the exact files just written: small cycles skip
+        # read_parquet's fixed planning cost (see pqio)
+        staged_files = [
+            f"{fs.full(name)}/{f}" for f in sorted(fs.listdir(name))
+            if f.endswith(".parquet")
+        ]
+        staged = read_parquet_auto(staged_files, filesystem=fs.pafs)
     elif fmt == "orc":
         root = staging_root  # capture the string, workers rebuild the facade
 
