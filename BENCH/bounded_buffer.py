@@ -119,7 +119,7 @@ def run_mode(mode: str) -> dict:
 
     # cheap whole-table fingerprint for the oracle-identical claim
     tbl = read_target_table(target)
-    n = tbl.count()
+    n = tbl.num_rows
     import hashlib
 
     import pandas as pd
