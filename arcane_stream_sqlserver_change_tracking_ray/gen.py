@@ -73,6 +73,13 @@ class CtLogSpec:
     #: no longer carry it (the target must retain it, additive-only).
     add_column_at: int | None = None
     drop_column_at: int | None = None
+    #: repeated additive drift (E1 storm coverage): every ``drift_every``
+    #: versions a NEW string column ``extra{k:02d}`` (k = 1, 2, ...)
+    #: appears on all subsequent events — N cycles of drift means N
+    #: distinct additive schema migrations interacting with CAS commits
+    #: and the startup sweep (reference SchemaMigrationTests.scala adds
+    #: one column once; this generalizes it to a migration-per-cycle).
+    drift_every: int | None = None
 
 
 # --------------------------------------------------------------------------
@@ -192,6 +199,21 @@ def render_events(
             mask &= versions < spec.drop_column_at
         cols["title"] = pc.if_else(pa.array(mask), title, pa.scalar(None, pa.string()))
 
+    if spec.drift_every is not None and n:
+        key_str = pa.array(np.char.mod("%d", key_ids).astype(object), type=pa.string())
+        ver_str = pa.array(np.char.mod("v%d", versions).astype(object), type=pa.string())
+        for k in range(1, spec.n_events // spec.drift_every + 1):
+            at = k * spec.drift_every
+            if hi_v < at:
+                break  # ascending thresholds: later columns absent too
+            val = pc.binary_join_element_wise(
+                pa.array([f"e{k}"] * n, type=pa.string()), key_str, ver_str, "-"
+            )
+            mask = versions >= at
+            cols[f"extra{k:02d}"] = pc.if_else(
+                pa.array(mask), val, pa.scalar(None, pa.string())
+            )
+
     tbl = pa.table(cols)
     # delete events carry only the key + metadata (CT net-change semantics):
     # null out payload columns on 'D'
@@ -212,7 +234,12 @@ def _segments(spec: CtLogSpec) -> list[tuple[int, int]]:
     """(lo, hi] version ranges, respecting schema-evolution breakpoints so a
     single file never mixes schemas."""
     breaks = {0, spec.n_events}
-    for b in (spec.add_column_at, spec.drop_column_at):
+    drift_breaks = (
+        [k * spec.drift_every for k in range(1, spec.n_events // spec.drift_every + 1)]
+        if spec.drift_every is not None
+        else []
+    )
+    for b in (spec.add_column_at, spec.drop_column_at, *drift_breaks):
         if b is not None and 0 < b - 1 < spec.n_events:
             breaks.add(b - 1)
     bounds = sorted(breaks)

@@ -9,6 +9,7 @@ import pytest
 
 from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
 from arcane_stream_sqlserver_change_tracking_ray.gen import (
+    CtLogSpec,
     expected_final_state,
     small_spec,
     write_ctlog,
@@ -90,6 +91,104 @@ def test_add_column_mid_stream(tmp_lake):
     assert pre["title"].isna().all()
     assert post["title"].notna().all()
     assert len(pre) > 0 and len(post) > 0
+
+
+def test_schema_drift_every_cycle(tmp_lake):
+    """20 consecutive additive migrations in one stream: a new column
+    appears every cycle (drift_every == rows_per_group), so EVERY cycle
+    commit carries a schema migration.  The unified target must hold all
+    20 extras with NULLs exactly where a row's last event predates the
+    column (reference SchemaMigrationTests.scala does one add; the CRD's
+    isUnifiedSchema contract has to hold under repeated drift too)."""
+    ct, tgt, _ = tmp_lake
+    write_ctlog(ct, small_spec(n_events=2000, drift_every=100))
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+            "sink": {"target_root": tgt, "num_partitions": 4},
+            "throughput": {"rows_per_group": 100},
+        }
+    )
+    StreamRunner(ctx).run()
+    got = read_target_table(tgt)
+    extras = sorted(c for c in got.column_names if c.startswith("extra"))
+    assert extras == [f"extra{k:02d}" for k in range(1, 21)]
+    assert_tables_equal(got, expected_final_state(ct))
+
+
+def test_schema_drift_kill_storm(tmp_path):
+    """VERDICT r4 task 8: drift the schema every cycle for 20 cycles
+    UNDER the kill-storm harness — repeated additive evolution, the
+    conditional-PUT CAS commit (mock:// target) and the startup orphan
+    sweep all interacting.  Three SIGKILLs land at different schema
+    stages; the final clean run must converge byte-identical to the
+    DuckDB LWW oracle over the heterogeneous-schema log."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        get_watermark,
+    )
+
+    ct = str(tmp_path / "ct")
+    tgt = f"mock://{tmp_path}/tgt"
+    write_ctlog(
+        ct,
+        CtLogSpec(n_keys=400, n_events=4000, events_per_file=200, drift_every=200),
+    )
+    prepare_watermark(tgt, 0, num_partitions=4)
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        json.dumps(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["url"]},
+                "sink": {"target_root": tgt, "num_partitions": 4},
+                "throughput": {"rows_per_group": 200},
+                "maintenance": {"enabled": True, "batch_threshold": 6},
+            }
+        )
+    )
+    cmd = [
+        sys.executable, "-m", "arcane_stream_sqlserver_change_tracking_ray",
+        "stream", "--spec", str(spec),
+    ]
+    import os
+
+    env = dict(os.environ, RAY_ADDRESS="local")
+    kills = 0
+    # kill once the watermark crosses successive thresholds so each kill
+    # lands in a different schema era (5, 10, 15 migrations in)
+    for threshold in (1000, 2000, 3000):
+        if get_watermark(tgt) >= threshold:
+            continue  # a prior run already got past this era
+        p = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            try:
+                wm = get_watermark(tgt)
+            except Exception:
+                wm = 0
+            if wm >= threshold or p.poll() is not None:
+                break
+            time.sleep(0.05)
+        if p.poll() is None:
+            p.kill()
+            kills += 1
+        p.wait()
+    # final clean run: sweep orphans, finish the remaining migrations
+    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert get_watermark(tgt) == 4000
+    got = read_target_table(tgt)
+    extras = sorted(c for c in got.column_names if c.startswith("extra"))
+    assert extras == [f"extra{k:02d}" for k in range(1, 21)]
+    assert_tables_equal(got, expected_final_state(ct))
+    assert kills >= 1  # the storm actually stormed
 
 
 def test_drop_column_mid_stream_retained(tmp_lake):
