@@ -67,6 +67,7 @@ from entry.queries_cdc import (  # noqa: F401
     cdc_repartition,
     cdc_replica_sync,
     cdc_rollback,
+    cdc_schema_drift,
     cdc_schema_evolution,
     cdc_snapshot_export,
     cdc_stream_replay,
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (added r4, after that round's boundary) ---
         "cdc_pruned_read": cdc_pruned_read,
         "cdc_time_partition": cdc_time_partition,
+        # --- new r5: repeated additive migration (drift storm) ---
+        "cdc_schema_drift": cdc_schema_drift,
         # --- implementation reworked r5 (persisted IVF sidecar index) ---
         "ann_ivf_topk": ann_ivf_topk,
         # --- stalest banked rows: green r3, not sampled in r4 ---

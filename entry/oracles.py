@@ -704,6 +704,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM o) l, cut
             WHERE urn = 1 AND event_type <> 'error'
         """,
+        # repeated additive drift: column extra{k} exists only for feed
+        # positions past the k-th eighth; the LWW winner's own position
+        # decides which extras it carries
+        "cdc_schema_drift": """
+            WITH o AS (
+              SELECT *, row_number() OVER (ORDER BY event_id) AS rn,
+                     count(*) OVER () AS n
+              FROM events
+            ), p AS (
+              SELECT max((n + 7) // 8) AS chunk FROM o
+            )
+            SELECT user_id, event_id AS sys_change_version, ts, event_type,
+                   value, props,
+                   CASE WHEN rn > 1 * p.chunk THEN event_type || '#1' END AS extra01,
+                   CASE WHEN rn > 2 * p.chunk THEN event_type || '#2' END AS extra02,
+                   CASE WHEN rn > 3 * p.chunk THEN event_type || '#3' END AS extra03,
+                   CASE WHEN rn > 4 * p.chunk THEN event_type || '#4' END AS extra04,
+                   CASE WHEN rn > 5 * p.chunk THEN event_type || '#5' END AS extra05,
+                   CASE WHEN rn > 6 * p.chunk THEN event_type || '#6' END AS extra06,
+                   CASE WHEN rn > 7 * p.chunk THEN event_type || '#7' END AS extra07
+            FROM (SELECT o.*, row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY event_id DESC) urn
+                  FROM o) l, p
+            WHERE urn = 1 AND event_type <> 'error'
+        """,
         "changefeed_window": """
             SELECT user_id, event_type, value, event_id AS sys_change_version
             FROM events

@@ -1089,6 +1089,73 @@ def cdc_schema_evolution(sf_dir: str):
     )
 
 
+def cdc_schema_drift(sf_dir: str):
+    """Hash-checked REPEATED additive migration (drift storm): the feed
+    is cut into 8 segments and every segment after the first carries ONE
+    MORE column (``extra01``..``extra07``), so the engine performs seven
+    successive unify-and-widen migrations inside a single replay — the
+    per-cycle-drift generalization of ``cdc_schema_evolution`` (reference
+    SchemaMigrationTests.scala adds one column once).  The oracle
+    reproduces the widened LWW state with a CASE per column on the
+    winner's feed position; a hash match proves each migration preserved
+    every prior row and stamped nulls exactly where that column did not
+    yet exist."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+        read_target_table,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    feed = _events_feed(sf_dir)
+    n = feed.num_rows
+    chunk = max(math.ceil(n / 8), 1)
+    root = tempfile.mkdtemp(prefix="cdc_schema_drift_")
+    try:
+        ct, tgt = f"{root}/ctlog", f"{root}/target"
+        os.makedirs(ct, exist_ok=True)
+        prev_hi = 0
+        for i, off in enumerate(range(0, n, chunk)):
+            sl = feed.slice(off, chunk)
+            for k in range(1, min(i, 7) + 1):
+                sl = sl.append_column(
+                    f"extra{k:02d}",
+                    pc.binary_join_element_wise(
+                        sl["event_type"], pa.scalar(str(k)), "#"
+                    ),
+                )
+            hi = int(pc.max(sl[VERSION_COL]).as_py())
+            pq.write_table(sl, segment_path(ct, prev_hi, hi))
+            prev_hi = hi
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["user_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        out = read_target_table(tgt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    for k in range(1, 8):  # tiny feeds may never reach the later eighths
+        name = f"extra{k:02d}"
+        if name not in out.column_names:
+            out = out.append_column(name, pa.nulls(out.num_rows, pa.string()))
+    return out.select(
+        ["user_id", VERSION_COL, "ts", "event_type", "value", "props"]
+        + [f"extra{k:02d}" for k in range(1, 8)]
+    )
+
+
 def cdc_time_travel(sf_dir: str):
     """Hash-checked SNAPSHOT ISOLATION: replay the events feed through
     the full engine in 8 single-segment cycles, then read the table AS
