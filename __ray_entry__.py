@@ -57,6 +57,7 @@ from entry.queries_cdc import (  # noqa: F401
     cdc_filtered_read,
     cdc_history,
     cdc_incremental_matview,
+    cdc_ingest_dedup,
     cdc_lww_rank1,
     cdc_lww_upsert,
     cdc_maintenance_fold,
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_partition": cdc_time_partition,
         # --- new r5: repeated additive migration (drift storm) ---
         "cdc_schema_drift": cdc_schema_drift,
+        "cdc_ingest_dedup": cdc_ingest_dedup,
         # --- implementation reworked r5 (persisted IVF sidecar index) ---
         "ann_ivf_topk": ann_ivf_topk,
         # --- stalest banked rows: green r3, not sampled in r4 ---

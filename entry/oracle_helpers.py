@@ -249,3 +249,107 @@ def _lsh_bucket_cte(d: int, planes: int) -> str:
               SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
               FROM bits GROUP BY vec_id
             )"""
+
+
+def _ingest_dedup_sql(n_cycles: int = 6) -> str:
+    """Full DuckDB recompute of ``cdc_ingest_dedup``: both detector
+    chains in HUGEINT arithmetic against strictly-earlier cycles.
+
+    Shares only the seeded perm CONSTANTS with the engine (split into
+    32-bit halves so every multiply stays inside HUGEINT — the same
+    split-product trick as the simhash finalizer); the whole-text poly
+    hash, the shingle chain (word hash, Horner 3-combine, splitmix
+    finalizer) and the min-perm band combine are recomputed
+    independently.  cycle = 1-based segment rank by row_number over
+    doc_id order, chunk = ceil(n / n_cycles) — exactly
+    ``_write_events_segments``'s cuts."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        perm_constants,
+    )
+
+    a, b = perm_constants()
+    M = "18446744073709551616::HUGEINT"
+    perm_vals = ",".join(
+        f"({i},{int(a[i]) & 0xFFFFFFFF},{int(a[i]) >> 32},{int(b[i])})"
+        for i in range(N_BANDS * ROWS_PER_BAND)
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM documents
+        ), p AS (
+          SELECT max((n + {n_cycles} - 1) // {n_cycles}) AS chunk FROM base
+        ), cyc AS (
+          SELECT doc_id, text, ((rn - 1) // p.chunk) + 1 AS cycle
+          FROM base, p
+        ), th AS (
+          SELECT doc_id, cycle,
+                 CASE WHEN length(text) = 0 THEN 0::HUGEINT
+                      ELSE list_reduce(
+                             list_transform(range(1, length(text) + 1),
+                               i -> unicode(substr(text, i, 1))::HUGEINT),
+                             (a, x) -> (a * 1000003 + x) % {M}) END AS hv
+          FROM cyc
+        ), exact AS (
+          SELECT doc_id, cycle,
+                 min(cycle) OVER (PARTITION BY hv) < cycle AS exact_dup
+          FROM th
+        ), w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws FROM cyc
+        ), wh AS (
+          SELECT doc_id, len(ws) AS n,
+                 list_transform(ws, w -> CASE WHEN length(w) = 0 THEN 0::HUGEINT
+                   ELSE list_reduce(
+                          list_transform(range(1, length(w) + 1),
+                                         i -> unicode(substr(w, i, 1))::HUGEINT),
+                          (a, x) -> (a * 1000003 + x) % {M}) END) AS hs
+          FROM w
+        ), raw AS (
+          SELECT doc_id, list_transform(range(1, n - 1),
+                   i -> ((((hs[i] * 1000003 + hs[i+1]) % {M}) * 1000003
+                          + hs[i+2]) % {M})) AS sg
+          FROM wh WHERE n >= 3
+        ), f1 AS (
+          SELECT doc_id, list_transform(sg, s -> xor(s, s // 536870912)) AS sg
+          FROM raw
+        ), f2 AS (
+          SELECT doc_id, list_transform(sg, s ->
+                   ((s * 484763065)
+                    + ((((s % 4294967296) * 3210233709) % 4294967296)
+                       * 4294967296)) % {M}) AS sg
+          FROM f1
+        ), f3 AS (
+          SELECT doc_id, list_transform(sg, s -> xor(s, s // 4294967296)) AS sg
+          FROM f2
+        ), sh AS (
+          SELECT doc_id, unnest(sg) AS s FROM f3
+        ), perm(i, alo, ahi, pb) AS (VALUES {perm_vals}),
+        mins AS (
+          SELECT doc_id, i,
+                 min((s * alo
+                      + (((s % 4294967296) * ahi) % 4294967296) * 4294967296
+                      + pb) % {M}) AS m
+          FROM sh CROSS JOIN perm GROUP BY doc_id, i
+        ), bands AS (
+          SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+                 (list_reduce(list(m ORDER BY i),
+                              (acc, x) -> (acc * 1000003 + x) % {M})
+                  + i // {ROWS_PER_BAND}) % {M} AS bkey
+          FROM mins GROUP BY doc_id, i // {ROWS_PER_BAND}
+        ), bmin AS (
+          SELECT bkey, min(cycle) AS c0
+          FROM bands JOIN cyc USING (doc_id) GROUP BY bkey
+        ), near AS (
+          SELECT b.doc_id, bool_or(bmin.c0 < c.cycle) AS near_candidate
+          FROM bands b JOIN cyc c USING (doc_id)
+               JOIN bmin USING (bkey)
+          GROUP BY b.doc_id
+        )
+        SELECT e.doc_id, e.cycle, e.exact_dup,
+               coalesce(n.near_candidate, false) AS near_candidate
+        FROM exact e LEFT JOIN near n USING (doc_id)
+        ORDER BY e.doc_id
+    """

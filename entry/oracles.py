@@ -44,6 +44,7 @@ from arcane_stream_sqlserver_change_tracking_ray.types import (
 
 from .oracle_helpers import (  # noqa: F401
     _NGRAM_JACCARD_SQL,
+    _ingest_dedup_sql,
     _lang_id_sql,
     _lsh_bucket_cte,
     _pii_sql,
@@ -645,6 +646,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # incremental view maintenance: the maintained matview must
         # equal a straight group-by over the cycle-6 LWW alive set
+        # ingest-time streaming dedup: both detector chains recomputed in
+        # HUGEINT, strictly-earlier-cycle semantics (see _ingest_dedup_sql)
+        "cdc_ingest_dedup": _ingest_dedup_sql(6),
         "cdc_incremental_matview": """
             WITH o AS (
               SELECT *, row_number() OVER (ORDER BY event_id) AS rn,

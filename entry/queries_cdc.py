@@ -1475,6 +1475,75 @@ def cdc_incremental_matview(sf_dir: str):
     return folded.rename_columns(["event_type", "n", "value_u"])
 
 
+def cdc_ingest_dedup(sf_dir: str):
+    """Hash-checked INGEST-TIME STREAMING DEDUP: the documents table
+    replays as a CT feed (one segment per cycle, 6 cycles) through the
+    full engine, and an :class:`IngestDedupIndex` sidecar folds each
+    committed cycle exactly-once — flagging every incoming doc as
+    ``exact_dup`` (whole-text poly hash seen in a STRICTLY EARLIER
+    cycle) and/or ``near_candidate`` (MinHash-LSH band key seen in an
+    earlier cycle) against the persisted posting index, then appending
+    the cycle's own postings.  At 100 TB this is how you dedup Common
+    Crawl: at ingest, each cycle's work bounded by the cycle, never a
+    corpus-wide post-pass.  The oracle recomputes both detectors in
+    DuckDB HUGEINT arithmetic (the perm constants are shared literals,
+    the arithmetic is recomputed) with cycle = segment cut by
+    row_number — a hash match proves the engine's change feed, the
+    per-cycle index commits, and both signature chains are all exactly
+    right."""
+    import pyarrow.parquet as pq
+
+    from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+    from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+        IngestDedupIndex,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import (
+        StreamRunner,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+        prepare_watermark,
+    )
+
+    docs = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .replace_schema_metadata(None)
+        .sort_by([("doc_id", "ascending")])
+    )
+    n = docs.num_rows
+    feed = docs.append_column(
+        VERSION_COL, pa.array(np.arange(1, n + 1), pa.int64())
+    ).append_column(OP_COL, pa.array(["U"] * n, pa.string()))
+    root = tempfile.mkdtemp(prefix="cdc_ingest_dedup_")
+    try:
+        ct, tgt, idx_root = f"{root}/ctlog", f"{root}/target", f"{root}/dedup_index"
+        chunk = _write_events_segments(feed, ct, n_segments=6)
+        prepare_watermark(tgt, version=0, num_partitions=8)
+        ctx = StreamContext.from_dict(
+            {
+                "source": {"ctlog_dir": ct, "key_columns": ["doc_id"]},
+                "sink": {"target_root": tgt, "num_partitions": 8},
+                "throughput": {"rows_per_group": chunk},
+            }
+        )
+        StreamRunner(ctx).run()
+        index = IngestDedupIndex(idx_root, num_partitions=4)
+        index.advance(tgt)
+        out = index.flags()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    # flags stamp the upstream MANIFEST version as the cycle; densify to
+    # the 1-based segment rank the oracle computes from row cuts
+    # (maintenance commits inside the replay shift raw versions but
+    # produce no flag rows, so rank order is exactly segment order)
+    cyc = out["cycle"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(cyc)
+    dense = np.searchsorted(uniq, cyc) + 1
+    out = out.set_column(
+        out.schema.get_field_index("cycle"), "cycle", pa.array(dense, pa.int64())
+    )
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def cdc_cycle_metrics(sf_dir: str):
     """Per-cycle observability (F4) under the value-hash gate: replay
     the events feed in 8 single-segment cycles with the adaptive

@@ -1,0 +1,187 @@
+"""Ingest-time streaming dedup: signature chains, the sidecar's
+exactly-once per-cycle fold, resume, and orphan tolerance."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
+from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+    IngestDedupIndex,
+    band_keys,
+    doc_postings,
+    text_hashes,
+)
+from arcane_stream_sqlserver_change_tracking_ray.gen import segment_path
+from arcane_stream_sqlserver_change_tracking_ray.types import OP_COL, VERSION_COL
+from arcane_stream_sqlserver_change_tracking_ray.pipelines.runner import StreamRunner
+from arcane_stream_sqlserver_change_tracking_ray.state.manifest import (
+    ManifestLog,
+    prepare_watermark,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog today",   # 1 (cycle 1)
+    "an entirely different document about arrow batches",  # 2 (cycle 1)
+    "the quick brown fox jumps over the lazy dog today",   # 3 exact dup of 1
+    "the quick brown fox jumps over the lazy cat today",   # 4 near dup of 1
+    "short",                                               # 5 (no shingles)
+    "yet another unrelated body of text for the index",    # 6
+]
+
+
+def _replay_docs(root: str, texts, n_segments: int) -> str:
+    """texts -> CT feed (doc_id = version = 1..n) -> engine replay with
+    one segment per cycle; returns target root."""
+    import math
+
+    ct, tgt = f"{root}/ctlog", f"{root}/target"
+    os.makedirs(ct, exist_ok=True)
+    n = len(texts)
+    feed = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            VERSION_COL: pa.array(range(1, n + 1), pa.int64()),
+            OP_COL: pa.array(["U"] * n, pa.string()),
+        }
+    )
+    chunk = max(math.ceil(n / n_segments), 1)
+    prev = 0
+    for off in range(0, n, chunk):
+        sl = feed.slice(off, chunk)
+        hi = int(sl[VERSION_COL][-1].as_py())
+        pq.write_table(sl, segment_path(ct, prev, hi))
+        prev = hi
+    prepare_watermark(tgt, version=0, num_partitions=4)
+    ctx = StreamContext.from_dict(
+        {
+            "source": {"ctlog_dir": ct, "key_columns": ["doc_id"]},
+            "sink": {"target_root": tgt, "num_partitions": 4},
+            "throughput": {"rows_per_group": chunk},
+        }
+    )
+    StreamRunner(ctx).run()
+    return tgt
+
+
+def _flags_df(index: IngestDedupIndex):
+    return (
+        index.flags()
+        .sort_by([("doc_id", "ascending")])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_signature_chains_deterministic():
+    texts = pa.array(TEXTS)
+    th1, th2 = text_hashes(texts), text_hashes(texts)
+    assert (th1 == th2).all()
+    bk1, di1 = band_keys(texts)
+    bk2, di2 = band_keys(texts)
+    assert (bk1 == bk2).all() and (di1 == di2).all()
+    # exact-dup pair shares the text hash; near pair does not
+    assert th1[0] == th1[2] and th1[0] != th1[3]
+    # 'short' has no 3-shingles -> emits no band keys
+    assert 4 not in set(di1.tolist())
+    # near-dup pair shares at least one band key
+    k1 = set(bk1[di1 == 0].tolist())
+    k4 = set(bk1[di1 == 3].tolist())
+    assert k1 & k4
+
+
+def test_doc_postings_shape():
+    batch = pa.table(
+        {"doc_id": pa.array([10, 11], pa.int64()),
+         "text": pa.array([TEXTS[0], "short"], pa.string())}
+    )
+    post = doc_postings(batch, "doc_id", "text", 4)
+    # one TEXT row per doc + 4 band rows for the long doc only
+    kinds = post["kind"].to_pylist()
+    assert kinds.count(0) == 2 and kinds.count(1) == 4
+    assert set(post["pid"].to_pylist()) <= {0, 1, 2, 3}
+
+
+def test_ingest_dedup_flags_earlier_cycles_only(tmp_path):
+    tgt = _replay_docs(str(tmp_path), TEXTS, n_segments=3)  # 2 docs/cycle
+    idx = IngestDedupIndex(str(tmp_path / "idx"), num_partitions=4)
+    assert idx.advance(tgt) >= 3
+    df = _flags_df(idx)
+    assert len(df) == len(TEXTS)
+    # doc 3 (cycle 2) exactly duplicates doc 1 (cycle 1)
+    assert bool(df.loc[df.doc_id == 3, "exact_dup"].iloc[0])
+    assert bool(df.loc[df.doc_id == 3, "near_candidate"].iloc[0])
+    # doc 4 (cycle 2) is a near (not exact) dup of doc 1
+    assert not bool(df.loc[df.doc_id == 4, "exact_dup"].iloc[0])
+    assert bool(df.loc[df.doc_id == 4, "near_candidate"].iloc[0])
+    # cycle-1 docs precede everything -> never flagged
+    assert not df.loc[df.doc_id.isin([1, 2]), ["exact_dup", "near_candidate"]].any().any()
+    # shingle-free doc: no near flag
+    assert not bool(df.loc[df.doc_id == 5, "near_candidate"].iloc[0])
+    # idempotent: nothing pending, flags unchanged
+    assert idx.advance(tgt) == 0
+    assert _flags_df(idx).equals(df)
+
+
+def test_ingest_dedup_incremental_equals_full(tmp_path):
+    # full fold at the end
+    tgt_a = _replay_docs(str(tmp_path / "a"), TEXTS, n_segments=3)
+    idx_a = IngestDedupIndex(str(tmp_path / "a_idx"), num_partitions=4)
+    idx_a.advance(tgt_a)
+
+    # fold after every upstream commit (a fresh IngestDedupIndex object
+    # each time: resume is manifest state, not process state)
+    tgt_b = _replay_docs(str(tmp_path / "b"), TEXTS, n_segments=3)
+    idx_root_b = str(tmp_path / "b_idx")
+    up = ManifestLog(tgt_b)
+    for _v in up.versions():
+        IngestDedupIndex(idx_root_b, num_partitions=4).advance(tgt_b)
+    df_a = _flags_df(idx_a)
+    df_b = _flags_df(IngestDedupIndex(idx_root_b, num_partitions=4))
+    assert df_a[["doc_id", "exact_dup", "near_candidate"]].equals(
+        df_b[["doc_id", "exact_dup", "near_candidate"]]
+    )
+
+
+def test_ingest_dedup_ignores_orphans(tmp_path):
+    """A crashed attempt leaves posting/flag files the manifest never
+    referenced; a re-advance must neither read nor double-count them."""
+    tgt = _replay_docs(str(tmp_path), TEXTS, n_segments=3)
+    idx_root = str(tmp_path / "idx")
+    idx = IngestDedupIndex(idx_root, num_partitions=4)
+
+    # fold only the first upstream cycle, then plant orphans simulating
+    # a SIGKILL mid-second-cycle (files written, manifest not committed)
+    up = ManifestLog(tgt)
+    v1 = [v for v in up.versions() if v > 0][0]  # first real cycle
+    idx.create()
+    idx._advance_one(tgt, 0, v1, up.read(v1).watermark)
+    junk = pa.table(
+        {"k": pa.array([999], pa.int64()),
+         "kind": pa.array([0], pa.int8()),
+         "hk": pa.array([123456789], pa.uint64())}
+    )
+    os.makedirs(f"{idx_root}/postings/p0000", exist_ok=True)
+    pq.write_table(junk, f"{idx_root}/postings/p0000/v99-deadbeef.parquet")
+    flag_junk = pa.table(
+        {"doc_id": pa.array([999], pa.int64()),
+         "cycle": pa.array([99], pa.int64()),
+         "exact_dup": pa.array([True]),
+         "near_candidate": pa.array([True])}
+    )
+    os.makedirs(f"{idx_root}/flags", exist_ok=True)
+    pq.write_table(flag_junk, f"{idx_root}/flags/v99-deadbeef.parquet")
+
+    assert idx.advance(tgt) >= 2  # folds the rest
+    df = _flags_df(idx)
+    assert 999 not in set(df.doc_id)
+    assert len(df) == len(TEXTS)
+    # verdicts identical to a clean full fold
+    tgt2 = _replay_docs(str(tmp_path / "clean"), TEXTS, n_segments=3)
+    idx2 = IngestDedupIndex(str(tmp_path / "clean_idx"), num_partitions=4)
+    idx2.advance(tgt2)
+    assert df[["doc_id", "exact_dup", "near_candidate"]].equals(
+        _flags_df(idx2)[["doc_id", "exact_dup", "near_candidate"]]
+    )
