@@ -36,11 +36,17 @@ flags for cycle N depend only on the index state committed for cycles
 Scale shape per cycle: signatures are computed ``map_batches`` over the
 upstream change feed (vectorized, zero per-row Python); incoming
 postings are WRITTEN per partition by the same tasks (no driver data
-hop); probing is one Ray task per touched partition (reads only that
-pid's committed posting files + the cycle's incoming files, ``np.isin``)
-returning ONLY the hit keys — driver state is bounded by the duplicate
-rate, exactly like ``dedup_minhash``'s candidate-pair table; flags are
-then written distributed with the hit-key sets broadcast via
+hop); probing is per touched partition with TWO modes — the default
+RESIDENT mode probes a per-pid :class:`PidOwner` actor that keeps the
+committed hk sets sorted in memory across cycles (probe cost
+O(incoming·log index), zero index re-reads; restart-safe because memory
+is incrementally synced to exactly the committed posting list), and the
+stateless mode re-reads committed posting files with bloom-sidecar
+pruning (right for sparse/one-shot probes; a BULK cycle's key set hits
+every file with probability ~1, which is why resident is the default).
+Either way only the HIT keys return to the driver — bounded by the
+duplicate rate, exactly like ``dedup_minhash``'s candidate-pair table;
+flags are then written distributed with the hit-key sets broadcast via
 ``ray.put``.  Reference analog: the reference dedups nothing — this is
 part of the beyond-reference training-data suite, fused with the S1/M1
 cycle commit protocol (reference stream lifecycle: ``main.scala:69-117``).
@@ -49,6 +55,7 @@ cycle commit protocol (reference stream lifecycle: ``main.scala:69-117``).
 from __future__ import annotations
 
 import uuid
+from typing import Any
 
 import numpy as np
 import pyarrow as pa
@@ -167,24 +174,91 @@ def doc_postings(
     )
 
 
+#: posting-file bloom sidecars: hk values are already uniform uint64, so
+#: the filter hashes are derived directly (h1 = hk, h2 = (hk>>33)|1 —
+#: the same double-hashing scheme as merge.py's merge-key blooms) with
+#: one bitset per posting kind.  They serve the STATELESS probe path: a
+#: file is read only when some incoming key might be inside — effective
+#: for sparse/point probes (cold resumes, trickle cycles); a bulk
+#: cycle's key set hits every file with probability ~1, which is what
+#: the resident PidOwner path is for (see its docstring).
+_BLOOM_SUFFIX = ".bloom.npz"
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 4
+
+
+def _bloom_m_bits(n_keys: int) -> int:
+    m = 64
+    while m < n_keys * _BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(hk: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    h2 = (hk >> _U64(33)) | _U64(1)
+    idx = np.empty((_BLOOM_HASHES, len(hk)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(_BLOOM_HASHES):
+            idx[i] = (hk + _U64(i) * h2) % _U64(m)
+    return idx >> _U64(6), idx & _U64(63)
+
+
+def build_hk_bloom(hk: np.ndarray) -> np.ndarray:
+    m = _bloom_m_bits(max(len(hk), 1))
+    words, bits = _bloom_positions(hk, m)
+    out = np.zeros(m >> 6, dtype=np.uint64)
+    np.bitwise_or.at(out, words.ravel(), _U64(1) << bits.ravel())
+    return out
+
+
+def hk_bloom_may_contain(bitset: np.ndarray, hk: np.ndarray) -> np.ndarray:
+    m = len(bitset) << 6
+    words, bits = _bloom_positions(hk, m)
+    hit = np.ones(words.shape[1], dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        hit &= (bitset[words[i]] >> bits[i]) & _U64(1) != 0
+    return hit
+
+
 def _probe_pid(
     index_root: str, committed_rels: list[str], incoming_rels: list[str]
 ) -> pa.Table:
     """One partition's probe: which incoming (k, kind, hk) rows collide
     with the committed index?  Returns ONLY the hits (duplicate-rate
-    bounded), never the postings themselves.  (lakefs is a MODULE-level
-    import: this function ships to workers as a raw ``ray.remote``, and
-    a body-level package import breaks under foreign-cwd workers.)"""
+    bounded), never the postings themselves; committed files whose bloom
+    sidecar rules out every incoming key are never read (files without a
+    sidecar are always read).  (lakefs is a
+    MODULE-level import: this function ships to workers as a raw
+    ``ray.remote``, and a body-level package import breaks under
+    foreign-cwd workers.)"""
     fs = lakefs(index_root)
     inc = pa.concat_tables([fs.read_table(r) for r in incoming_rels])
     if inc.num_rows == 0 or not committed_rels:
         return inc.select(["k", "kind"]).slice(0, 0)
-    idx = pa.concat_tables(
-        [fs.read_table(r, columns=["kind", "hk"]) for r in committed_rels]
-    )
-    hits_mask = np.zeros(inc.num_rows, bool)
     inc_kind = inc["kind"].to_numpy(zero_copy_only=False)
     inc_hk = inc["hk"].to_numpy(zero_copy_only=False)
+    by_kind = {
+        kind: inc_hk[inc_kind == kind]
+        for kind in (TEXT_KIND, BAND_KIND)
+        if (inc_kind == kind).any()
+    }
+    survivors = []
+    for rel in committed_rels:
+        z = fs.read_npz(rel + _BLOOM_SUFFIX)
+        if z is not None and all(
+            f"kind{kind}" in z for kind in by_kind
+        ) and not any(
+            hk_bloom_may_contain(z[f"kind{kind}"], hks).any()
+            for kind, hks in by_kind.items()
+        ):
+            continue  # sidecar rules out every incoming key
+        survivors.append(rel)
+    if not survivors:
+        return inc.select(["k", "kind"]).slice(0, 0)
+    idx = pa.concat_tables(
+        [fs.read_table(r, columns=["kind", "hk"]) for r in survivors]
+    )
+    hits_mask = np.zeros(inc.num_rows, bool)
     idx_kind = idx["kind"].to_numpy(zero_copy_only=False)
     idx_hk = idx["hk"].to_numpy(zero_copy_only=False)
     for kind in (TEXT_KIND, BAND_KIND):
@@ -232,7 +306,15 @@ class SigStage:
             s = int(starts[i])
             e = int(starts[i + 1]) if i + 1 < len(starts) else len(pid)
             rel = f"postings/p{p:04d}/v{self.version}-{uuid.uuid4().hex}.parquet"
-            self.fs.write_table(post.slice(s, e - s).drop_columns(["pid"]), rel)
+            sl = post.slice(s, e - s).drop_columns(["pid"])
+            self.fs.write_table(sl, rel)
+            sl_kind = sl["kind"].to_numpy(zero_copy_only=False)
+            sl_hk = sl["hk"].to_numpy(zero_copy_only=False)
+            self.fs.write_npz(rel + _BLOOM_SUFFIX, **{
+                f"kind{kind}": build_hk_bloom(sl_hk[sl_kind == kind])
+                for kind in (TEXT_KIND, BAND_KIND)
+                if (sl_kind == kind).any()
+            })
             out_pid.append(p)
             out_rel.append(rel)
             out_rows.append(e - s)
@@ -243,6 +325,64 @@ class SigStage:
         })
 
 
+class PidOwner:
+    """RESIDENT owner of one index partition (the scale path for bulk
+    cycles): caches the committed hk sets in memory as sorted arrays and
+    incrementally syncs to whatever committed posting list each probe
+    passes in — memory is a pure function of the COMMITTED manifest
+    state, so a crashed/restarted owner simply cold-loads and every
+    answer stays exactly-once-consistent.  Probe cost per cycle is then
+    O(incoming · log index) with ZERO index re-reads (the stateless
+    ``_probe_pid`` task re-reads surviving posting files every cycle —
+    bloom sidecars prune that path only when the incoming key set is
+    sparse; a bulk cycle touches every file with probability ~1, which
+    is why resident owners are the default).  Same pattern as the
+    merge engine's partition owner actors (``merge.py:1247``)."""
+
+    def __init__(self, index_root: str):
+        self.fs = lakefs(index_root)
+        self.loaded: set[str] = set()
+        self.hk = {TEXT_KIND: np.empty(0, np.uint64),
+                   BAND_KIND: np.empty(0, np.uint64)}
+
+    def _sync(self, committed_rels: list[str]) -> None:
+        committed = set(committed_rels)
+        if self.loaded - committed:
+            # a rel vanished (future compaction): rebuild from scratch
+            self.loaded = set()
+            self.hk = {TEXT_KIND: np.empty(0, np.uint64),
+                       BAND_KIND: np.empty(0, np.uint64)}
+        new = [r for r in committed_rels if r not in self.loaded]
+        for r in new:
+            t = self.fs.read_table(r, columns=["kind", "hk"])
+            k = t["kind"].to_numpy(zero_copy_only=False)
+            h = t["hk"].to_numpy(zero_copy_only=False)
+            for kind in (TEXT_KIND, BAND_KIND):
+                add = h[k == kind]
+                if len(add):
+                    self.hk[kind] = np.sort(
+                        np.concatenate([self.hk[kind], add])
+                    )
+            self.loaded.add(r)
+
+    def probe(self, committed_rels: list[str],
+              incoming_rels: list[str]) -> pa.Table:
+        self._sync(committed_rels)
+        inc = pa.concat_tables([self.fs.read_table(r) for r in incoming_rels])
+        if inc.num_rows == 0:
+            return inc.select(["k", "kind"]).slice(0, 0)
+        ik = inc["kind"].to_numpy(zero_copy_only=False)
+        ih = inc["hk"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(inc.num_rows, bool)
+        for kind in (TEXT_KIND, BAND_KIND):
+            m = ik == kind
+            arr = self.hk[kind]
+            if m.any() and len(arr):
+                pos = np.clip(np.searchsorted(arr, ih[m]), 0, len(arr) - 1)
+                mask[m] = arr[pos] == ih[m]
+        return inc.filter(pa.array(mask)).select(["k", "kind"])
+
+
 class IngestDedupIndex:
     """The persisted dedup-index sidecar (see module docstring).
 
@@ -250,16 +390,33 @@ class IngestDedupIndex:
     the index's own watermark, one manifest commit per cycle — crash
     anywhere and the next ``advance`` redoes exactly the unfinished
     cycle (orphaned posting/flag files from the dead attempt are ignored
-    by the manifest, same protocol as the engine's staging sweep)."""
+    by the manifest, same protocol as the engine's staging sweep).
+
+    ``resident=True`` (default) probes through per-pid :class:`PidOwner`
+    actors that keep the committed hk sets in memory across cycles;
+    ``resident=False`` uses stateless bloom-pruned probe tasks (right
+    for one-shot/trickle probes where holding actors is not worth it)."""
 
     def __init__(self, root: str, num_partitions: int = 4,
                  key_col: str = "doc_id", text_col: str = "text",
                  n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND,
-                 seed: int = PERM_SEED):
+                 seed: int = PERM_SEED, resident: bool = True):
         self.root = root
         self.num_partitions = num_partitions
         self.key_col, self.text_col = key_col, text_col
         self.n_bands, self.rows_per_band, self.seed = n_bands, rows_per_band, seed
+        self.resident = resident
+        self._owners: dict[int, Any] = {}
+
+    def _owner(self, pid: int):
+        import ray
+
+        if pid not in self._owners:
+            global _OWNER_CLS
+            if _OWNER_CLS is None:
+                _OWNER_CLS = ray.remote(PidOwner)
+            self._owners[pid] = _OWNER_CLS.remote(self.root)
+        return self._owners[pid]
 
     # ------------------------------------------------------------ state
     def _log(self):
@@ -335,13 +492,19 @@ class IngestDedupIndex:
             by_pid.setdefault(int(r["pid"]), []).append(r["rel"])
 
         # probe each touched partition against the COMMITTED postings
-        global _PROBE_TASK
-        if _PROBE_TASK is None:
-            _PROBE_TASK = ray.remote(_probe_pid)
-        refs = [
-            _PROBE_TASK.remote(self.root, cur.partitions.get(p, []), rels)
-            for p, rels in sorted(by_pid.items())
-        ]
+        if self.resident:
+            refs = [
+                self._owner(p).probe.remote(cur.partitions.get(p, []), rels)
+                for p, rels in sorted(by_pid.items())
+            ]
+        else:
+            global _PROBE_TASK
+            if _PROBE_TASK is None:
+                _PROBE_TASK = ray.remote(_probe_pid)
+            refs = [
+                _PROBE_TASK.remote(self.root, cur.partitions.get(p, []), rels)
+                for p, rels in sorted(by_pid.items())
+            ]
         if refs:
             got = ray.get(refs)
             hits = pa.concat_tables(got) if got else None
@@ -421,3 +584,4 @@ class IngestDedupIndex:
 
 
 _PROBE_TASK = None
+_OWNER_CLS = None

@@ -185,3 +185,72 @@ def test_ingest_dedup_ignores_orphans(tmp_path):
     assert df[["doc_id", "exact_dup", "near_candidate"]].equals(
         _flags_df(idx2)[["doc_id", "exact_dup", "near_candidate"]]
     )
+
+
+def test_hk_bloom_properties():
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+        build_hk_bloom,
+        hk_bloom_may_contain,
+    )
+
+    rng = np.random.default_rng(11)
+    inside = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    outside = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    outside = outside[~np.isin(outside, inside)]
+    bs = build_hk_bloom(inside)
+    # no false negatives
+    assert hk_bloom_may_contain(bs, inside).all()
+    # false-positive rate near the design point ((1/2)^4 ≈ 6%)
+    fpr = hk_bloom_may_contain(bs, outside).mean()
+    assert fpr < 0.15
+
+
+def test_probe_prunes_disjoint_files(tmp_path):
+    """A committed posting file with a sidecar and no shared keys is
+    never read: flags identical, and deleting the parquet (keeping the
+    sidecar) doesn't break the probe."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+        _probe_pid,
+        build_hk_bloom,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+
+    root = str(tmp_path)
+    fs = lakefs(root)
+    committed = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "kind": pa.array([0, 1], pa.int8()),
+         "hk": pa.array(np.array([111, 222], np.uint64), pa.uint64())}
+    )
+    fs.write_table(committed, "postings/p0000/v1-aaaa.parquet")
+    hks = committed["hk"].to_numpy(zero_copy_only=False)
+    kinds = committed["kind"].to_numpy(zero_copy_only=False)
+    fs.write_npz("postings/p0000/v1-aaaa.parquet.bloom.npz", **{
+        f"kind{kd}": build_hk_bloom(hks[kinds == kd]) for kd in (0, 1)
+    })
+    incoming = pa.table(
+        {"k": pa.array([9], pa.int64()),
+         "kind": pa.array([0], pa.int8()),
+         "hk": pa.array(np.array([999999], np.uint64), pa.uint64())}
+    )
+    fs.write_table(incoming, "postings/p0000/v2-bbbb.parquet")
+    # delete the committed parquet: if the bloom prunes it (it must —
+    # disjoint keys), the probe never notices
+    os.remove(f"{root}/postings/p0000/v1-aaaa.parquet")
+    hits = _probe_pid(root, ["postings/p0000/v1-aaaa.parquet"],
+                      ["postings/p0000/v2-bbbb.parquet"])
+    assert hits.num_rows == 0
+
+
+def test_resident_and_stateless_probes_agree(tmp_path):
+    tgt = _replay_docs(str(tmp_path), TEXTS, n_segments=3)
+    a = IngestDedupIndex(str(tmp_path / "ra"), num_partitions=4, resident=True)
+    a.advance(tgt)
+    b = IngestDedupIndex(str(tmp_path / "rb"), num_partitions=4, resident=False)
+    b.advance(tgt)
+    cols = ["doc_id", "exact_dup", "near_candidate"]
+    assert _flags_df(a)[cols].equals(_flags_df(b)[cols])
