@@ -469,9 +469,13 @@ class IngestDedupIndex:
         from ..pipelines.runner import read_change_feed
 
         cur = self._log().latest()
+        # one cycle's net changes — bounded by the cycle (the engine's
+        # own poll buffer bound), pinned once and reused by BOTH passes
+        # (postings, then flags) instead of resolving the feed twice
         feed = read_change_feed(table_root, from_v, to_v)
         keep = {self.key_col, self.text_col, "change_type"}
         cols = [c for c in feed.schema().names if c in keep]
+        feed = feed.select_columns(cols).materialize()
         sig = SigStage(self.root, to_v, self.key_col, self.text_col,
                        self.num_partitions, self.n_bands,
                        self.rows_per_band, self.seed)
@@ -483,8 +487,7 @@ class IngestDedupIndex:
             return sig(alive)
 
         listing = (
-            feed.select_columns(cols)
-            .map_batches(stage, batch_format="pyarrow")
+            feed.map_batches(stage, batch_format="pyarrow")
             .take_all()  # (pid, rel, rows) rows only — never data
         )
         by_pid: dict[int, list[str]] = {}
@@ -549,9 +552,7 @@ class IngestDedupIndex:
                              "rows": pa.array([flags.num_rows], pa.int64())})
 
         flag_listing = (
-            read_change_feed(table_root, from_v, to_v)
-            .select_columns(cols)
-            .map_batches(write_flags, batch_format="pyarrow")
+            feed.map_batches(write_flags, batch_format="pyarrow")
             .take_all()
         )
 
