@@ -220,6 +220,45 @@ def hk_bloom_may_contain(bitset: np.ndarray, hk: np.ndarray) -> np.ndarray:
     return hit
 
 
+def _write_posting_bloom(fs, rel: str, kind: np.ndarray, hk: np.ndarray) -> None:
+    """Bloom sidecar for a posting file: one bitset per posting kind."""
+    fs.write_npz(rel + _BLOOM_SUFFIX, **{
+        f"kind{k}": build_hk_bloom(hk[kind == k])
+        for k in (TEXT_KIND, BAND_KIND)
+        if (kind == k).any()
+    })
+
+
+def _compact_pid(
+    index_root: str, pid: int, rels: list[str], version: int
+) -> tuple[str, int, int]:
+    """Fold one partition's committed posting files into a single file
+    sorted by (kind, hk) with duplicate (kind, hk) rows dropped — probes
+    only test hk membership per kind, so multiplicity carries no
+    information (the same doc text re-ingested across cycles repeats its
+    hashes).  Returns ``(new_rel, rows_before, rows_after)``.  The file
+    is an orphan until the caller's manifest commit swaps it in; a crash
+    between write and commit leaves it unreferenced and ignored, the
+    same protocol as the engine's staging sweep.  (lakefs imported at
+    module level: ships to workers as a raw ``ray.remote``.)"""
+    fs = lakefs(index_root)
+    t = pa.concat_tables([fs.read_table(r) for r in rels])
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    hk = t["hk"].to_numpy(zero_copy_only=False)
+    # lexsort by (kind, hk); first occurrence keeps its k
+    order = np.lexsort((hk, kind))
+    kind_s, hk_s = kind[order], hk[order]
+    first = np.ones(len(order), bool)
+    if len(order) > 1:
+        first[1:] = (kind_s[1:] != kind_s[:-1]) | (hk_s[1:] != hk_s[:-1])
+    keep = order[first]
+    out = t.take(pa.array(keep))
+    rel = f"postings/p{pid:04d}/compact-v{version}-{uuid.uuid4().hex}.parquet"
+    fs.write_table(out, rel)
+    _write_posting_bloom(fs, rel, kind_s[first], hk_s[first])
+    return rel, t.num_rows, out.num_rows
+
+
 def _probe_pid(
     index_root: str, committed_rels: list[str], incoming_rels: list[str]
 ) -> pa.Table:
@@ -308,13 +347,11 @@ class SigStage:
             rel = f"postings/p{p:04d}/v{self.version}-{uuid.uuid4().hex}.parquet"
             sl = post.slice(s, e - s).drop_columns(["pid"])
             self.fs.write_table(sl, rel)
-            sl_kind = sl["kind"].to_numpy(zero_copy_only=False)
-            sl_hk = sl["hk"].to_numpy(zero_copy_only=False)
-            self.fs.write_npz(rel + _BLOOM_SUFFIX, **{
-                f"kind{kind}": build_hk_bloom(sl_hk[sl_kind == kind])
-                for kind in (TEXT_KIND, BAND_KIND)
-                if (sl_kind == kind).any()
-            })
+            _write_posting_bloom(
+                self.fs, rel,
+                sl["kind"].to_numpy(zero_copy_only=False),
+                sl["hk"].to_numpy(zero_copy_only=False),
+            )
             out_pid.append(p)
             out_rel.append(rel)
             out_rows.append(e - s)
@@ -400,12 +437,18 @@ class IngestDedupIndex:
     def __init__(self, root: str, num_partitions: int = 4,
                  key_col: str = "doc_id", text_col: str = "text",
                  n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND,
-                 seed: int = PERM_SEED, resident: bool = True):
+                 seed: int = PERM_SEED, resident: bool = True,
+                 auto_compact_files: int | None = None):
         self.root = root
         self.num_partitions = num_partitions
         self.key_col, self.text_col = key_col, text_col
         self.n_bands, self.rows_per_band, self.seed = n_bands, rows_per_band, seed
         self.resident = resident
+        #: when set, ``advance`` folds a partition's posting files into
+        #: one whenever the committed count reaches this threshold —
+        #: bounds the stateless probe's file fan-in (and the resident
+        #: owner's cold-load) at ~threshold files per partition forever
+        self.auto_compact_files = auto_compact_files
         self._owners: dict[int, Any] = {}
 
     def _owner(self, pid: int):
@@ -460,6 +503,8 @@ class IngestDedupIndex:
                 return folded
             v = pending[0]
             self._advance_one(table_root, done_v, v, up.read(v).watermark)
+            if self.auto_compact_files:
+                self.compact(min_files=self.auto_compact_files)
             folded += 1
 
     def _advance_one(self, table_root: str, from_v: int, to_v: int,
@@ -567,6 +612,47 @@ class IngestDedupIndex:
                                          upstream_version=to_v)
         self._log().commit(nxt, expect_version=cur.version)
 
+    # --------------------------------------------------------- maintain
+    def compact(self, min_files: int = 2) -> dict[int, tuple[int, int, int]]:
+        """OPTIMIZE for the dedup index: fold every partition holding
+        ``>= min_files`` committed posting files into ONE file each
+        (sorted by (kind, hk), duplicate hashes dropped), swapped in by
+        a single CAS manifest commit.  Without this the per-cycle
+        posting files accumulate forever — ``BENCH/ingest_dedup.json``
+        measured the stateless probe re-reading 232 files by cycle 30 —
+        and at 100 TB the resident owners' cold-load fan-in grows the
+        same way.  Replaced files stay referenced by OLDER manifest
+        versions (time travel) and are reclaimed by the standard
+        ``ManifestLog.expire_versions`` GC, bloom sidecars included; a
+        crash mid-compaction leaves only orphaned compacted files the
+        manifest never references.  Resident owners detect the swap on
+        their next probe (a loaded rel vanished) and rebuild from the
+        compacted file.  Returns ``{pid: (files_before, rows_before,
+        rows_after)}`` for the partitions folded."""
+        import ray
+
+        self.create()
+        cur = self._log().latest()
+        todo = {int(p): list(rels) for p, rels in cur.partitions.items()
+                if len(rels) >= max(min_files, 2)}
+        if not todo:
+            return {}
+        global _COMPACT_TASK
+        if _COMPACT_TASK is None:
+            _COMPACT_TASK = ray.remote(_compact_pid)
+        pids = sorted(todo)
+        results = ray.get([
+            _COMPACT_TASK.remote(self.root, p, todo[p], cur.version)
+            for p in pids
+        ])
+        nxt = cur.next()
+        out: dict[int, tuple[int, int, int]] = {}
+        for p, (rel, before, after) in zip(pids, results):
+            nxt.partitions[p] = [rel]
+            out[p] = (len(todo[p]), before, after)
+        self._log().commit(nxt, expect_version=cur.version)
+        return out
+
     # ------------------------------------------------------------ reads
     def flags(self) -> pa.Table:
         """All committed per-doc verdicts (doc key, cycle, exact_dup,
@@ -586,3 +672,4 @@ class IngestDedupIndex:
 
 _PROBE_TASK = None
 _OWNER_CLS = None
+_COMPACT_TASK = None

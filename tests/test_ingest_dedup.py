@@ -8,6 +8,7 @@ import pyarrow.parquet as pq
 
 from arcane_stream_sqlserver_change_tracking_ray.config import StreamContext
 from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+    _BLOOM_SUFFIX as _BLOOM,
     IngestDedupIndex,
     band_keys,
     doc_postings,
@@ -244,6 +245,89 @@ def test_probe_prunes_disjoint_files(tmp_path):
     hits = _probe_pid(root, ["postings/p0000/v1-aaaa.parquet"],
                       ["postings/p0000/v2-bbbb.parquet"])
     assert hits.num_rows == 0
+
+
+def test_compact_preserves_flags_and_bounds_files(tmp_path):
+    """Compaction between cycles (the auto_compact_files posture) must
+    leave every verdict identical to the never-compacted twin, fold each
+    partition to one file, and survive the resident owners' loaded-rel
+    vanish/rebuild path (the SAME index object advances across the
+    swaps)."""
+    tgt = _replay_docs(str(tmp_path), TEXTS, n_segments=3)
+
+    plain = IngestDedupIndex(str(tmp_path / "plain_idx"), num_partitions=4)
+    plain.advance(tgt)
+
+    root_c = str(tmp_path / "compact_idx")
+    idx = IngestDedupIndex(root_c, num_partitions=4, resident=True)
+    idx.create()
+    up = ManifestLog(tgt)
+    done = 0
+    for v in [v for v in up.versions() if v > 0]:
+        idx._advance_one(tgt, done, v, up.read(v).watermark)
+        idx.compact(min_files=2)
+        done = v
+
+    cols = ["doc_id", "exact_dup", "near_candidate"]
+    assert _flags_df(plain)[cols].equals(_flags_df(idx)[cols])
+
+    cur = ManifestLog(root_c).latest()
+    assert all(len(rels) == 1 for rels in cur.partitions.values())
+    # compacted files are sorted by (kind, hk) with duplicate hashes
+    # dropped, and each carries a bloom sidecar
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+
+    fs = lakefs(root_c)
+    for rels in cur.partitions.values():
+        t = fs.read_table(rels[0])
+        kind = t["kind"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = t["hk"].to_numpy(zero_copy_only=False)
+        comb = list(zip(kind.tolist(), hk.tolist()))
+        assert comb == sorted(set(comb))
+        assert fs.read_npz(rels[0] + _BLOOM) is not None
+
+
+def test_compact_crash_orphan_and_expiry(tmp_path):
+    """A compacted file written by a crashed attempt is never referenced;
+    after a successful compact, expire_versions reclaims the replaced
+    posting files (bloom sidecars included) while flags stay readable."""
+    from arcane_stream_sqlserver_change_tracking_ray.functions.ingest_dedup import (
+        _compact_pid,
+    )
+    from arcane_stream_sqlserver_change_tracking_ray.state.fs import lakefs
+
+    tgt = _replay_docs(str(tmp_path), TEXTS, n_segments=3)
+    root = str(tmp_path / "idx")
+    idx = IngestDedupIndex(root, num_partitions=4)
+    idx.advance(tgt)
+    before = _flags_df(idx)
+
+    log = ManifestLog(root)
+    cur = log.latest()
+    pid, rels = next((p, r) for p, r in sorted(cur.partitions.items())
+                     if len(r) >= 2)
+    # simulated SIGKILL between the compacted write and the commit
+    orphan_rel, _, _ = _compact_pid(root, pid, rels, cur.version)
+    assert orphan_rel not in set(log.latest().partitions.get(pid, []))
+
+    folded = idx.compact(min_files=2)
+    assert pid in folded and folded[pid][1] >= folded[pid][2]
+    assert _flags_df(idx)[["doc_id", "exact_dup", "near_candidate"]].equals(
+        before[["doc_id", "exact_dup", "near_candidate"]]
+    )
+
+    fs = lakefs(root)
+    assert all(fs.exists(r) for r in rels)  # old manifests still own them
+    expired = log.expire_versions(keep=1)
+    assert expired
+    assert not any(fs.exists(r) or fs.exists(r + _BLOOM) for r in rels)
+    live = log.latest().partitions[pid]
+    assert len(live) == 1 and fs.exists(live[0])
+    assert _flags_df(idx)[["doc_id", "exact_dup", "near_candidate"]].equals(
+        before[["doc_id", "exact_dup", "near_candidate"]]
+    )
 
 
 def test_resident_and_stateless_probes_agree(tmp_path):
