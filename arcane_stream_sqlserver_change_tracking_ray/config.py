@@ -220,6 +220,17 @@ class ThroughputSettings:
     #: objectTypeSizeEstimate, CRD ...stream.yaml:369-376)
     fallback_string_size: int = 50
     object_size_estimate: int = 4096
+    #: read-split granularity: a poll is split into ``blocks_per_cpu x
+    #: CPUs`` blocks (each block = one push task = one delta file in the
+    #: direct-MoR path).  More blocks keep scheduling waves full when a
+    #: poll spans few segment files, but every extra delta file pays
+    #: fixed costs (fsync, footer re-read, num_partitions tiny row
+    #: groups) that grow with CPU count.  Measured on the 20M-event
+    #: replay (two reps each level): 2 beats 4 at 32 CPUs by 7-15% and
+    #: at 8 CPUs by ~2%, so 2 is the default; raise it if polls span
+    #: very few files at low parallelism (the len(paths) floor already
+    #: covers the common case)
+    blocks_per_cpu: int = 2
 
 
 @dataclass

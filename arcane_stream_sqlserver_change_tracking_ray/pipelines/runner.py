@@ -365,12 +365,15 @@ class StreamRunner:
             import ray
 
             cpus = int(ray.cluster_resources().get("CPU", 0))
-            # 4x CPUs: a poll spanning few segment files would otherwise
-            # quantize into len(files) blocks — e.g. 10 files on 8 CPUs is
-            # 2 waves (the 2nd nearly idle), a ~40% efficiency hole
-            # (BENCH/BASELINE.md round-2 profile); over-splitting 4x keeps
-            # every wave full at a negligible per-block scheduling cost
-            self.tailer.target_blocks = (4 * cpus) or None
+            # blocks_per_cpu x CPUs: a poll spanning few segment files
+            # would otherwise quantize into len(files) blocks — e.g. 10
+            # files on 8 CPUs is 2 waves (the 2nd nearly idle), a ~40%
+            # efficiency hole (BENCH/BASELINE.md round-2 profile).  Each
+            # block is also one delta file in the direct-MoR path, so
+            # over-splitting pays per-file fixed costs that grow with CPU
+            # count — see ThroughputSettings.blocks_per_cpu for the
+            # measured trade
+            self.tailer.target_blocks = (tp.blocks_per_cpu * cpus) or None
         except Exception:
             pass
         return manifest

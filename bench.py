@@ -102,7 +102,12 @@ def run_headline(num_cpus: int) -> dict:
                     "durable_writes": os.environ.get("GRAFT_BENCH_FSYNC", "1") == "1",
                     "merge_mode": os.environ.get("GRAFT_BENCH_MERGE_MODE", "mor"),
                 },
-                "throughput": {"rows_per_group": ROWS_PER_CYCLE},
+                "throughput": {
+                    "rows_per_group": ROWS_PER_CYCLE,
+                    "blocks_per_cpu": int(
+                        os.environ.get("GRAFT_BENCH_BLOCKS_PER_CPU", "4")
+                    ),
+                },
                 "maintenance": {"enabled": False},
             }
         )
