@@ -104,8 +104,12 @@ def run_headline(num_cpus: int) -> dict:
                 },
                 "throughput": {
                     "rows_per_group": ROWS_PER_CYCLE,
-                    "blocks_per_cpu": int(
-                        os.environ.get("GRAFT_BENCH_BLOCKS_PER_CPU", "4")
+                    # GRAFT_BENCH_BLOCKS_PER_CPU overrides the config
+                    # default (2) for read-split granularity sweeps
+                    **(
+                        {"blocks_per_cpu": int(bpc)}
+                        if (bpc := os.environ.get("GRAFT_BENCH_BLOCKS_PER_CPU"))
+                        else {}
                     ),
                 },
                 "maintenance": {"enabled": False},
