@@ -140,7 +140,7 @@ def main() -> None:
                             os.path.join(index_root, rel))
             return committed_total, files_read, bytes_read
 
-        def fold_all(index_root, resident):
+        def fold_all(index_root, resident, compact=False):
             stats = []
             idx = ID.IngestDedupIndex(index_root, num_partitions=8,
                                       resident=resident)
@@ -156,6 +156,8 @@ def main() -> None:
                 wall = round(time.perf_counter() - t0, 3)
                 committed, files_read, bytes_read = probe_cost(
                     index_root, prev_parts, idx_log.latest().partitions)
+                if compact:
+                    idx.compact(min_files=2)
                 stats.append({
                     "cycle": len(stats) + 1, "wall_s": wall,
                     "committed_files": committed,
@@ -169,8 +171,24 @@ def main() -> None:
         idx, per_cycle_stats = fold_all(idx_root, resident=True)
         # stateless probe tasks for contrast: same lake, separate index
         _, stateless_stats = fold_all(f"{root}/idx_stateless", resident=False)
-        for a, b in zip(per_cycle_stats, stateless_stats):
+        # stateless + per-cycle compaction: committed file fan-in bounded
+        # at num_partitions forever (the index's OPTIMIZE)
+        idx_c, compact_stats = fold_all(f"{root}/idx_compact",
+                                        resident=False, compact=True)
+        for a, b, c in zip(per_cycle_stats, stateless_stats, compact_stats):
             a["stateless_wall_s"] = b["wall_s"]
+            a["compacted_committed_files"] = c["committed_files"]
+            a["compacted_files_read"] = c["stateless_files_read"]
+            a["compacted_wall_s"] = c["wall_s"]
+        # compaction must not change any verdict
+        import pandas.testing as pdt
+
+        fa = idx.flags().sort_by([("doc_id", "ascending")]).to_pandas()
+        fc = idx_c.flags().sort_by([("doc_id", "ascending")]).to_pandas()
+        pdt.assert_frame_equal(
+            fa[["doc_id", "exact_dup", "near_candidate"]].reset_index(drop=True),
+            fc[["doc_id", "exact_dup", "near_candidate"]].reset_index(drop=True),
+        )
 
         flags = idx.flags()
         n_exact = flags["exact_dup"].to_pandas().sum()
@@ -189,6 +207,12 @@ def main() -> None:
                 "resident_wall_last3": [c["wall_s"] for c in per_cycle_stats[-3:]],
                 "stateless_wall_first3": [c["stateless_wall_s"] for c in per_cycle_stats[:3]],
                 "stateless_wall_last3": [c["stateless_wall_s"] for c in per_cycle_stats[-3:]],
+                "compacted_committed_files_last_cycle":
+                    per_cycle_stats[-1]["compacted_committed_files"],
+                "compacted_files_read_last_cycle":
+                    per_cycle_stats[-1]["compacted_files_read"],
+                "compacted_wall_last3":
+                    [c["compacted_wall_s"] for c in per_cycle_stats[-3:]],
             },
         }
         with open(os.path.join(HERE, "ingest_dedup.json"), "w") as f:
