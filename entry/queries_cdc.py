@@ -1526,7 +1526,12 @@ def cdc_ingest_dedup(sf_dir: str):
             }
         )
         StreamRunner(ctx).run()
-        index = IngestDedupIndex(idx_root, num_partitions=4)
+        # auto_compact_files=3: when a partition reaches 3 posting
+        # files, advance folds them into one sorted file (the index's
+        # OPTIMIZE) — later cycles then probe compacted state, so this
+        # driver row also hash-proves compaction changes no verdict
+        index = IngestDedupIndex(idx_root, num_partitions=4,
+                                 auto_compact_files=3)
         index.advance(tgt)
         out = index.flags()
     finally:
